@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()``/``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG pipeline (transcripts → mentions → link →
+  canonicalize → triples) on sf0.001.
+- ``queries()`` — one entry per implemented pipeline/operator
+  (SURVEY.md §2 + the training-data operators); each callable takes
+  ``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible
+  (non-SQL ops — MinHash/SimHash dedup, LSH ANN — are rows-only checked).
 """
 
 from __future__ import annotations
@@ -20,25 +19,42 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from nativeextractor_ray.pipelines.kg import triples_dataset
+
+    return triples_dataset("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from nativeextractor_ray.pipelines import extract, kg
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        "transcripts": transcripts_dataset,
+        "mention_counts": extract.mention_counts,
+        "triples": kg.triples_dataset,
+        "triples_tool": kg.triples_tool,
+        "canonical_map": kg.canonical_map,
+        "conv_entity_flow": kg.conv_entity_flow,
+        "conv_stats": kg.conv_stats,
+    }
+    for label in ("Email", "Url", "Date", "Phone", "Dict"):
+        q[f"mentions_{label.lower()}"] = (
+            lambda sf, lab=label: extract.mentions_by_label(sf, lab)
+        )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nativeextractor_ray.pipelines import oracles as o
+
+    sqls = {
+        "transcripts": o.TRANSCRIPTS_ONLY_SQL,
+        "mention_counts": o.MENTION_COUNTS_SQL,
+        "triples": o.TRIPLES_SQL,
+        "triples_tool": o.TRIPLES_TOOL_SQL,
+        "canonical_map": o.CANONICAL_MAP_SQL,
+        "conv_entity_flow": o.CONV_ENTITY_FLOW_SQL,
+        "conv_stats": o.CONV_STATS_SQL,
+    }
+    sqls.update(o.mention_sqls())
+    return sqls

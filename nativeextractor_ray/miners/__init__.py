@@ -14,7 +14,15 @@ from nativeextractor_ray.miners.base import (
     scan,
     sort_occurrences,
 )
+from nativeextractor_ray.miners.builtin import (
+    DateMiner,
+    EmailMiner,
+    NumberMiner,
+    PhoneMiner,
+    UrlMiner,
+)
 from nativeextractor_ray.miners.glob import GlobMiner, is_glob
+from nativeextractor_ray.miners.ner import DictionaryMiner
 from nativeextractor_ray.miners.regexlang import CompiledRegex, RegexMiner
 
 __all__ = [
@@ -22,6 +30,12 @@ __all__ = [
     "GlobMiner",
     "RegexMiner",
     "CompiledRegex",
+    "DictionaryMiner",
+    "EmailMiner",
+    "UrlMiner",
+    "DateMiner",
+    "PhoneMiner",
+    "NumberMiner",
     "is_glob",
     "filter_enclosed",
     "make_miner",

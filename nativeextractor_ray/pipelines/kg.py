@@ -1,0 +1,174 @@
+"""Knowledge-graph pipeline: transcripts → (subj, pred, obj) triples, plus
+the canonicalization (union-find) stage.
+
+Shape (SURVEY.md §3.4): streaming read → fused KgExtract actor pool
+(mention-detect + link + triple-emit with per-batch combining) →
+``groupby((subj,pred,obj))`` aggregate (the ONLY shuffle; it moves partial
+counts, not occurrences) → triples.  Canonicalization groups distinct
+surfaces (bounded vocabulary), runs union-find on the driver, and the
+resulting surface→entity map is broadcast-sized."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nativeextractor_ray.functions.linking import DictIndex, best_dict_match
+from nativeextractor_ray.functions.unionfind import canonicalize
+from nativeextractor_ray.pipelines.common import DEFAULT_BATCH_SIZE, pool_concurrency
+from nativeextractor_ray.pipelines.extract import mentions_dataset
+from nativeextractor_ray.sources.transcripts import DICT_NAMES, transcripts_dataset
+from nativeextractor_ray.stages.kg_extract import KgExtract
+
+
+def triples_dataset(sf_dir: str, replicate: int = 1):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = transcripts_dataset(sf_dir, replicate=replicate)
+    partial = ds.map_batches(
+        KgExtract,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_BATCH_SIZE,
+        concurrency=pool_concurrency(),
+    )
+    agg = partial.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("support", alias_name="support"),
+        Min("first_seen", alias_name="first_seen"),
+        Max("prob", alias_name="prob"),
+    )
+
+    def normalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "support": pc.cast(t.column("support"), pa.int64()),
+                "first_seen": t.column("first_seen"),
+                "prob": pc.cast(t.column("prob"), pa.float32()),
+            }
+        )
+
+    return agg.map_batches(normalize, batch_format="pyarrow")
+
+
+def triples_tool(sf_dir: str):
+    """The uses_tool slice only — cheap smoke query."""
+    ds = triples_dataset(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("pred"), "uses_tool")),
+        batch_format="pyarrow",
+    )
+
+
+def canonical_map(sf_dir: str) -> pa.Table:
+    """surface → canonical person entity over Dict mentions.
+
+    groupby(surface) count (shuffle over the *distinct-surface* space) →
+    alias edges (surface, best dict word) → union-find on the driver →
+    (surface, canonical, n_mentions).  The dict word member of each
+    component is its canonical form."""
+    from ray.data.aggregate import Count
+
+    ds = mentions_dataset(sf_dir)
+    dict_only = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("label"), "Dict")),
+        batch_format="pyarrow",
+    )
+    counts = dict_only.groupby("surface").aggregate(Count(alias_name="n_mentions"))
+    tbl = counts.to_arrow_refs()
+    import ray
+
+    parts = [ray.get(r) for r in tbl]
+    surf_tbl = pa.concat_tables([p for p in parts if p.num_rows]) if parts else None
+    if surf_tbl is None or surf_tbl.num_rows == 0:
+        return pa.table(
+            {"surface": pa.array([], pa.string()),
+             "canonical": pa.array([], pa.string()),
+             "n_mentions": pa.array([], pa.int64())}
+        )
+
+    index = DictIndex(DICT_NAMES)
+    surfaces = surf_tbl.column("surface").to_pylist()
+    n = surf_tbl.column("n_mentions").to_pylist()
+    words = set(DICT_NAMES)
+    edges = []
+    for s in surfaces:
+        w = best_dict_match(s, index)
+        if w is not None:
+            edges.append((s, w))
+    canon = canonicalize(edges, is_canonical=lambda m: m in words)
+    rows = [(s, f"person:{canon[s]}", int(c)) for s, c in zip(surfaces, n) if s in canon]
+    rows.sort()
+    return pa.table(
+        {
+            "surface": pa.array([r[0] for r in rows], pa.string()),
+            "canonical": pa.array([r[1] for r in rows], pa.string()),
+            "n_mentions": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def entity_turns_dataset(sf_dir: str):
+    """(conv_id, turn_idx, ent) — one row per distinct entity per turn."""
+    class EntityTurns(KgExtract):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            conv = batch.column("conv_id").to_pylist()
+            turn = batch.column("turn_idx").to_pylist()
+            text = batch.column("text").to_pylist()
+            c_out, t_out, e_out = [], [], []
+            for r in range(len(text)):
+                for e in self.turn_entities(text[r]):
+                    c_out.append(conv[r])
+                    t_out.append(turn[r])
+                    e_out.append(e)
+            return pa.table(
+                {
+                    "conv_id": pa.array(c_out, pa.string()),
+                    "turn_idx": pa.array(t_out, pa.int32()),
+                    "ent": pa.array(e_out, pa.string()),
+                }
+            )
+
+    ds = transcripts_dataset(sf_dir)
+    return ds.map_batches(
+        EntityTurns,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_BATCH_SIZE,
+        concurrency=pool_concurrency(),
+    )
+
+
+def conv_entity_flow(sf_dir: str):
+    """Per conversation: entities in first-seen order (stable turn ordering
+    inside groups — Ray's groupby gives no intra-group order, so the group
+    fn sorts by turn_idx; ties broken by entity name)."""
+    import pandas as pd
+
+    ds = entity_turns_dataset(sf_dir)
+
+    def flow(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["turn_idx", "ent"], kind="stable")
+        seen = g.drop_duplicates(subset="ent", keep="first")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "flow": [" ".join(seen["ent"].tolist())],
+                "n_entities": pd.array([len(seen)], dtype="int64"),
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(flow, batch_format="pandas")
+
+
+def conv_stats(sf_dir: str):
+    """Per-conversation rollup — associative aggregates, salting-safe."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = transcripts_dataset(sf_dir)
+    return ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+        Max("turn_idx", alias_name="max_turn"),
+    )

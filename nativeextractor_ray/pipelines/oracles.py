@@ -1,0 +1,148 @@
+"""DuckDB oracle SQL for every oracle-checkable query.
+
+Each SQL string reproduces the corresponding Ray pipeline over the same
+pre-registered parquet views (``documents`` etc.), building on the shared
+:data:`TRANSCRIPTS_SQL` CTE.  Patterns are taken from the miner definitions
+where the miner is regex-shaped; the FSM miners (naive email, trie NER) use
+SQL renderings proven equivalent on this data (the engine stays
+reference-faithful; pytest fixtures cover the divergent edges the data
+never produces — e.g. ``a@b.com.c``).
+"""
+
+from __future__ import annotations
+
+from nativeextractor_ray.miners.builtin import DateMiner, PhoneMiner, UrlMiner
+from nativeextractor_ray.sources.transcripts import DICT_NAMES, TRANSCRIPTS_SQL
+
+# regexp for the naive-email FSM, adequate on the derived transcripts
+EMAIL_SQL_RE = r"[A-Za-z0-9._-]+@[A-Za-z0-9_-]+(\.[A-Za-z0-9_-]+)+"
+URL_SQL_RE = UrlMiner.pattern
+DATE_SQL_RE = DateMiner.pattern
+PHONE_SQL_RE = PhoneMiner.pattern
+
+_NAMES_VALUES = ", ".join(f"('{n}')" for n in DICT_NAMES)
+
+# token accepted iff some dict word shares its first ceil(0.75·len) chars —
+# equivalent to the trie's matched-prefix-bytes/len ≥ 0.75 rule (ner.c:31)
+_K = "CAST(ceil(0.75 * length(u.x)) AS INT)"
+_DICT_ACCEPT = f"""EXISTS (
+      SELECT 1 FROM (VALUES {_NAMES_VALUES}) AS names(w)
+      WHERE length(w) >= {_K} AND substr(w, 1, {_K}) = substr(u.x, 1, {_K})
+    )"""
+_DICT_BEST = f"""(
+      SELECT min(w) FROM (VALUES {_NAMES_VALUES}) AS names(w)
+      WHERE length(w) >= {_K} AND substr(w, 1, {_K}) = substr(u.x, 1, {_K})
+    )"""
+
+_T = f"WITH t AS (\n  {TRANSCRIPTS_SQL}\n)"
+
+
+def _mention_sql(label: str, pattern: str, extra: str = "") -> str:
+    return f"""{_T}
+SELECT conv_id, turn_idx, '{label}' AS label, u.x AS surface
+FROM t, UNNEST(regexp_extract_all(t.text, '{pattern}')) AS u(x){extra}"""
+
+
+MENTIONS_DICT_SQL = f"""{_T}
+SELECT conv_id, turn_idx, 'Dict' AS label, u.x AS surface
+FROM t, UNNEST(regexp_split_to_array(t.text, '\\s+')) AS u(x)
+WHERE length(u.x) > 0 AND {_DICT_ACCEPT}"""
+
+# per-turn distinct canonical entities (shared by triples / flow oracles)
+_ENTS = f"""ents AS (
+  SELECT conv_id, turn_idx, role, 'email:' || lower(u.x) AS ent
+    FROM t, UNNEST(regexp_extract_all(t.text, '{EMAIL_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'url:' || regexp_extract(u.x, 'https?://([^/]+)', 1)
+    FROM t, UNNEST(regexp_extract_all(t.text, '{URL_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'date:' || u.x
+    FROM t, UNNEST(regexp_extract_all(t.text, '{DATE_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'phone:' || u.x
+    FROM t, UNNEST(regexp_extract_all(t.text, '{PHONE_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'person:' || {_DICT_BEST}
+    FROM t, UNNEST(regexp_split_to_array(t.text, '\\s+')) AS u(x)
+    WHERE length(u.x) > 0 AND {_DICT_ACCEPT}
+),
+ents_d AS (
+  SELECT DISTINCT conv_id, turn_idx, role, ent,
+         conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 9, '0') AS seen
+  FROM ents
+)"""
+
+TRIPLES_SQL = f"""{_T},
+{_ENTS},
+allt AS (
+  SELECT 'speaker:' || conv_id || '/' || role AS subj, 'mentions' AS pred,
+         ent AS obj, seen
+  FROM ents_d
+  UNION ALL
+  SELECT a.ent, 'co_occurs_with', b.ent, a.seen
+  FROM ents_d a JOIN ents_d b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.ent < b.ent
+  UNION ALL
+  SELECT 'conv:' || conv_id, 'uses_tool', 'tool:' || tool,
+         conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 9, '0')
+  FROM t WHERE tool <> ''
+)
+SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS support,
+       min(seen) AS first_seen, CAST(1.0 AS REAL) AS prob
+FROM allt GROUP BY subj, pred, obj"""
+
+TRIPLES_TOOL_SQL = f"""{_T}
+SELECT 'conv:' || conv_id AS subj, 'uses_tool' AS pred, 'tool:' || tool AS obj,
+       CAST(count(*) AS BIGINT) AS support,
+       min(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 9, '0')) AS first_seen,
+       CAST(1.0 AS REAL) AS prob
+FROM t WHERE tool <> '' GROUP BY conv_id, tool"""
+
+CANONICAL_MAP_SQL = f"""{_T},
+tok AS (
+  SELECT u.x AS surface FROM t, UNNEST(regexp_split_to_array(t.text, '\\s+')) AS u(x)
+  WHERE length(u.x) > 0 AND {_DICT_ACCEPT}
+)
+SELECT surface, 'person:' || {_DICT_BEST.replace('u.x', 'surface')} AS canonical,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM tok GROUP BY surface"""
+
+MENTION_COUNTS_SQL = f"""{_T},
+lab AS (
+  SELECT conv_id, turn_idx, 'Email' AS label
+    FROM t, UNNEST(regexp_extract_all(t.text, '{EMAIL_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, 'Url' FROM t, UNNEST(regexp_extract_all(t.text, '{URL_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, 'Date' FROM t, UNNEST(regexp_extract_all(t.text, '{DATE_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, 'Phone' FROM t, UNNEST(regexp_extract_all(t.text, '{PHONE_SQL_RE}')) AS u(x)
+  UNION ALL
+  SELECT conv_id, turn_idx, 'Dict' FROM t, UNNEST(regexp_split_to_array(t.text, '\\s+')) AS u(x)
+    WHERE length(u.x) > 0 AND {_DICT_ACCEPT}
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY label"""
+
+CONV_ENTITY_FLOW_SQL = f"""{_T},
+{_ENTS},
+fs AS (SELECT conv_id, ent, min(turn_idx) AS ft FROM ents_d GROUP BY conv_id, ent)
+SELECT conv_id, string_agg(ent, ' ' ORDER BY ft, ent) AS flow,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM fs GROUP BY conv_id"""
+
+CONV_STATS_SQL = f"""{_T}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, min(ts) AS first_ts,
+       max(ts) AS last_ts, CAST(max(turn_idx) AS INTEGER) AS max_turn
+FROM t GROUP BY conv_id"""
+
+TRANSCRIPTS_ONLY_SQL = TRANSCRIPTS_SQL
+
+
+def mention_sqls() -> dict[str, str]:
+    return {
+        "mentions_email": _mention_sql("Email", EMAIL_SQL_RE),
+        "mentions_url": _mention_sql("Url", URL_SQL_RE),
+        "mentions_date": _mention_sql("Date", DATE_SQL_RE),
+        "mentions_phone": _mention_sql("Phone", PHONE_SQL_RE),
+        "mentions_dict": MENTIONS_DICT_SQL,
+    }

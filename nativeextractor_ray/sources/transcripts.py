@@ -1,0 +1,157 @@
+"""Deterministic transcripts derivation — the engine's input table.
+
+The target input (BASELINE.json ``input_hint``) is a Parquet table of
+multi-turn transcripts ``(conv_id, turn_idx, role, text, tool, ts)``.  The
+driver's test data has no such table, so we derive one *deterministically*
+from ``documents.parquet`` (doc_id, text) with a pure function of
+``doc_id`` — defined ONCE here and rendered both as vectorizable Python
+(:func:`derive_transcripts_table`) and as a DuckDB SQL CTE
+(:data:`TRANSCRIPTS_SQL`) so the correctness oracle sees the exact same
+table.  ``tests/test_transcripts_parity.py`` asserts bit-equality of the two.
+
+Design notes for scale:
+- the derivation is a stateless per-batch map (no shuffle);
+- one conversation is made deliberately hot (``c_hot`` collects ~5% of all
+  turns) so conv-scoped stages must handle skew;
+- ``doc_id % 13 == 7`` rows share one constant text → real duplicate groups
+  for the dedup operators;
+- enrichment embeds emails / URLs / dates / phones / dictionary names (and
+  near-misses straddling the NER 0.75 prefix-ratio threshold) at known
+  positions, giving computable golden mentions at any scale factor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# dictionary of person names; first letters chosen to not collide with the
+# documents word-salad vocabulary (so prefix-ratio hits are intentional)
+DICT_NAMES = [
+    "erin", "ivan", "nora", "xenia", "yuri",
+    "zelda", "uma", "elena", "nina", "ulrich",
+]
+
+TOOLS = ["search", "", "code", "", "browse"]  # indexed by doc_id % 5
+ROLES = ["user", "assistant", "tool"]         # indexed by doc_id % 3
+
+DUP_TEXT = "the quick brown fox jumps over the lazy dog"
+
+EPOCH_US = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def _enrich(d: int, base: str) -> str:
+    """Append deterministic entity snippets to a turn text.  MUST stay in
+    lockstep with the SQL rendering below."""
+    parts = [DUP_TEXT if d % 13 == 7 else base]
+    if d % 3 == 0:
+        parts.append(" contact " + DICT_NAMES[d % 10])
+    if d % 4 == 0:
+        parts.append(f" email user{d % 50}@example.com")
+    if d % 4 == 2:
+        parts.append(f" email {DICT_NAMES[(d + 3) % 10]}.{d % 7}@mail.example.org")
+    if d % 5 == 0:
+        parts.append(f" visit https://svc{d % 20}.example.org/p/{d}")
+    if d % 6 == 0:
+        parts.append(f" on 2024-03-{(d % 28) + 1:02d}")
+    if d % 6 == 3:
+        parts.append(f" on {(d % 28) + 1}.{(d % 12) + 1}.2024")
+    if d % 11 == 0:
+        parts.append(f" call +4201{d % 100000000:08d}")
+    if d % 9 == 0:
+        parts.append(" ping " + DICT_NAMES[d % 10] + "x")   # 0.8 ≥ 0.75 → hit
+    if d % 9 == 5:
+        parts.append(" ping " + DICT_NAMES[d % 10] + "xx")  # 0.667 < 0.75 → miss
+    return "".join(parts)
+
+
+def derive_transcripts_table(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) batch → transcripts batch.  Pure, per-row, stateless."""
+    d = batch.column("doc_id").to_numpy()
+    base = batch.column("text").to_pylist()
+
+    hot = (d % 97) < 5
+    conv_id = np.where(
+        hot,
+        "c_hot",
+        np.char.add("c", (d % 97).astype(str)),
+    )
+    turn_idx = np.where(hot, (d // 97) * 5 + d % 97, d // 97).astype(np.int32)
+    role = np.array(ROLES, dtype=object)[d % 3]
+    tool = np.array(TOOLS, dtype=object)[d % 5]
+    ts = EPOCH_US + (d * 1_000_000).astype("timedelta64[us]")
+    text = [_enrich(int(di), t) for di, t in zip(d, base)]
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id.tolist(), pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(role.tolist(), pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool.tolist(), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def _sql_name_list() -> str:
+    return "[" + ", ".join(f"'{n}'" for n in DICT_NAMES) + "]"
+
+
+def _render_transcripts_sql() -> str:
+    """Render the derivation as a DuckDB SELECT over `documents` — the
+    single source of truth is the Python constants above."""
+    names = _sql_name_list()
+    dup = DUP_TEXT
+    text_expr = f"""(CASE WHEN doc_id % 13 = 7 THEN '{dup}' ELSE text END)
+      || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || {names}[(doc_id % 10) + 1] ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN ' email user' || CAST(doc_id % 50 AS VARCHAR) || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 4 = 2 THEN ' email ' || {names}[((doc_id + 3) % 10) + 1] || '.' || CAST(doc_id % 7 AS VARCHAR) || '@mail.example.org' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' visit https://svc' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN ' on 2024-03-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') ELSE '' END
+      || CASE WHEN doc_id % 6 = 3 THEN ' on ' || CAST((doc_id % 28) + 1 AS VARCHAR) || '.' || CAST((doc_id % 12) + 1 AS VARCHAR) || '.2024' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' call +4201' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN ' ping ' || {names}[(doc_id % 10) + 1] || 'x' ELSE '' END
+      || CASE WHEN doc_id % 9 = 5 THEN ' ping ' || {names}[(doc_id % 10) + 1] || 'xx' ELSE '' END"""
+    return f"""SELECT
+    CASE WHEN doc_id % 97 < 5 THEN 'c_hot' ELSE 'c' || CAST(doc_id % 97 AS VARCHAR) END AS conv_id,
+    CAST(CASE WHEN doc_id % 97 < 5 THEN (doc_id // 97) * 5 + doc_id % 97 ELSE doc_id // 97 END AS INTEGER) AS turn_idx,
+    CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+    {text_expr} AS text,
+    CASE doc_id % 5 WHEN 0 THEN 'search' WHEN 2 THEN 'code' WHEN 4 THEN 'browse' ELSE '' END AS tool,
+    TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND AS ts
+  FROM documents"""
+
+
+#: DuckDB CTE body equivalent to :func:`derive_transcripts_table` over the
+#: pre-registered `documents` view.  Embed as: WITH t AS ({TRANSCRIPTS_SQL})
+TRANSCRIPTS_SQL = _render_transcripts_sql()
+
+
+def transcripts_dataset(sf_dir: str, replicate: int = 1):
+    """Streaming transcripts Dataset derived from <sf_dir>/documents.parquet.
+
+    ``replicate`` (bench only) emits each document ``replicate`` times with
+    doc_id' = doc_id + k * 10**7 so turn texts/ids vary deterministically —
+    the oracle path always uses replicate=1.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    if replicate == 1:
+        return ds.map_batches(derive_transcripts_table, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        outs = []
+        for k in range(replicate):
+            shifted = batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.add(batch.column("doc_id"), k * 10_000_000),
+            )
+            outs.append(derive_transcripts_table(shifted))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
