@@ -25,7 +25,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from nativeextractor_ray.pipelines import extract, kg
+    from nativeextractor_ray.pipelines import (
+        dedup,
+        extract,
+        kg,
+        multimodal,
+        similarity,
+        textstats,
+    )
     from nativeextractor_ray.sources.transcripts import transcripts_dataset
 
     q: dict[str, Callable[[str], Any]] = {
@@ -36,6 +43,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_map": kg.canonical_map,
         "conv_entity_flow": kg.conv_entity_flow,
         "conv_stats": kg.conv_stats,
+        # training-data operators (documents / embeddings tables)
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash_pairs,      # rows-only (LSH)
+        "dedup_simhash": dedup.dedup_simhash_pairs,      # rows-only (LSH)
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding": dedup.embedding_dup_pairs,
+        "ann_topk": similarity.ann_cosine_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,         # rows-only (approx)
+        "text_quality": textstats.text_quality,
+        "lang_id": textstats.lang_id,
+        "token_counts": textstats.token_counts,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,  # rows-only
+        "multimodal_features": multimodal.multimodal_features,
+        "frame_sample": multimodal.frame_sample_features,  # rows-only
     }
     for label in ("Email", "Url", "Date", "Phone", "Dict"):
         q[f"mentions_{label.lower()}"] = (
@@ -45,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from nativeextractor_ray.pipelines import dedup, multimodal, similarity, textstats
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
@@ -55,6 +78,15 @@ def oracle_sql() -> dict[str, str]:
         "canonical_map": o.CANONICAL_MAP_SQL,
         "conv_entity_flow": o.CONV_ENTITY_FLOW_SQL,
         "conv_stats": o.CONV_STATS_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
+        "dedup_embedding": dedup.embedding_dup_sql(),
+        "ann_topk": similarity.ANN_TOPK_SQL,
+        "text_quality": textstats.TEXT_QUALITY_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "token_counts": textstats.TOKEN_COUNTS_SQL,
+        "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+        "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
     }
     sqls.update(o.mention_sqls())
     return sqls

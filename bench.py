@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": r}
+
+The headline metric is end-to-end triple extraction (transcripts →
+mentions → link → canonicalize-into-entities → triples) in turns/sec
+(BASELINE.json `metric`).  ``--scaling`` runs the headline job twice in
+fresh subprocesses (num_cpus=8 then 32) on identical input and reports
+both throughputs plus efficiency = (r_hi/c_hi)/(r_lo/c_lo) — the sandbox
+stand-in for the N-vs-4N-node cluster criterion.
+
+This script OWNS its Ray session (the driver contract keeps
+``__ray_entry__``/library code init-free).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# replicate transcripts so the headline job is long enough to measure
+# (documents@sf0.1 = 5k rows -> x40 = 200k turns); deterministic.
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "40"))
+
+
+def _consume(ds) -> int:
+    """Fully execute a Dataset, streaming (no driver materialization)."""
+    n = 0
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_headline() -> dict:
+    """Triples pipeline at replicate=REPLICATE; returns timing + turns."""
+    from nativeextractor_ray.pipelines.kg import triples_dataset
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    n_turns = _consume(
+        transcripts_dataset(SF_DIR, replicate=REPLICATE).select_columns(["turn_idx"])
+    )
+    t0 = time.perf_counter()
+    n_triples = _consume(triples_dataset(SF_DIR, replicate=REPLICATE))
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "turns": n_turns, "triples": n_triples,
+            "turns_per_sec": n_turns / dt}
+
+
+def run_suite() -> dict:
+    """Secondary pipelines (smaller, one pass each)."""
+    import importlib
+
+    queries = {
+        "mentions": ("nativeextractor_ray.pipelines.extract", "mentions_dataset"),
+        "mention_counts": ("nativeextractor_ray.pipelines.extract", "mention_counts"),
+        "conv_entity_flow": ("nativeextractor_ray.pipelines.kg", "conv_entity_flow"),
+        "conv_stats": ("nativeextractor_ray.pipelines.kg", "conv_stats"),
+        "dedup_exact": ("nativeextractor_ray.pipelines.dedup", "dedup_exact"),
+        "dedup_minhash": ("nativeextractor_ray.pipelines.dedup", "dedup_minhash_pairs"),
+        "dedup_simhash": ("nativeextractor_ray.pipelines.dedup", "dedup_simhash_pairs"),
+        "ann_topk": ("nativeextractor_ray.pipelines.similarity", "ann_cosine_topk"),
+        "text_quality": ("nativeextractor_ray.pipelines.textstats", "text_quality"),
+        "lang_id": ("nativeextractor_ray.pipelines.textstats", "lang_id"),
+    }
+    out = {}
+    for name, (mod, fn) in queries.items():
+        try:
+            f = getattr(importlib.import_module(mod), fn)
+        except (ImportError, AttributeError):
+            continue
+        t0 = time.perf_counter()
+        res = f(SF_DIR)
+        if hasattr(res, "iter_batches"):
+            _consume(res)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    head = run_headline()
+    qs = run_suite()
+    qs = {"triples_e2e": round(head["sec"], 3), **qs}
+    total = round(sum(qs.values()), 3)
+    print(json.dumps({
+        "metric": "e2e turns/sec triple extraction (headline) + suite wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": head["turns"],
+        "triples": head["triples"],
+        "turns_per_sec": round(head["turns_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    """Run the headline job at two parallelism levels in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_BENCH_HEADLINE_ONLY"] = "1"
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[8], results[32]
+    eff = (hi["turns_per_sec"] / 32) / (lo["turns_per_sec"] / 8)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 -> 32 CPUs, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "turns_per_sec@8": lo["turns_per_sec"],
+            "turns_per_sec@32": hi["turns_per_sec"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }))
+
+
+def main_headline_only() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    head = run_headline()
+    print(json.dumps({
+        "metric": "turns/sec", "value": round(head["sec"], 3), "unit": "sec",
+        "queries": {"triples_e2e": round(head["sec"], 3)},
+        "sf": SF_DIR, "num_cpus": NUM_CPUS, "turns": head["turns"],
+        "turns_per_sec": round(head["turns_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        main_headline_only()
+    else:
+        main()

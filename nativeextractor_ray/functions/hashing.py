@@ -1,0 +1,114 @@
+"""Deterministic hashing primitives for the dedup / fingerprint operators.
+
+Everything here is seed-fixed and pure so results are reproducible across
+processes, nodes and runs (a requirement for resumable partitions — a
+recomputed partition must produce identical bytes).
+
+The 64-bit permutation family used for MinHash is the xor-multiply family
+``perm_i(h) = (h ^ r_i) * GOLDEN mod 2**64`` — a standard practical stand-in
+for true random permutations that vectorizes over numpy uint64 without
+128-bit arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_SEED = 42
+_K_DEFAULT = 64
+
+
+def h64(s: str) -> int:
+    """Stable 64-bit hash of a string (blake2b, process-independent —
+    unlike Python's ``hash`` which is salted per process)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def h64_many(strings: list[str]) -> np.ndarray:
+    return np.array([h64(s) for s in strings], dtype=np.uint64)
+
+
+def minhash_perms(k: int = _K_DEFAULT, seed: int = _SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, np.iinfo(np.uint64).max, size=k, dtype=np.uint64)
+
+
+def minhash_signature(shingle_hashes: np.ndarray, perms: np.ndarray) -> np.ndarray:
+    """k-wide signature: min over shingles of each permuted hash."""
+    if shingle_hashes.size == 0:
+        return np.full(perms.shape, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = (shingle_hashes[None, :] ^ perms[:, None]) * GOLDEN  # (k, m) wraps mod 2^64
+    return m.min(axis=1)
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """Charikar simhash: weighted bit-vote over 64 bits of each token hash."""
+    if token_hashes.size == 0:
+        return 0
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    w = np.ones(len(token_hashes), dtype=np.int64) if weights is None else weights.astype(np.int64)
+    votes = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise popcount(a ^ b) for uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def word_shingles(text: str, n: int) -> list[str]:
+    """Distinct word n-grams; tokens = space-split, empties dropped (kept in
+    lockstep with the SQL ``list_filter(string_split(text,' '), x -> x<>'')``
+    rendering in the oracles)."""
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def rolling_hashes(text: str, k: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Polynomial rolling hash of every k-byte window (fingerprinting)."""
+    b = text.encode()
+    if len(b) < k:
+        return np.array([], dtype=np.uint64)
+    arr = np.frombuffer(b, dtype=np.uint8)
+    out = np.empty(len(b) - k + 1, dtype=object)
+    top = pow(base, k - 1, mod)
+    h = 0
+    for i in range(k):
+        h = (h * base + int(arr[i])) % mod
+    out[0] = h
+    for i in range(1, len(out)):
+        h = ((h - int(arr[i - 1]) * top) % mod * base + int(arr[i + k - 1])) % mod
+        out[i] = h
+    return out.astype(np.uint64)
+
+
+def winnow(hashes: np.ndarray, w: int = 16) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD 2003): min hash of each length-w
+    window, deduplicated consecutively — the standard document fingerprint."""
+    if hashes.size == 0:
+        return hashes
+    if hashes.size <= w:
+        return np.array([hashes.min()], dtype=np.uint64)
+    picks = []
+    last = -1
+    for i in range(hashes.size - w + 1):
+        j = i + int(np.argmin(hashes[i : i + w]))
+        if j != last:
+            picks.append(hashes[j])
+            last = j
+    return np.array(picks, dtype=np.uint64)

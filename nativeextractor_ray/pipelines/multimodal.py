@@ -1,0 +1,127 @@
+"""Multimodal column plumbing — image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs, so the *decode kernel* is stubbed:
+``MediaDecoder`` uses a deterministic fake payload format (a small header +
+the document text bytes) and raises ``NotImplementedError`` if a real codec
+is requested.  Everything Ray-side is real and tested: binary column
+schema, small-batch sizing for large payloads, actor signature, zero-copy
+pass-through of the payload column, and the feature-table output layout.
+
+Payload format (fake, deterministic from doc_id):
+  bytes 0-3   magic  b"IMG0"
+  bytes 4-5   width  uint16 LE  = 32 + doc_id % 608
+  bytes 6-7   height uint16 LE  = 32 + (doc_id * 7) % 608
+  bytes 8-    "pixel" bytes     = the document text, UTF-8
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pyarrow as pa
+
+MAGIC = b"IMG0"
+
+
+def fake_media_dataset(sf_dir: str):
+    """documents → (doc_id, payload: binary) — the binary-column source.
+
+    Large-payload guidance: batch_size is kept small so
+    batch × payload × concurrency fits the worker heap (the prompt-level
+    rule for image/audio columns)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        payload = [
+            MAGIC
+            + struct.pack("<HH", 32 + d % 608, 32 + (d * 7) % 608)
+            + s.encode()
+            for d, s in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payload, pa.binary())})
+
+    return ds.map_batches(pack, batch_format="pyarrow", batch_size=256)
+
+
+class MediaDecoder:
+    """Actor-pool decode stage.  ``codec="fake"`` parses the deterministic
+    header; any real codec is a clearly-marked stub (no image libs in this
+    container — the real implementation would do PIL/ffmpeg work here,
+    loaded once per actor in ``__init__``)."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: real decoders (PIL/ffmpeg) are not available "
+                "in this environment; the fake codec exercises the same plumbing"
+            )
+        self.codec = codec
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        w_out, h_out, n_out = [], [], []
+        for p in payloads:
+            if p[:4] != MAGIC:
+                raise ValueError("bad magic in media payload")
+            w, h = struct.unpack("<HH", p[4:8])
+            w_out.append(w)
+            h_out.append(h)
+            n_out.append(len(p) - 8)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(w_out, pa.int64()),
+            "height": pa.array(h_out, pa.int64()),
+            "n_payload_bytes": pa.array(n_out, pa.int64()),
+        })
+
+
+def multimodal_features(sf_dir: str):
+    """Full binary-column pipeline: pack → actor-pool decode → features."""
+    ds = fake_media_dataset(sf_dir)
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"codec": "fake"},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+# the fake payload is an analytic function of (doc_id, text), so the oracle
+# recomputes the features without ever building the binary column
+MULTIMODAL_FEATURES_SQL = """SELECT doc_id,
+  CAST(32 + doc_id % 608 AS BIGINT) AS width,
+  CAST(32 + (doc_id * 7) % 608 AS BIGINT) AS height,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
+FROM documents"""
+
+
+def frame_sample_features(sf_dir: str, stride: int = 16):
+    """Frame/sample extraction pattern: stride-sample the payload bytes and
+    emit per-doc aggregate features.  Rows-only checked."""
+    import numpy as np
+
+    ds = fake_media_dataset(sf_dir)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        n_out, mean_out = [], []
+        for p in payloads:
+            frames = np.frombuffer(p[8:], dtype=np.uint8)[::stride]
+            n_out.append(int(frames.size))
+            mean_out.append(int(frames.astype(np.int64).sum() // max(frames.size, 1)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(n_out, pa.int64()),
+            "mean_byte": pa.array(mean_out, pa.int64()),
+        })
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=256)

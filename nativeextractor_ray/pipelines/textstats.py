@@ -1,0 +1,212 @@
+"""Text-analysis operators over ``documents`` — language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All hot paths are Arrow-vectorized (``pyarrow.compute`` RE2 kernels over the
+string column; no per-row Python in the counting stages).  Outputs are
+integer-valued (counts, not ratios) so the DuckDB oracle comparison is
+float-free.  DuckDB's regexp functions are also RE2, so the patterns below
+are evaluated by the *same* regex engine on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[^\s]+"
+WORD_RE = r"[A-Za-z0-9]+"
+NONWORD_RE = r"[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^\w\s]"
+DIGIT_RE = r"[0-9]"
+STOP_RE = r"\b(the|a|of|and|in|to|is)\b"
+
+# marker stopwords per language + a CJK char class for zh; priority order
+# (first wins ties) mirrors the SQL CASE cascade
+LANG_MARKERS = [
+    ("en", r"\b(the|and|of|to|is)\b"),
+    ("de", r"\b(der|und|die|das|ist)\b"),
+    ("es", r"\b(el|los|las|y|es)\b"),
+    ("fr", r"\b(le|la|et|les|des)\b"),
+    ("zh", r"[\x{4e00}-\x{9fff}]"),
+]
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _count(col, pattern: str):
+    return pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+
+
+# ---------------------------------------------------------------- quality
+
+
+def text_quality(sf_dir: str):
+    """Counts + integer quality score (stopwords per 1000 tokens)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n_tokens = _count(txt, TOKEN_RE)
+        n_stop = _count(txt, STOP_RE)
+        denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+        score = pc.cast(
+            pc.floor(pc.divide(pc.multiply(pc.cast(n_stop, pa.float64()), 1000.0),
+                               pc.cast(denom, pa.float64()))),
+            pa.int64(),
+        )
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "n_tokens": n_tokens,
+            "n_punct": _count(txt, PUNCT_RE),
+            "n_digit": _count(txt, DIGIT_RE),
+            "n_stop": n_stop,
+            "stop_per_mille": score,
+        })
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+TEXT_QUALITY_SQL = f"""SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(text, '{DIGIT_RE}')) AS BIGINT) AS n_digit,
+  CAST(len(regexp_extract_all(text, '{STOP_RE}')) AS BIGINT) AS n_stop,
+  CAST(floor(len(regexp_extract_all(text, '{STOP_RE}')) * 1000.0 /
+       greatest(len(regexp_extract_all(text, '{TOKEN_RE}')), 1)) AS BIGINT)
+       AS stop_per_mille
+FROM documents"""
+
+
+# ---------------------------------------------------------------- lang id
+
+
+def lang_id(sf_dir: str):
+    """n-gram/marker heuristic language ID: argmax of per-language marker
+    counts, ties resolved by the fixed priority order, all-zero → 'und'."""
+
+    def pred(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        counts = np.stack(
+            [_count(txt, pat).to_numpy() for _, pat in LANG_MARKERS]
+        )  # (L, B)
+        best = np.argmax(counts, axis=0)  # first max wins = priority order
+        score = counts[best, np.arange(counts.shape[1])]
+        langs = np.array([l for l, _ in LANG_MARKERS], dtype=object)
+        out = np.where(score > 0, langs[best], "und")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pred_lang": pa.array(out.tolist(), pa.string()),
+            "score": pa.array(score, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(pred, batch_format="pyarrow")
+
+
+def _lang_sql() -> str:
+    cols = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{lang}"
+        for lang, pat in LANG_MARKERS
+    )
+    order = [l for l, _ in LANG_MARKERS]
+    cases = []
+    for i, lang in enumerate(order):
+        conds = [f"c_{lang} >= c_{o}" for o in order if o != lang]
+        cases.append(f"WHEN c_{lang} > 0 AND {' AND '.join(conds[:i] + conds[i:])} THEN '{lang}'")
+    # priority = first branch that is a (weak) maximum and nonzero
+    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    great = "greatest(" + ", ".join(f"c_{l}" for l in order) + ")"
+    return f"""WITH c AS (
+  SELECT doc_id,
+  {cols}
+  FROM documents
+)
+SELECT doc_id, {case} AS pred_lang,
+       CAST(CASE WHEN {great} > 0 THEN {great} ELSE 0 END AS BIGINT) AS score
+FROM c"""
+
+
+LANG_ID_SQL = _lang_sql()
+
+
+# ---------------------------------------------------------------- tokens
+
+
+def token_counts(sf_dir: str):
+    """Whitespace tokens + BPE-ish word/nonword split counts."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        word = _count(txt, WORD_RE)
+        nonword = _count(txt, NONWORD_RE)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "ws_tokens": _count(txt, TOKEN_RE),
+            "word_tokens": word,
+            "nonword_tokens": nonword,
+            "bpe_ish_tokens": pc.add(word, nonword),
+        })
+
+    return _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT) AS word_tokens,
+  CAST(len(regexp_extract_all(text, '{NONWORD_RE}')) AS BIGINT) AS nonword_tokens,
+  CAST(len(regexp_extract_all(text, '{WORD_RE}')) +
+       len(regexp_extract_all(text, '{NONWORD_RE}')) AS BIGINT) AS bpe_ish_tokens
+FROM documents"""
+
+
+# ---------------------------------------------------------------- fingerprint
+
+
+def doc_fingerprint(sf_dir: str):
+    """Normalized-content fingerprint (md5 of casefolded text)."""
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(t.column("text")).to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fp": pa.array([hashlib.md5(s.encode()).hexdigest() for s in texts], pa.string()),
+        })
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+DOC_FINGERPRINT_SQL = "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
+
+
+def doc_fingerprint_winnow(sf_dir: str, k: int = 8, w: int = 16):
+    """Winnowing fingerprints (rolling k-byte hashes, window-min selection,
+    Schleimer et al. 2003).  Rows-only checked (no SQL equivalent)."""
+    from nativeextractor_ray.functions.hashing import rolling_hashes, winnow
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        d_out, n_out, mn_out, xr_out = [], [], [], []
+        for d, txt in zip(ids, texts):
+            fps = winnow(rolling_hashes(txt, k), w)
+            d_out.append(d)
+            n_out.append(len(fps))
+            mn_out.append(int(fps.min()) if fps.size else 0)
+            x = 0
+            for v in fps.tolist():
+                x ^= int(v)
+            xr_out.append(x)
+        return pa.table({
+            "doc_id": pa.array(d_out, pa.int64()),
+            "n_fp": pa.array(n_out, pa.int64()),
+            "fp_min": pa.array(mn_out, pa.int64()),
+            "fp_xor": pa.array(xr_out, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")

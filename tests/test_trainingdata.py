@@ -1,0 +1,163 @@
+"""Training-data operators: planted-fixture tests for the rows-only
+(LSH / approximate) paths and plumbing tests for the multimodal stages.
+
+The oracle-checkable ops (exact dedup, n-gram Jaccard, embedding cosine,
+brute-force ANN, textstats) are covered by test_oracle_parity.py; here we
+cover what SQL can't: MinHash/SimHash recall on planted near-dups, LSH ANN
+candidate quality, winnowing invariants, and the binary-column pipeline.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _doc_table(texts):
+    return pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def _salad(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session):
+    """Docs 0/1 near-identical (2 of 60 words changed), 2 a copy of 0,
+    3..9 unrelated salads."""
+    import random
+
+    rng = random.Random(7)
+    base = _salad(rng)
+    toks = base.split()
+    toks[10], toks[40] = "zulu", "yankee"
+    near = " ".join(toks)
+    texts = [base, near, base] + [_salad(rng) for _ in range(7)]
+    return _doc_table(texts)
+
+
+def _rows(ds):
+    return ds.take_all()
+
+
+def test_minhash_finds_planted_pairs(planted, ray_session):
+    import ray.data
+
+    from nativeextractor_ray.pipelines.dedup import minhash_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in _rows(minhash_pairs(ray.data.from_arrow(planted), threshold=0.5))}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0        # exact copy
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5        # near dup
+    assert (1, 2) in pairs
+    # unrelated docs don't pair at this threshold
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_simhash_finds_planted_pairs(planted, ray_session):
+    import ray.data
+
+    from nativeextractor_ray.pipelines.dedup import simhash_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in _rows(simhash_pairs(ray.data.from_arrow(planted), max_hamming=3))}
+    assert pairs[(0, 2)] == 0
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_minhash_signature_estimates_jaccard():
+    from nativeextractor_ray.functions.hashing import (
+        h64_many, minhash_perms, minhash_signature, word_shingles,
+    )
+
+    perms = minhash_perms()
+    a = set(word_shingles(" ".join(WORDS * 3), 3))
+    b_toks = (WORDS * 3)[:]
+    b_toks[5] = "zulu"
+    b = set(word_shingles(" ".join(b_toks), 3))
+    true_j = len(a & b) / len(a | b)
+    sa = minhash_signature(h64_many(sorted(a)), perms)
+    sb = minhash_signature(h64_many(sorted(b)), perms)
+    est = float((sa == sb).mean())
+    assert abs(est - true_j) < 0.25  # 64 hashes → ±~0.12 stddev
+
+
+def test_winnow_invariants():
+    from nativeextractor_ray.functions.hashing import rolling_hashes, winnow
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    h = rolling_hashes(text, 8)
+    fp = winnow(h, 16)
+    assert fp.size > 0
+    assert set(fp.tolist()) <= set(h.tolist())
+    # identical text → identical fingerprints (determinism across calls)
+    assert np.array_equal(fp, winnow(rolling_hashes(text, 8), 16))
+    # a local edit changes few fingerprints
+    edited = text.replace("fox", "cat", 1)
+    fp2 = winnow(rolling_hashes(edited, 8), 16)
+    inter = len(set(fp.tolist()) & set(fp2.tolist()))
+    assert inter / max(len(set(fp.tolist())), 1) > 0.5
+
+
+def test_rolling_hash_matches_direct():
+    from nativeextractor_ray.functions.hashing import rolling_hashes
+
+    text = "abcdefghij"
+    k, base, mod = 4, 257, (1 << 61) - 1
+    h = rolling_hashes(text, k, base, mod)
+    for i in range(len(text) - k + 1):
+        direct = 0
+        for c in text[i : i + k].encode():
+            direct = (direct * base + c) % mod
+        assert int(h[i]) == direct, i
+
+
+def test_ann_lsh_is_subset_quality(sf_dir, ray_session):
+    """LSH candidates rerank exactly → every reported neighbor's score
+    equals the brute-force score for that (query, vec) pair."""
+    from nativeextractor_ray.pipelines.similarity import ann_cosine_topk, ann_lsh_topk
+
+    brute = {(r["query_id"], r["vec_id"]): r["score"] for r in _rows(ann_cosine_topk(sf_dir))}
+    lsh = _rows(ann_lsh_topk(sf_dir))
+    assert lsh, "LSH ANN returned nothing"
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            assert r["score"] == brute[key]
+    # every query's own vector lands in its own bucket → rank-1 self hit
+    self_hits = {r["query_id"] for r in lsh if r["vec_id"] == r["query_id"] and r["rank"] == 1}
+    assert len(self_hits) == 10
+
+
+def test_multimodal_roundtrip(sf_dir, ray_session):
+    from nativeextractor_ray.pipelines.multimodal import (
+        MediaDecoder, fake_media_dataset, multimodal_features,
+    )
+
+    feats = {r["doc_id"]: r for r in _rows(multimodal_features(sf_dir))}
+    assert len(feats) == 500
+    r0 = feats[0]
+    assert r0["width"] == 32 and r0["height"] == 32
+    r7 = feats[7]
+    assert r7["width"] == 39 and r7["height"] == 32 + 49
+    # payload column is real binary
+    b = fake_media_dataset(sf_dir).take(1)[0]["payload"]
+    assert bytes(b[:4]) == b"IMG0"
+    # real codecs are an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(codec="pil")
+
+
+def test_frame_sample(sf_dir, ray_session):
+    from nativeextractor_ray.pipelines.multimodal import frame_sample_features
+
+    rows = _rows(frame_sample_features(sf_dir))
+    assert len(rows) == 500
+    assert all(r["n_frames"] >= 1 and 0 <= r["mean_byte"] <= 255 for r in rows)
