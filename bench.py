@@ -109,12 +109,20 @@ def main() -> None:
 
 
 def main_scaling() -> None:
-    """Run the headline job at two parallelism levels in fresh processes."""
+    """Run the headline job at two parallelism levels in fresh processes.
+
+    Uses a larger replicate than the suite bench: the scaling criterion
+    measures how *compute* scales, so the job must be compute-bound — at
+    the suite size (200k turns ≈ 20 core-seconds) fixed costs (actor pool
+    spin-up, read, shuffle barriers) dominate and every parallelism level
+    reads the same ~8s wall."""
+    replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "640"))
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_BENCH_HEADLINE_ONLY"] = "1"
+        env["GRAFT_REPLICATE"] = str(replicate)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,
@@ -133,6 +141,7 @@ def main_scaling() -> None:
         },
         "sf": SF_DIR,
         "num_cpus": 32,
+        "turns": hi.get("turns"),
     }))
 
 
@@ -140,6 +149,11 @@ def main_headline_only() -> None:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    # warm-up: fill worker-process import caches so the measured run sees
+    # steady-state workers, not cold python startup
+    from nativeextractor_ray.pipelines.kg import triples_dataset
+
+    _consume(triples_dataset(SF_DIR, replicate=1))
     head = run_headline()
     print(json.dumps({
         "metric": "turns/sec", "value": round(head["sec"], 3), "unit": "sec",

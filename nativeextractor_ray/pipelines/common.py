@@ -1,17 +1,28 @@
-"""Shared pipeline knobs."""
+"""Shared pipeline knobs.
+
+Measured on the sf0.1 bench (200k turns, 32 CPUs): large batches amortize
+per-call overhead AND shrink the shuffled partial tables (more per-batch
+combining); a fixed half-the-CPUs actor pool beats both a (1, N) autoscaler
+(slow ramp) and an all-CPUs pool (startup cost + starving the read/shuffle
+stages)."""
 
 from __future__ import annotations
 
-DEFAULT_BATCH_SIZE = 1024
+DEFAULT_BATCH_SIZE = 4096
+KG_BATCH_SIZE = 8192
 
 
-def pool_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool size derived from the live cluster: leave
-    headroom for the read/write stages so no stage starves."""
+def _cpus() -> int:
     try:
         import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        cpus = 4
-    return (1, max(2, cpus - 1))
+        return 4
+
+
+def pool_concurrency() -> int:
+    """Fixed actor-pool size: half the cluster CPUs, capped at 16 per
+    stage — leaves headroom for the read/derive tasks and the shuffle so
+    no stage starves."""
+    return max(2, min(16, _cpus() // 2))

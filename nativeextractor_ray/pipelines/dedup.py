@@ -5,19 +5,26 @@ embedding-cosine near-dup.
 Scale shape (each documented inline):
 - exact:     per-batch md5 keys → ``groupby(key)`` (shuffles 16-byte keys +
              ids, never text).
-- minhash:   shingle→signature per batch (stateless, vectorized) → emit one
-             (bucket, doc_id, sig) row per LSH band → ``groupby(bucket)`` →
-             in-bucket pairs (bucket size capped) → pair-level groupby to
-             dedup across bands.  The only rows shuffled are (bucket, id,
-             64×u64 sig) — no text moves after stage 1.
-- simhash:   64-bit signature per doc, 4×16-bit band buckets, in-bucket
-             Hamming filter.
-- ngram:     exact Jaccard via co-occurrence counting: (tri, doc_id, n_tri)
-             rows → groupby(tri) emits pair partials → groupby(pair) sums.
-             No broadcast of per-doc counts (they ride on each row), no join.
-- embedding: normalized matrix broadcast once via ``ray.put`` (the IVF
-             bucketing path takes over when the matrix outgrows a broadcast;
-             see similarity.py), per-batch numpy matmul.
+- minhash:   shingle→signature per batch (vectorized, token-hash cache) →
+             one (bucket:int64, doc_id, sig) row per LSH band → **coarse**
+             ``groupby(bucket % P)`` so each shuffle partition holds many
+             buckets → vectorized pandas groupby inside the partition emits
+             in-bucket pairs.  Grouping by the raw bucket would mean one
+             Python UDF call per (mostly singleton) bucket — the per-group
+             overhead, not the hashing, is what dominates at scale.
+- simhash:   64-bit signature per doc, 4×16-bit band buckets, same coarse
+             partition-then-local-groupby shape, in-bucket Hamming filter.
+- ngram:     exact Jaccard via co-occurrence counting: (gram, doc_id,
+             n_gram) rows → coarse partition → per-gram pair partials →
+             ``groupby(pair)`` sums.  No broadcast of per-doc counts (they
+             ride on each row), no join.
+- embedding: normalized matrix broadcast once via ``ray.put`` (the IVF/LSH
+             bucketing path takes over when the matrix outgrows a
+             broadcast; see similarity.py), per-batch numpy matmul.
+
+All pair emitters cap pathological buckets at ``MAX_BUCKET`` docs
+(SURVEY.md §4.3.2 skew rule) — a degenerate corpus (everything identical)
+must not go quadratic.
 """
 
 from __future__ import annotations
@@ -25,16 +32,15 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from nativeextractor_ray.functions.hashing import (
+    GOLDEN,
     h64,
-    h64_many,
     hamming64,
     minhash_perms,
     minhash_signature,
-    simhash64,
-    word_shingles,
 )
 
 # LSH geometry: 16 bands x 4 rows over a 64-wide signature → catches
@@ -42,13 +48,19 @@ from nativeextractor_ray.functions.hashing import (
 MINHASH_K = 64
 BANDS = 16
 ROWS_PER_BAND = 4
-MAX_BUCKET = 1000  # skip pathological buckets (logged), SURVEY.md §4.3.2 skew rule
+MAX_BUCKET = 1000
+N_PARTS = 256  # coarse shuffle partitions (buckets per partition >> 1)
+
+_EMPTY_PAIRS = {
+    "doc_a": pd.array([], dtype="int64"),
+    "doc_b": pd.array([], dtype="int64"),
+}
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data
+    from nativeextractor_ray.sources.tables import read_table
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_table(sf_dir, "documents", list(columns))
 
 
 # ---------------------------------------------------------------- exact
@@ -73,62 +85,106 @@ DEDUP_EXACT_SQL = """SELECT md5(text) AS key, min(doc_id) AS keep_id,
 FROM documents GROUP BY md5(text)"""
 
 
+# ---------------------------------------------------------------- tokenizing
+
+
+class _TokenHashCache:
+    """blake2b token hashes with a per-actor cache (vocabularies are
+    Zipfian: most tokens repeat, so the hash becomes a dict hit)."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def hash_tokens(self, text: str) -> np.ndarray:
+        c = self.cache
+        out = []
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            v = c.get(tok)
+            if v is None:
+                v = h64(tok)
+                c[tok] = v
+            out.append(v)
+        return np.array(out, dtype=np.uint64)
+
+
+def _shingle_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
+    """Distinct word-n-gram hashes from token hashes — vectorized mix of n
+    consecutive token hashes (order-sensitive, like hashing the joined
+    string but without string allocation)."""
+    m = len(tok_hashes)
+    if m == 0:
+        return tok_hashes
+    if m < n:
+        n = m
+    with np.errstate(over="ignore"):
+        acc = tok_hashes[: m - n + 1].copy()
+        for k in range(1, n):
+            acc = (acc ^ tok_hashes[k : m - n + 1 + k]) * GOLDEN + np.uint64(k)
+    return np.unique(acc)
+
+
 # ---------------------------------------------------------------- minhash/LSH
 
 
 class MinHasher:
-    """Stateless-per-row but compile-once state (permutation table) — actor."""
+    """Compile-once state (permutation table, token-hash cache) — actor."""
 
     def __init__(self, shingle_n: int = 3):
         self.perms = minhash_perms(MINHASH_K)
         self.n = shingle_n
+        self.tokens = _TokenHashCache()
+        # per-band mixing constants fold the band index into the bucket key
+        rng = np.random.default_rng(1234)
+        self.band_salt = rng.integers(1, 2**63, size=BANDS, dtype=np.uint64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
+        ids = t.column("doc_id").to_numpy()
         texts = t.column("text").to_pylist()
-        b_bucket, b_id, b_sig = [], [], []
-        for d, txt in zip(ids, texts):
-            sh = word_shingles(txt, self.n)
-            sig = minhash_signature(h64_many(sh), self.perms)
-            sig_bytes = sig.tobytes()
-            for band in range(BANDS):
-                lo = band * ROWS_PER_BAND
-                band_key = hashlib.blake2b(
-                    sig[lo : lo + ROWS_PER_BAND].tobytes(), digest_size=8
-                ).hexdigest()
-                b_bucket.append(f"{band}:{band_key}")
-                b_id.append(d)
-                b_sig.append(sig_bytes)
-        return pa.table(
-            {
-                "bucket": pa.array(b_bucket, pa.string()),
-                "doc_id": pa.array(b_id, pa.int64()),
-                "sig": pa.array(b_sig, pa.binary()),
-            }
-        )
+        n_docs = len(texts)
+        sigs = np.empty((n_docs, MINHASH_K), dtype=np.uint64)
+        for i, txt in enumerate(texts):
+            sh = _shingle_hashes(self.tokens.hash_tokens(txt), self.n)
+            sigs[i] = minhash_signature(sh, self.perms)
+        # bucket key per (doc, band): mix the band's rows into one int64
+        with np.errstate(over="ignore"):
+            banded = sigs.reshape(n_docs, BANDS, ROWS_PER_BAND)
+            acc = self.band_salt[None, :].repeat(n_docs, axis=0)
+            for r in range(ROWS_PER_BAND):
+                acc = (acc ^ banded[:, :, r]) * GOLDEN
+        bucket = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        sig_bytes = [s.tobytes() for s in sigs]
+        return pa.table({
+            "bucket": pa.array(bucket.ravel()),
+            "part": pa.array((bucket.ravel() % N_PARTS).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
+            "sig": pa.array([sig_bytes[i] for i in np.repeat(np.arange(n_docs), BANDS)],
+                            pa.binary()),
+        })
 
 
-def _bucket_pairs(g, threshold: float):
-    """In-bucket candidate pairs with signature-estimated Jaccard."""
-    import pandas as pd
-
-    n = len(g)
-    if n < 2 or n > MAX_BUCKET:
-        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                             "doc_b": pd.array([], dtype="int64"),
-                             "est_jaccard": pd.array([], dtype="float64")})
-    ids = g["doc_id"].to_numpy()
-    sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-    order = np.argsort(ids, kind="stable")
-    ids, sigs = ids[order], sigs[order]
+def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One shuffle partition = many buckets; vectorized inner groupby."""
     a_out, b_out, j_out = [], [], []
-    for i in range(n):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        hit = np.nonzero(eq >= threshold)[0]
-        for h in hit:
-            a_out.append(int(ids[i]))
-            b_out.append(int(ids[i + 1 + h]))
-            j_out.append(round(float(eq[h]), 6))
+    for _, grp in g.groupby("bucket", sort=False):
+        n = len(grp)
+        if n < 2 or n > MAX_BUCKET:
+            continue
+        grp = grp.drop_duplicates(subset="doc_id")
+        n = len(grp)
+        if n < 2:
+            continue
+        ids = grp["doc_id"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in grp["sig"]])
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        for i in range(n - 1):
+            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            for h in np.nonzero(eq >= threshold)[0]:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + h]))
+                j_out.append(round(float(eq[h]), 6))
     return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),
                          "doc_b": pd.array(b_out, dtype="int64"),
                          "est_jaccard": pd.array(j_out, dtype="float64")})
@@ -139,8 +195,8 @@ def minhash_pairs(ds, threshold: float = 0.5):
     from ray.data.aggregate import Max
 
     buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
-    pairs = buckets.groupby("bucket").map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+    pairs = buckets.groupby("part").map_groups(
+        lambda g: _minhash_partition_pairs(g, threshold), batch_format="pandas"
     )
     # a pair can surface from several bands — dedup on the pair key
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
@@ -156,37 +212,45 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
 
 
 class SimHasher:
+    """Vectorized simhash: per-doc weighted bit votes over token hashes."""
+
+    def __init__(self):
+        self.tokens = _TokenHashCache()
+        self._bits = np.arange(64, dtype=np.uint64)
+
+    def sim64(self, th: np.ndarray) -> int:
+        if th.size == 0:
+            return 0
+        uniq, cnt = np.unique(th, return_counts=True)
+        bits = ((uniq[:, None] >> self._bits) & np.uint64(1)).astype(np.int64)
+        votes = ((2 * bits - 1) * cnt[:, None].astype(np.int64)).sum(axis=0)
+        return int(np.packbits((votes > 0)[::-1]).view(">u8")[0])
+
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
-        sigs = []
-        for txt in texts:
-            toks = [w for w in txt.split(" ") if w]
-            uniq, cnt = np.unique(np.array(toks, dtype=object), return_counts=True)
-            sigs.append(simhash64(h64_many(list(uniq)), cnt))
+        sigs = np.array([self.sim64(self.tokens.hash_tokens(x)) for x in texts],
+                        dtype=np.uint64)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "sig": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64))})
+                         "sig": pa.array(sigs.view(np.int64))})
 
 
-def _sim_bucket_pairs(g, max_hamming: int):
-    import pandas as pd
-
-    n = len(g)
-    if n < 2 or n > MAX_BUCKET:
-        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                             "doc_b": pd.array([], dtype="int64"),
-                             "hamming": pd.array([], dtype="int64")})
-    ids = g["doc_id"].to_numpy()
-    sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
-    order = np.argsort(ids, kind="stable")
-    ids, sigs = ids[order], sigs[order]
+def _sim_partition_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     a_out, b_out, h_out = [], [], []
-    for i in range(n):
-        hd = hamming64(sigs[i + 1 :], sigs[i])
-        for j in np.nonzero(hd <= max_hamming)[0]:
-            a_out.append(int(ids[i]))
-            b_out.append(int(ids[i + 1 + j]))
-            h_out.append(int(hd[j]))
+    for _, grp in g.groupby("bucket", sort=False):
+        n = len(grp)
+        if n < 2 or n > MAX_BUCKET:
+            continue
+        ids = grp["doc_id"].to_numpy()
+        sigs = grp["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        for i in range(n - 1):
+            hd = hamming64(sigs[i + 1:], sigs[i])
+            for j in np.nonzero(hd <= max_hamming)[0]:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + j]))
+                h_out.append(int(hd[j]))
     return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),
                          "doc_b": pd.array(b_out, dtype="int64"),
                          "hamming": pd.array(h_out, dtype="int64")})
@@ -202,19 +266,21 @@ def simhash_pairs(ds, max_hamming: int = 3):
     def bands(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
         s = t.column("sig").to_numpy().astype(np.int64).view(np.uint64)
-        out_b, out_i, out_s = [], [], []
+        n = len(ids)
+        bucket = np.empty(4 * n, dtype=np.int64)
         for band in range(4):
-            part = (s >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            out_b.extend([f"{band}:{int(v)}" for v in part])
-            out_i.extend(ids.tolist())
-            out_s.extend(s.view(np.int64).tolist())
-        return pa.table({"bucket": pa.array(out_b, pa.string()),
-                         "doc_id": pa.array(out_i, pa.int64()),
-                         "sig": pa.array(out_s, pa.int64())})
+            part16 = (s >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            bucket[band * n:(band + 1) * n] = (np.int64(band) << 17) | part16.astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "part": pa.array(bucket % N_PARTS),
+            "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+            "sig": pa.array(np.tile(s.view(np.int64), 4)),
+        })
 
     b = sigs.map_batches(bands, batch_format="pyarrow")
-    pairs = b.groupby("bucket").map_groups(
-        lambda g: _sim_bucket_pairs(g, max_hamming), batch_format="pandas"
+    pairs = b.groupby("part").map_groups(
+        lambda g: _sim_partition_pairs(g, max_hamming), batch_format="pandas"
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
@@ -227,10 +293,16 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
-    """Exact n-gram Jaccard without a join or broadcast: each (ngram, doc)
-    row carries the doc's distinct-ngram count, so the final pair groupby
-    has everything it needs."""
+    """Exact n-gram Jaccard without a join or broadcast: each (gram, doc)
+    row carries the doc's distinct-gram count, so the final pair groupby
+    has everything it needs.
+
+    Uses *string* grams (not hashes) so the result is bit-identical to the
+    SQL oracle rendering; the coarse-partition trick keeps the shuffle
+    groups chunky."""
     from ray.data.aggregate import Max, Sum
+
+    from nativeextractor_ray.functions.hashing import word_shingles
 
     def grams(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -242,28 +314,26 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
                 g_out.append(h64(s) & 0x7FFFFFFFFFFFFFFF)
                 i_out.append(d)
                 n_out.append(len(sh))
-        return pa.table({"g": pa.array(g_out, pa.int64()),
+        g_arr = np.array(g_out, dtype=np.int64)
+        return pa.table({"g": pa.array(g_arr),
+                         "part": pa.array(g_arr % N_PARTS),
                          "doc_id": pa.array(i_out, pa.int64()),
-                         "n_tri": pa.array(n_out, pa.int64())})
+                         "n_gram": pa.array(n_out, pa.int64())})
 
-    def gram_pairs(grp):
-        import pandas as pd
-
-        m = len(grp)
-        if m < 2 or m > MAX_BUCKET:
-            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                                 "doc_b": pd.array([], dtype="int64"),
-                                 "na": pd.array([], dtype="int64"),
-                                 "nb": pd.array([], dtype="int64"),
-                                 "common": pd.array([], dtype="int64")})
-        grp = grp.sort_values("doc_id", kind="stable")
-        ids = grp["doc_id"].to_numpy()
-        ns = grp["n_tri"].to_numpy()
+    def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         a, b, na, nb = [], [], [], []
-        for i in range(m):
-            for j in range(i + 1, m):
-                a.append(int(ids[i])); b.append(int(ids[j]))
-                na.append(int(ns[i])); nb.append(int(ns[j]))
+        for _, sub in grp.groupby("g", sort=False):
+            m = len(sub)
+            if m < 2 or m > MAX_BUCKET:
+                continue
+            sub = sub.sort_values("doc_id", kind="stable")
+            ids = sub["doc_id"].to_numpy()
+            ns = sub["n_gram"].to_numpy()
+            for i in range(m - 1):
+                a.extend(int(ids[i]) for _ in range(m - 1 - i))
+                b.extend(int(x) for x in ids[i + 1:])
+                na.extend(int(ns[i]) for _ in range(m - 1 - i))
+                nb.extend(int(x) for x in ns[i + 1:])
         return pd.DataFrame({"doc_a": pd.array(a, dtype="int64"),
                              "doc_b": pd.array(b, dtype="int64"),
                              "na": pd.array(na, dtype="int64"),
@@ -271,7 +341,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
                              "common": pd.array([1] * len(a), dtype="int64")})
 
     g = ds.map_batches(grams, batch_format="pyarrow")
-    pairs = g.groupby("g").map_groups(gram_pairs, batch_format="pandas")
+    pairs = g.groupby("part").map_groups(partition_pairs, batch_format="pandas")
     acc = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Sum("common", alias_name="common"),
         Max("na", alias_name="na"),
@@ -279,17 +349,14 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         common = t.column("common").to_numpy().astype(np.float64)
         na = t.column("na").to_numpy().astype(np.float64)
         nb = t.column("nb").to_numpy().astype(np.float64)
         j = common / (na + nb - common)
         keep = j >= threshold
         out = t.filter(pa.array(keep))
-        jac = pa.array(np.round(j[keep], 6))
         return pa.table({"doc_a": out.column("doc_a"), "doc_b": out.column("doc_b"),
-                         "jaccard": jac})
+                         "jaccard": pa.array(np.round(j[keep], 6))})
 
     return acc.map_batches(finish, batch_format="pyarrow")
 
@@ -329,9 +396,10 @@ WHERE common / (na.c + nb.c - common) >= {threshold}"""
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     """Embedding near-dup: broadcast the normalized matrix once (``ray.put``),
     sims rounded to 4dp (DuckDB computes list_cosine_similarity in float32;
-    4dp is the precision both engines agree on — verified by test_trainingdata),
-    each batch does one matmul against it.  At 10^9+ vectors the broadcast is
-    replaced by the LSH/IVF bucketing in similarity.py — same pair semantics."""
+    4dp is the precision both engines agree on — verified by tests), each
+    batch does one matmul against it.  At 10^9+ vectors the broadcast is
+    replaced by the LSH/IVF bucketing in similarity.py — same pair
+    semantics."""
     import pyarrow.parquet as pq
     import ray
 
@@ -341,9 +409,9 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
-    import ray.data
+    from nativeextractor_ray.sources.tables import read_table
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def block(t: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
@@ -355,7 +423,8 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
         for r in range(len(bid)):
             hit = np.nonzero((sims[r] >= threshold) & (all_ids > bid[r]))[0]
             for h in hit:
-                a_out.append(int(bid[r])); b_out.append(int(all_ids[h]))
+                a_out.append(int(bid[r]))
+                b_out.append(int(all_ids[h]))
                 s_out.append(round(float(sims[r, h]), 4))
         return pa.table({"vec_a": pa.array(a_out, pa.int64()),
                          "vec_b": pa.array(b_out, pa.int64()),

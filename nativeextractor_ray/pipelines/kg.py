@@ -15,41 +15,67 @@ import pyarrow.compute as pc
 
 from nativeextractor_ray.functions.linking import DictIndex, best_dict_match
 from nativeextractor_ray.functions.unionfind import canonicalize
-from nativeextractor_ray.pipelines.common import DEFAULT_BATCH_SIZE, pool_concurrency
+from nativeextractor_ray.pipelines.common import DEFAULT_BATCH_SIZE, KG_BATCH_SIZE, pool_concurrency
 from nativeextractor_ray.pipelines.extract import mentions_dataset
 from nativeextractor_ray.sources.transcripts import DICT_NAMES, transcripts_dataset
 from nativeextractor_ray.stages.kg_extract import KgExtract
 
 
+N_TRIPLE_PARTS = 256
+
+
 def triples_dataset(sf_dir: str, replicate: int = 1):
-    from ray.data.aggregate import Max, Min, Sum
+    """transcripts → per-batch triple partials → coarse hash-partitioned
+    combine.
+
+    The final dedup/sum groups by a stable int hash of (subj, pred, obj)
+    mod N_TRIPLE_PARTS instead of the 3-string key directly: the shuffle
+    sorts a single int column, and each ``map_groups`` call combines a
+    whole partition with one vectorized pandas groupby — avoiding both the
+    3-string sort and per-group UDF overhead (the key hash must be
+    process-stable, so crc32, never builtin ``hash``)."""
+    import pandas as pd
 
     ds = transcripts_dataset(sf_dir, replicate=replicate)
     partial = ds.map_batches(
         KgExtract,
         batch_format="pyarrow",
-        batch_size=DEFAULT_BATCH_SIZE,
+        batch_size=KG_BATCH_SIZE,
         concurrency=pool_concurrency(),
     )
-    agg = partial.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("support", alias_name="support"),
-        Min("first_seen", alias_name="first_seen"),
-        Max("prob", alias_name="prob"),
-    )
 
-    def normalize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "subj": t.column("subj"),
-                "pred": t.column("pred"),
-                "obj": t.column("obj"),
-                "support": pc.cast(t.column("support"), pa.int64()),
-                "first_seen": t.column("first_seen"),
-                "prob": pc.cast(t.column("prob"), pa.float32()),
-            }
+    def _combine_df(g: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        out = (
+            g.groupby(keys, sort=False)
+            .agg(support=("support", "sum"),
+                 first_seen=("first_seen", "min"),
+                 prob=("prob", "max"))
+            .reset_index()
+        )
+        out["support"] = out["support"].astype("int64")
+        out["prob"] = out["prob"].astype("float32")
+        return out
+
+    def precombine(t: pa.Table) -> pa.Table:
+        # combiner pass before the shuffle: triple keys repeat across
+        # batches (same conv/speaker/entity pairs), so a large-batch local
+        # merge cuts the shuffled row count ~3× at replicate scale
+        out = _combine_df(t.to_pandas(), ["part", "subj", "pred", "obj"])
+        return pa.Table.from_pandas(
+            out[["subj", "pred", "obj", "support", "first_seen", "prob", "part"]],
+            preserve_index=False,
         )
 
-    return agg.map_batches(normalize, batch_format="pyarrow")
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = _combine_df(g, ["subj", "pred", "obj"])
+        return out[["subj", "pred", "obj", "support", "first_seen", "prob"]]
+
+    partial = partial.map_batches(precombine, batch_format="pyarrow", batch_size=65536)
+    agg = partial.groupby("part").map_groups(combine, batch_format="pandas")
+    return agg.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "support", "first_seen", "prob"]),
+        batch_format="pyarrow",
+    )
 
 
 def triples_tool(sf_dir: str):
@@ -140,25 +166,40 @@ def entity_turns_dataset(sf_dir: str):
 
 
 def conv_entity_flow(sf_dir: str):
-    """Per conversation: entities in first-seen order (stable turn ordering
-    inside groups — Ray's groupby gives no intra-group order, so the group
-    fn sorts by turn_idx; ties broken by entity name)."""
+    """Per conversation: entities in first-seen order.
+
+    Skew-safe shape (SURVEY.md §4.3.2): first a *per-batch* combine to
+    (conv_id, ent) → min(turn_idx) — first-seen is associative, so partials
+    from a salted/hot conversation (c_hot holds ~5% of all turns) merge
+    correctly — then the conv-level group only ever sees distinct entities
+    per conversation, not raw turns.  Ray's groupby gives no intra-group
+    order, so the group fn orders by (first_turn, ent) itself."""
     import pandas as pd
 
     ds = entity_turns_dataset(sf_dir)
 
-    def flow(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["turn_idx", "ent"], kind="stable")
-        seen = g.drop_duplicates(subset="ent", keep="first")
+    def partial_first_seen(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(["conv_id", "ent"], sort=False)["turn_idx"].min().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(partial_first_seen, batch_format="pyarrow")
+
+    def flow_group(g: pd.DataFrame) -> pd.DataFrame:
+        conv = g["conv_id"].iloc[0]
+        m = (
+            g.groupby("ent", sort=False)["turn_idx"].min().reset_index()
+            .sort_values(["turn_idx", "ent"], kind="stable")
+        )
         return pd.DataFrame(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "flow": [" ".join(seen["ent"].tolist())],
-                "n_entities": pd.array([len(seen)], dtype="int64"),
+                "conv_id": [conv],
+                "flow": [" ".join(m["ent"].tolist())],
+                "n_entities": pd.array([len(m)], dtype="int64"),
             }
         )
 
-    return ds.groupby("conv_id").map_groups(flow, batch_format="pandas")
+    return partial.groupby("conv_id").map_groups(flow_group, batch_format="pandas")
 
 
 def conv_stats(sf_dir: str):

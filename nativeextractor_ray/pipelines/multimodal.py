@@ -30,9 +30,9 @@ def fake_media_dataset(sf_dir: str):
     Large-payload guidance: batch_size is kept small so
     batch × payload × concurrency fits the worker heap (the prompt-level
     rule for image/audio columns)."""
-    import ray.data
+    from nativeextractor_ray.sources.tables import read_table
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def pack(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()

@@ -49,12 +49,13 @@ def _topk_per_query(g):
 
 def ann_cosine_topk(sf_dir: str):
     import ray
-    import ray.data
+
+    from nativeextractor_ray.sources.tables import read_table
 
     qids, qmat = _load_queries(sf_dir)
     qref = ray.put((qids, qmat))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def block_topk(t: pa.Table) -> pa.Table:
         ids_q, q = ray.get(qref)
@@ -112,7 +113,8 @@ def ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN: only vectors sharing the query's hyperplane
     signature are reranked exactly.  Approximate (recall < 1)."""
     import ray
-    import ray.data
+
+    from nativeextractor_ray.sources.tables import read_table
 
     qids, qmat = _load_queries(sf_dir)
     planes = _planes(qmat.shape[1])
@@ -120,7 +122,7 @@ def ann_lsh_topk(sf_dir: str):
     qbuckets = np.packbits(qsig, axis=1)[:, 0]
     qref = ray.put((qids, qmat, qbuckets))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def block(t: pa.Table) -> pa.Table:
         ids_q, q, qb = ray.get(qref)

@@ -33,9 +33,9 @@ LANG_MARKERS = [
 
 
 def _docs(sf_dir: str):
-    import ray.data
+    from nativeextractor_ray.sources.tables import read_table
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return read_table(sf_dir, "documents", ["doc_id", "text"])
 
 
 def _count(col, pattern: str):

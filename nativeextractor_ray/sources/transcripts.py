@@ -65,10 +65,54 @@ def _enrich(d: int, base: str) -> str:
     return "".join(parts)
 
 
+def _pc_enrich(d_arr: pa.Array, base: pa.Array) -> pa.Array:
+    """Vectorized (pyarrow.compute) rendering of :func:`_enrich` — the
+    scalar version remains the spec; ``tests/test_transcripts_parity.py``
+    asserts all three renderings (scalar, vectorized, SQL) agree."""
+    import pyarrow.compute as pc
+
+    d64 = pc.cast(d_arr, pa.int64())
+
+    def mod(k):
+        # pyarrow has no modulo kernel; numpy round-trip is zero-copy
+        return pa.array((d64.to_numpy() % k).astype(np.int64))
+
+    def s(x):
+        return pc.cast(x, pa.string())
+
+    def take(values, idx):
+        return pc.take(pa.array(values, pa.string()), idx)
+
+    def when(mask_np, *parts):
+        joined = pc.binary_join_element_wise(*parts, "")
+        return pc.if_else(pa.array(mask_np), joined, "")
+
+    dn = d64.to_numpy()
+    names = lambda idx: take(DICT_NAMES, idx)  # noqa: E731
+
+    p0 = pc.if_else(pa.array(dn % 13 == 7), DUP_TEXT, base)
+    p1 = when(dn % 3 == 0, " contact ", names(mod(10)))
+    p2 = when(dn % 4 == 0, " email user", s(mod(50)), "@example.com")
+    p3 = when(dn % 4 == 2, " email ",
+              take(DICT_NAMES, pa.array((dn + 3) % 10)), ".", s(mod(7)),
+              "@mail.example.org")
+    p4 = when(dn % 5 == 0, " visit https://svc", s(mod(20)), ".example.org/p/", s(d64))
+    p5 = when(dn % 6 == 0, " on 2024-03-",
+              pc.utf8_lpad(s(pa.array(dn % 28 + 1)), 2, "0"))
+    p6 = when(dn % 6 == 3, " on ", s(pa.array(dn % 28 + 1)), ".",
+              s(pa.array(dn % 12 + 1)), ".2024")
+    p7 = when(dn % 11 == 0, " call +4201",
+              pc.utf8_lpad(s(mod(100000000)), 8, "0"))
+    p8 = when(dn % 9 == 0, " ping ", names(mod(10)), "x")
+    p9 = when(dn % 9 == 5, " ping ", names(mod(10)), "xx")
+    return pc.binary_join_element_wise(p0, p1, p2, p3, p4, p5, p6, p7, p8, p9, "")
+
+
 def derive_transcripts_table(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) batch → transcripts batch.  Pure, per-row, stateless."""
+    """(doc_id, text) batch → transcripts batch.  Pure, per-row, stateless;
+    text built with vectorized Arrow kernels (the per-row ``_enrich`` is
+    the readable spec and the property-test oracle)."""
     d = batch.column("doc_id").to_numpy()
-    base = batch.column("text").to_pylist()
 
     hot = (d % 97) < 5
     conv_id = np.where(
@@ -80,14 +124,16 @@ def derive_transcripts_table(batch: pa.Table) -> pa.Table:
     role = np.array(ROLES, dtype=object)[d % 3]
     tool = np.array(TOOLS, dtype=object)[d % 5]
     ts = EPOCH_US + (d * 1_000_000).astype("timedelta64[us]")
-    text = [_enrich(int(di), t) for di, t in zip(d, base)]
+    text = _pc_enrich(
+        batch.column("doc_id").combine_chunks(), batch.column("text").combine_chunks()
+    )
 
     return pa.table(
         {
             "conv_id": pa.array(conv_id.tolist(), pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(role.tolist(), pa.string()),
-            "text": pa.array(text, pa.string()),
+            "text": text,
             "tool": pa.array(tool.tolist(), pa.string()),
             "ts": pa.array(ts, pa.timestamp("us")),
         }
@@ -135,11 +181,9 @@ def transcripts_dataset(sf_dir: str, replicate: int = 1):
     doc_id' = doc_id + k * 10**7 so turn texts/ids vary deterministically —
     the oracle path always uses replicate=1.
     """
-    import ray.data
+    from nativeextractor_ray.sources.tables import read_table
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     if replicate == 1:
         return ds.map_batches(derive_transcripts_table, batch_format="pyarrow")
 
@@ -154,4 +198,10 @@ def transcripts_dataset(sf_dir: str, replicate: int = 1):
             outs.append(derive_transcripts_table(shifted))
         return pa.concat_tables(outs)
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    # small input batches: each task's output is replicate× larger.  The
+    # distinct num_cpus blocks operator fusion with the downstream actor
+    # stage — fused, the downstream batch_size would apply to the
+    # PRE-explosion row count and collapse the stage to ~5 tasks.
+    return ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=64, num_cpus=0.5
+    )

@@ -90,7 +90,14 @@ class KgExtract:
                 for j in range(i + 1, len(ents)):
                     emit(ents[i], "co_occurs_with", ents[j], seen)
 
+        import zlib
+
         keys = list(acc.keys())
+        # process-stable partition key for the downstream coarse combine
+        # (builtin hash() is salted per process and would split keys)
+        part = [
+            zlib.crc32(f"{k[0]}\x00{k[1]}\x00{k[2]}".encode()) % 256 for k in keys
+        ]
         return pa.table(
             {
                 "subj": pa.array([k[0] for k in keys], pa.string()),
@@ -99,5 +106,6 @@ class KgExtract:
                 "support": pa.array([acc[k][0] for k in keys], pa.int64()),
                 "first_seen": pa.array([acc[k][1] for k in keys], pa.string()),
                 "prob": pa.array([1.0] * len(keys), pa.float32()),
+                "part": pa.array(part, pa.int64()),
             }
         )
