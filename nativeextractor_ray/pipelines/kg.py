@@ -22,60 +22,81 @@ from nativeextractor_ray.stages.kg_extract import KgExtract
 
 
 N_TRIPLE_PARTS = 256
+TRIPLE_COLS = ["subj", "pred", "obj", "support", "first_seen", "prob"]
 
 
-def triples_dataset(sf_dir: str, replicate: int = 1):
-    """transcripts → per-batch triple partials → coarse hash-partitioned
-    combine.
+def _combine_df(g, keys: list[str]):
+    out = (
+        g.groupby(keys, sort=False)
+        .agg(support=("support", "sum"),
+             first_seen=("first_seen", "min"),
+             prob=("prob", "max"))
+        .reset_index()
+    )
+    out["support"] = out["support"].astype("int64")
+    out["prob"] = out["prob"].astype("float32")
+    return out
+
+
+def _precombine(t: pa.Table) -> pa.Table:
+    # combiner pass before the shuffle: triple keys repeat across batches
+    # (same conv/speaker/entity pairs), so a large-batch local merge cuts
+    # the shuffled row count ~3× at replicate scale
+    out = _combine_df(t.to_pandas(), ["part", "subj", "pred", "obj"])
+    return pa.Table.from_pandas(out[TRIPLE_COLS + ["part"]], preserve_index=False)
+
+
+def _final_combine(g) -> "object":
+    return _combine_df(g, ["subj", "pred", "obj"])[TRIPLE_COLS]
+
+
+def _triple_part_column(t: pa.Table) -> pa.Table:
+    """Process-stable partition key (crc32, never builtin ``hash``)."""
+    import zlib
+
+    part = [
+        zlib.crc32(f"{s}\x00{p}\x00{o}".encode()) % N_TRIPLE_PARTS
+        for s, p, o in zip(
+            t.column("subj").to_pylist(),
+            t.column("pred").to_pylist(),
+            t.column("obj").to_pylist(),
+        )
+    ]
+    return t.append_column("part", pa.array(part, pa.int64()))
+
+
+def combine_triple_partials(ds):
+    """Merge triple-partial rows (e.g. per-checkpoint-partition outputs)
+    with the same coarse-partitioned associative combine the live pipeline
+    uses: sum support, min first_seen, max prob per (subj, pred, obj)."""
+    ds = ds.map_batches(_triple_part_column, batch_format="pyarrow")
+    agg = ds.groupby("part").map_groups(_final_combine, batch_format="pandas")
+    return agg.map_batches(lambda t: t.select(TRIPLE_COLS), batch_format="pyarrow")
+
+
+def triples_from_transcripts(ds):
+    """transcripts Dataset → triples: per-batch partials from the fused
+    KgExtract actor pool → pre-shuffle combiner → coarse hash-partitioned
+    dedup.
 
     The final dedup/sum groups by a stable int hash of (subj, pred, obj)
     mod N_TRIPLE_PARTS instead of the 3-string key directly: the shuffle
     sorts a single int column, and each ``map_groups`` call combines a
     whole partition with one vectorized pandas groupby — avoiding both the
-    3-string sort and per-group UDF overhead (the key hash must be
-    process-stable, so crc32, never builtin ``hash``)."""
-    import pandas as pd
-
-    ds = transcripts_dataset(sf_dir, replicate=replicate)
+    3-string sort and per-group UDF overhead."""
     partial = ds.map_batches(
         KgExtract,
         batch_format="pyarrow",
         batch_size=KG_BATCH_SIZE,
         concurrency=pool_concurrency(),
     )
+    partial = partial.map_batches(_precombine, batch_format="pyarrow", batch_size=65536)
+    agg = partial.groupby("part").map_groups(_final_combine, batch_format="pandas")
+    return agg.map_batches(lambda t: t.select(TRIPLE_COLS), batch_format="pyarrow")
 
-    def _combine_df(g: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        out = (
-            g.groupby(keys, sort=False)
-            .agg(support=("support", "sum"),
-                 first_seen=("first_seen", "min"),
-                 prob=("prob", "max"))
-            .reset_index()
-        )
-        out["support"] = out["support"].astype("int64")
-        out["prob"] = out["prob"].astype("float32")
-        return out
 
-    def precombine(t: pa.Table) -> pa.Table:
-        # combiner pass before the shuffle: triple keys repeat across
-        # batches (same conv/speaker/entity pairs), so a large-batch local
-        # merge cuts the shuffled row count ~3× at replicate scale
-        out = _combine_df(t.to_pandas(), ["part", "subj", "pred", "obj"])
-        return pa.Table.from_pandas(
-            out[["subj", "pred", "obj", "support", "first_seen", "prob", "part"]],
-            preserve_index=False,
-        )
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = _combine_df(g, ["subj", "pred", "obj"])
-        return out[["subj", "pred", "obj", "support", "first_seen", "prob"]]
-
-    partial = partial.map_batches(precombine, batch_format="pyarrow", batch_size=65536)
-    agg = partial.groupby("part").map_groups(combine, batch_format="pandas")
-    return agg.map_batches(
-        lambda t: t.select(["subj", "pred", "obj", "support", "first_seen", "prob"]),
-        batch_format="pyarrow",
-    )
+def triples_dataset(sf_dir: str, replicate: int = 1):
+    return triples_from_transcripts(transcripts_dataset(sf_dir, replicate=replicate))
 
 
 def triples_tool(sf_dir: str):

@@ -174,16 +174,34 @@ def _render_transcripts_sql() -> str:
 TRANSCRIPTS_SQL = _render_transcripts_sql()
 
 
-def transcripts_dataset(sf_dir: str, replicate: int = 1):
+def transcripts_dataset(
+    sf_dir: str,
+    replicate: int = 1,
+    doc_partition: tuple[int, int] | None = None,
+):
     """Streaming transcripts Dataset derived from <sf_dir>/documents.parquet.
 
     ``replicate`` (bench only) emits each document ``replicate`` times with
     doc_id' = doc_id + k * 10**7 so turn texts/ids vary deterministically —
     the oracle path always uses replicate=1.
+
+    ``doc_partition=(pid, n)`` restricts to the deterministic input slice
+    ``doc_id % n == pid`` (checkpoint/resume partitioning — a pure function
+    of the input, never of execution order).  At real scale this filter is
+    file/row-group pruning; on the single-file test tables it's a cheap
+    vectorized post-read filter.
     """
     from nativeextractor_ray.sources.tables import read_table
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    if doc_partition is not None:
+        pid, n_parts = doc_partition
+
+        def part_filter(t: pa.Table) -> pa.Table:
+            mask = (t.column("doc_id").to_numpy() % n_parts) == pid
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(part_filter, batch_format="pyarrow")
     if replicate == 1:
         return ds.map_batches(derive_transcripts_table, batch_format="pyarrow")
 

@@ -1,0 +1,160 @@
+"""Per-partition checkpoint / lineage / resume for the KG pipeline.
+
+north_rule: "Every stage checkpoints per-partition with lineage and
+counters so a killed `ray job submit` run resumes without recomputing
+completed partitions."
+
+Design (SURVEY.md §4.3.4):
+- Partition id is a *deterministic function of the input* (``doc_id %
+  n_partitions``), never of execution order — a resumed run assigns every
+  row to the same partition, so skipping a completed partition is safe.
+- Each partition runs the full triples pipeline on its input slice and
+  writes ``parts/<pid>/`` parquet plus ``_manifest/part-<pid>.json`` with
+  lineage (input fingerprint: sf_dir, row count, doc_id min/max), counters
+  (turns in, triples out), a stage-version stamp, and wall time.  The
+  manifest is written AFTER the data (write-then-commit ordering), so a
+  kill mid-partition leaves no manifest and the partition reruns.
+- On resume, a partition is skipped iff its manifest exists, its stage
+  version matches, and its input fingerprint matches the current input.
+- Partition outputs are *partials* (triple support counted within the
+  partition); :func:`finalize` merges them with one small groupby — the
+  same associative combine the live pipeline uses, so
+  finalize(run_partitioned(...)) ≡ triples_dataset(...) (asserted by
+  tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STAGE_VERSION = "kgx-triples-v1"
+
+
+def _input_fingerprint(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    meta = f.metadata
+    return {
+        "sf_dir": str(sf_dir),
+        "rows": meta.num_rows,
+        "size_bytes": Path(f"{sf_dir}/documents.parquet").stat().st_size,
+    }
+
+
+def partition_triples(sf_dir: str, pid: int, n_partitions: int, replicate: int = 1):
+    """The triples pipeline restricted to one deterministic input slice."""
+    from nativeextractor_ray.pipelines.kg import triples_from_transcripts
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(
+        sf_dir, replicate=replicate, doc_partition=(pid, n_partitions)
+    )
+    return triples_from_transcripts(ds)
+
+
+def run_partitioned(
+    sf_dir: str,
+    out_dir: str,
+    n_partitions: int = 8,
+    *,
+    resume: bool = True,
+    replicate: int = 1,
+    fail_after: int | None = None,
+) -> dict:
+    """Run the triples pipeline partition by partition with checkpointing.
+
+    ``fail_after`` (tests only) raises after N partitions to simulate a
+    killed run.  Returns a summary with per-partition status + counters.
+    """
+    out = Path(out_dir)
+    man_dir = out / "_manifest"
+    man_dir.mkdir(parents=True, exist_ok=True)
+    fp = _input_fingerprint(sf_dir)
+
+    done, ran, skipped = [], [], []
+    t_start = time.time()
+    for pid in range(n_partitions):
+        man_path = man_dir / f"part-{pid}.json"
+        if resume and man_path.exists():
+            try:
+                m = json.loads(man_path.read_text())
+            except json.JSONDecodeError:
+                m = None
+            if (
+                m
+                and m.get("stage_version") == STAGE_VERSION
+                and m.get("input") == fp
+                and m.get("n_partitions") == n_partitions
+                and m.get("replicate") == replicate
+            ):
+                skipped.append(pid)
+                done.append(m)
+                continue
+        if fail_after is not None and len(ran) >= fail_after:
+            raise RuntimeError(f"simulated kill after {fail_after} partitions")
+
+        t0 = time.time()
+        ds = partition_triples(sf_dir, pid, n_partitions, replicate)
+        part_dir = out / "parts" / str(pid)  # no "=" in the path: the
+        # parquet reader would hive-infer a "part" column and collide with
+        # the triple hash-partition column
+        # count while writing is not possible in one pass without a
+        # materialize; the partition slice is small relative to the job, so
+        # materialize it, count, then write (stays distributed in the
+        # object store — no driver collection)
+        mat = ds.materialize()
+        n_triples = mat.count()
+        support = sum(
+            r["s"] for r in mat.map_batches(
+                lambda t: pa.table({"s": pa.array([pc.sum(t.column("support")).as_py() or 0])}),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        mat.write_parquet(str(part_dir))
+        manifest = {
+            "pid": pid,
+            "n_partitions": n_partitions,
+            "replicate": replicate,
+            "stage_version": STAGE_VERSION,
+            "input": fp,
+            "counters": {"triples": n_triples, "support_total": int(support)},
+            "wall_sec": round(time.time() - t0, 3),
+            "ts": time.time(),
+        }
+        man_path.write_text(json.dumps(manifest))  # commit point
+        ran.append(pid)
+        done.append(manifest)
+
+    return {
+        "out_dir": str(out),
+        "n_partitions": n_partitions,
+        "ran": ran,
+        "skipped": skipped,
+        "counters": {
+            "triples_partial": sum(m["counters"]["triples"] for m in done),
+            "support_total": sum(m["counters"]["support_total"] for m in done),
+        },
+        "wall_sec": round(time.time() - t_start, 3),
+    }
+
+
+def finalize(out_dir: str):
+    """Merge per-partition triple partials into the final triples Dataset
+    (same associative combine as the live pipeline)."""
+    import ray.data
+
+    from nativeextractor_ray.pipelines.kg import combine_triple_partials
+
+    files = [
+        str(f)
+        for p in sorted(Path(out_dir).glob("parts/*"))
+        for f in sorted(p.glob("*.parquet"))
+    ]
+    ds = ray.data.read_parquet(files)
+    return combine_triple_partials(ds)

@@ -1,0 +1,93 @@
+"""Checkpoint / lineage / resume (north_rule: a killed run resumes without
+recomputing completed partitions)."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _to_df(ds) -> pd.DataFrame:
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows] or parts[:1]
+    df = pa.concat_tables(parts, promote_options="default").to_pandas()
+    return df.sort_values(["subj", "pred", "obj"], kind="stable").reset_index(drop=True)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "kg_out")
+
+
+def test_partitioned_equals_direct(sf_dir, out_dir, ray_session):
+    from nativeextractor_ray.pipelines.kg import triples_dataset
+    from nativeextractor_ray.state.checkpoint import finalize, run_partitioned
+
+    summary = run_partitioned(sf_dir, out_dir, n_partitions=4)
+    assert summary["ran"] == [0, 1, 2, 3] and summary["skipped"] == []
+    assert len(list(Path(out_dir).glob("_manifest/part-*.json"))) == 4
+
+    got = _to_df(finalize(out_dir))
+    want = _to_df(triples_dataset(sf_dir))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_killed_run_resumes_without_recompute(sf_dir, out_dir, ray_session):
+    from nativeextractor_ray.state.checkpoint import run_partitioned
+
+    # simulate a kill after 2 partitions
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_partitioned(sf_dir, out_dir, n_partitions=4, fail_after=2)
+    manifests = sorted(Path(out_dir).glob("_manifest/part-*.json"))
+    assert len(manifests) == 2
+    stamps = {m.name: m.stat().st_mtime_ns for m in manifests}
+
+    # resumed run: completed partitions are skipped (manifests untouched)
+    summary = run_partitioned(sf_dir, out_dir, n_partitions=4)
+    assert summary["skipped"] == [0, 1]
+    assert summary["ran"] == [2, 3]
+    for m in manifests:
+        assert m.stat().st_mtime_ns == stamps[m.name], "completed partition recomputed"
+
+
+def test_lineage_invalidation(sf_dir, out_dir, ray_session):
+    """A manifest whose lineage doesn't match the current input reruns."""
+    from nativeextractor_ray.state.checkpoint import run_partitioned
+
+    run_partitioned(sf_dir, out_dir, n_partitions=2)
+    man = Path(out_dir) / "_manifest" / "part-0.json"
+    m = json.loads(man.read_text())
+    m["input"]["rows"] += 1  # pretend the input changed
+    man.write_text(json.dumps(m))
+
+    summary = run_partitioned(sf_dir, out_dir, n_partitions=2)
+    assert summary["ran"] == [0]
+    assert summary["skipped"] == [1]
+
+
+def test_manifest_counters(sf_dir, out_dir, ray_session):
+    from nativeextractor_ray.state.checkpoint import run_partitioned
+
+    summary = run_partitioned(sf_dir, out_dir, n_partitions=2)
+    for pid in (0, 1):
+        m = json.loads((Path(out_dir) / "_manifest" / f"part-{pid}.json").read_text())
+        assert m["counters"]["triples"] > 0
+        assert m["counters"]["support_total"] >= m["counters"]["triples"]
+        assert m["wall_sec"] > 0 and m["stage_version"]
+    assert summary["counters"]["triples_partial"] > 0
+
+
+def test_run_kg_cli(sf_dir, tmp_path, ray_session):
+    """The ray-job entrypoint end-to-end (in-process, session reused)."""
+    from nativeextractor_ray.run_kg import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["--sf-dir", sf_dir, "--out", out, "--partitions", "2"])
+    assert rc == 0
+    assert (Path(out) / "triples").exists()
+    assert len(list(Path(out).glob("parts/*"))) == 2
