@@ -27,6 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from nativeextractor_ray.pipelines import (
         dedup,
+        events,
         extract,
         kg,
         multimodal,
@@ -43,6 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_map": kg.canonical_map,
         "conv_entity_flow": kg.conv_entity_flow,
         "conv_stats": kg.conv_stats,
+        "conv_digest_salted": kg.conv_digest_salted,
+        "events_windowed": events.events_windowed,
+        "events_sessionized": events.events_sessionized,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash_pairs,      # rows-only (LSH)
@@ -67,7 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from nativeextractor_ray.pipelines import dedup, multimodal, similarity, textstats
+    from nativeextractor_ray.pipelines import dedup, events, multimodal, similarity, textstats
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
@@ -78,6 +82,9 @@ def oracle_sql() -> dict[str, str]:
         "canonical_map": o.CANONICAL_MAP_SQL,
         "conv_entity_flow": o.CONV_ENTITY_FLOW_SQL,
         "conv_stats": o.CONV_STATS_SQL,
+        "conv_digest_salted": o.CONV_DIGEST_SALTED_SQL,
+        "events_windowed": events.EVENTS_WINDOWED_SQL,
+        "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding": dedup.embedding_dup_sql(),

@@ -1,0 +1,116 @@
+"""Event-stream operators over the ``events`` table — the windowed /
+sessionized aggregates a streaming pipeline needs (the reference engine has
+no windowing, SURVEY.md §2.8; these are target-side custom operators built
+from map_batches + groupby compositions).
+
+Float discipline for the oracle: ``value`` sums are computed in integer
+cents (``round(value*100)``) so Ray and DuckDB agree bit-for-bit regardless
+of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _events(sf_dir: str, columns):
+    from nativeextractor_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "events", columns)
+
+
+def events_windowed(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + integer-cent sum.
+
+    Shape: per-batch partial aggregate (combiner) → small
+    ``groupby(window, event_type)`` rollup — the shuffle moves one row per
+    (window, type) per batch, not one per event."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t.column("ts"), unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        tmp = pa.table({
+            "window": win,
+            "event_type": t.column("event_type"),
+            "cents": cents,
+        })
+        g = tmp.group_by(["window", "event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table({
+            "window": g.column("window"),
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("cents_count"), pa.int64()),
+            "value_cents": pc.cast(g.column("cents_sum"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["window", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
+    )
+
+
+EVENTS_WINDOWED_SQL = """SELECT date_trunc('hour', ts) AS window, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2"""
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def events_sessionized(sf_dir: str):
+    """Per-user sessionization (session = burst of events with < 30 min
+    gaps): n_sessions, n_events, longest session length.
+
+    ``groupby(user_id)`` + in-group sort on ts — the canonical stateful
+    per-key stream operator; user_id cardinality bounds group size."""
+    import pandas as pd
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts)
+        breaks = int((gaps >= SESSION_GAP_US).sum())
+        n_sessions = breaks + 1
+        # longest session by event count
+        idx = np.nonzero(gaps >= SESSION_GAP_US)[0]
+        bounds = np.concatenate([[0], idx + 1, [len(ts)]])
+        longest = int(np.diff(bounds).max())
+        return pd.DataFrame({
+            "user_id": pd.array([int(g["user_id"].iloc[0])], dtype="int64"),
+            "n_sessions": pd.array([n_sessions], dtype="int64"),
+            "n_events": pd.array([len(ts)], dtype="int64"),
+            "longest_session_events": pd.array([longest], dtype="int64"),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZED_SQL = f"""WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {30} MINUTES
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS longest_session_events
+FROM per GROUP BY user_id"""

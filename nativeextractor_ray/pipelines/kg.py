@@ -223,6 +223,66 @@ def conv_entity_flow(sf_dir: str):
     return partial.groupby("conv_id").map_groups(flow_group, batch_format="pandas")
 
 
+SALT_TURNS = 1000  # turns per salt bucket for hot-conversation splitting
+
+
+def conv_digest_salted(sf_dir: str, replicate: int = 1):
+    """Order-sensitive per-conversation digest with EXPLICIT skew salting
+    (north_rule: "skew-salting of hot conv_id groups").
+
+    The parity invariant ("per-turn text equality under stable turn
+    ordering") is enforced end-to-end: a conversation's digest is the md5
+    of its turn texts in turn_idx order.  A hot conversation (c_hot holds
+    ~5% of all turns) must not serialize one reducer, so the group key is
+    salted: level 1 groups by (conv_id, turn_idx // SALT_TURNS) and
+    digests each chunk after an in-group stable sort; level 2 merges the
+    (few) chunk digests per conversation in salt order.  Reducer input
+    drops from O(turns) to O(turns / SALT_TURNS) rows for the hot key."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = transcripts_dataset(sf_dir, replicate=replicate)
+
+    def with_salt(t: pa.Table) -> pa.Table:
+        salt = pc.cast(
+            pc.floor(pc.divide(pc.cast(t.column("turn_idx"), pa.float64()), SALT_TURNS)),
+            pa.int64(),
+        )
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "salt": salt,
+            "turn_idx": t.column("turn_idx"),
+            "text": t.column("text"),
+        })
+
+    def chunk_digest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="stable")  # Ray groupby gives no order
+        payload = "\x1f".join(g["text"].tolist())
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "salt": pd.array([int(g["salt"].iloc[0])], dtype="int64"),
+            "chunk_digest": [hashlib.md5(payload.encode()).hexdigest()],
+            "n": pd.array([len(g)], dtype="int64"),
+        })
+
+    def merge_digest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("salt", kind="stable")
+        payload = "".join(g["chunk_digest"].tolist())
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "digest": [hashlib.md5(payload.encode()).hexdigest()],
+            "n_turns": pd.array([int(g["n"].sum())], dtype="int64"),
+        })
+
+    chunks = (
+        ds.map_batches(with_salt, batch_format="pyarrow")
+        .groupby(["conv_id", "salt"])
+        .map_groups(chunk_digest, batch_format="pandas")
+    )
+    return chunks.groupby("conv_id").map_groups(merge_digest, batch_format="pandas")
+
+
 def conv_stats(sf_dir: str):
     """Per-conversation rollup — associative aggregates, salting-safe."""
     from ray.data.aggregate import Count, Max, Min

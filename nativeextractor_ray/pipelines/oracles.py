@@ -135,6 +135,17 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, min(ts) AS first_ts,
        max(ts) AS last_ts, CAST(max(turn_idx) AS INTEGER) AS max_turn
 FROM t GROUP BY conv_id"""
 
+CONV_DIGEST_SALTED_SQL = f"""{_T},
+chunks AS (
+  SELECT conv_id, turn_idx // 1000 AS salt,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS cd,
+         count(*) AS n
+  FROM t GROUP BY conv_id, turn_idx // 1000
+)
+SELECT conv_id, md5(string_agg(cd, '' ORDER BY salt)) AS digest,
+       CAST(sum(n) AS BIGINT) AS n_turns
+FROM chunks GROUP BY conv_id"""
+
 TRANSCRIPTS_ONLY_SQL = TRANSCRIPTS_SQL
 
 
