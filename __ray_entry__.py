@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_entity_flow": kg.conv_entity_flow,
         "conv_stats": kg.conv_stats,
         "conv_digest_salted": kg.conv_digest_salted,
+        "top_triples": kg.top_triples,
+        "entities": kg.entities_table,
         "events_windowed": events.events_windowed,
         "events_sessionized": events.events_sessionized,
         # training-data operators (documents / embeddings tables)
@@ -55,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.embedding_dup_pairs,
         "ann_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,         # rows-only (approx)
+        "ann_ivf_topk": similarity.ann_ivf_topk,         # rows-only (approx)
         "text_quality": textstats.text_quality,
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
@@ -83,6 +86,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_entity_flow": o.CONV_ENTITY_FLOW_SQL,
         "conv_stats": o.CONV_STATS_SQL,
         "conv_digest_salted": o.CONV_DIGEST_SALTED_SQL,
+        "top_triples": o.TOP_TRIPLES_SQL,
+        "entities": o.ENTITIES_SQL,
         "events_windowed": events.EVENTS_WINDOWED_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

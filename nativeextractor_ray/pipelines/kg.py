@@ -223,6 +223,41 @@ def conv_entity_flow(sf_dir: str):
     return partial.groupby("conv_id").map_groups(flow_group, batch_format="pandas")
 
 
+def top_triples(sf_dir: str, k: int = 20):
+    """Top-k triples by support — ``ds.sort(...).limit(k)`` reporting query
+    (SURVEY.md §2.6).  Deterministic total order: ties broken by the full
+    triple key so LIMIT is stable across engines."""
+    ds = triples_dataset(sf_dir)
+    return (
+        ds.sort(["support", "subj", "pred", "obj"],
+                descending=[True, False, False, False])
+        .limit(k)
+        .select_columns(["subj", "pred", "obj", "support"])
+    )
+
+
+def entities_table(sf_dir: str):
+    """The north-star ``entities`` rollup: per canonical entity — its label
+    family (prefix before ':'), mention turns, distinct conversations.
+    Pre-aggregated per batch upstream (entity_turns emits distinct
+    (conv, turn, ent) rows), then one groupby over the bounded entity
+    vocabulary."""
+    import pandas as pd
+
+    ds = entity_turns_dataset(sf_dir)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        ent = g["ent"].iloc[0]
+        return pd.DataFrame({
+            "entity_id": [ent],
+            "label": [ent.split(":", 1)[0]],
+            "n_turns": pd.array([len(g)], dtype="int64"),
+            "n_convs": pd.array([g["conv_id"].nunique()], dtype="int64"),
+        })
+
+    return ds.groupby("ent").map_groups(rollup, batch_format="pandas")
+
+
 SALT_TURNS = 1000  # turns per salt bucket for hot-conversation splitting
 
 

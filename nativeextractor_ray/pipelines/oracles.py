@@ -135,6 +135,18 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, min(ts) AS first_ts,
        max(ts) AS last_ts, CAST(max(turn_idx) AS INTEGER) AS max_turn
 FROM t GROUP BY conv_id"""
 
+TOP_TRIPLES_SQL = f"""SELECT subj, pred, obj, support FROM (
+{TRIPLES_SQL}
+) ORDER BY support DESC, subj, pred, obj LIMIT 20"""
+
+ENTITIES_SQL = f"""{_T},
+{_ENTS}
+SELECT ent AS entity_id, split_part(ent, ':', 1) AS label,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM (SELECT DISTINCT conv_id, turn_idx, ent FROM ents)
+GROUP BY ent"""
+
 CONV_DIGEST_SALTED_SQL = f"""{_T},
 chunks AS (
   SELECT conv_id, turn_idx // 1000 AS salt,

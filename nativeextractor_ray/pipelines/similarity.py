@@ -97,6 +97,80 @@ SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {TOP_K}"""
 
 
+# ---------------------------------------------------------------- IVF ANN
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+_IVF_SEED = 11
+
+
+def _train_centroids(mat: np.ndarray, k: int = N_CENTROIDS, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (seeded init, fixed iterations) —
+    the coarse quantizer.  At 10^9+ vectors this trains on a sample; the
+    centroid matrix stays broadcast-sized (k × d)."""
+    rng = np.random.default_rng(_IVF_SEED)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN: vectors quantize to their nearest centroid; each
+    query exactly reranks only the N_PROBE closest centroid buckets.
+    Approximate (recall < 1; rows-only checked — tests assert recall vs
+    the brute-force baseline instead)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    qids, qmat = _load_queries(sf_dir)
+    # train the quantizer once on the driver (sampled at real scale)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cent = _train_centroids(mat)
+    qprobe = np.argsort(-(qmat @ cent.T), axis=1)[:, :N_PROBE]  # (Q, nprobe)
+    qref = ray.put((qids, qmat, cent, qprobe))
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def block(t: pa.Table) -> pa.Table:
+        ids_q, q, c, probe = ray.get(qref)
+        bid = t.column("vec_id").to_numpy()
+        bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(bm @ c.T, axis=1)
+        q_out, v_out, s_out = [], [], []
+        for qi in range(len(ids_q)):
+            mask = np.isin(assign, probe[qi])
+            if not mask.any():
+                continue
+            sims = np.round(q[qi] @ bm[mask].T, ROUND)
+            sub_ids = bid[mask]
+            k = min(TOP_K, len(sub_ids))
+            idx = np.lexsort((sub_ids, -sims))[:k]
+            for j in idx:
+                q_out.append(int(ids_q[qi]))
+                v_out.append(int(sub_ids[j]))
+                s_out.append(float(sims[j]))
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "vec_id": pa.array(v_out, pa.int64()),
+                         "score": pa.array(s_out, pa.float64())})
+
+    cand = ds.map_batches(block, batch_format="pyarrow", batch_size=512)
+    return cand.groupby("query_id").map_groups(_topk_per_query, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- LSH ANN
 
 

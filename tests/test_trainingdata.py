@@ -161,3 +161,22 @@ def test_frame_sample(sf_dir, ray_session):
     rows = _rows(frame_sample_features(sf_dir))
     assert len(rows) == 500
     assert all(r["n_frames"] >= 1 and 0 <= r["mean_byte"] <= 255 for r in rows)
+
+
+def test_ann_ivf_recall(sf_dir, ray_session):
+    """IVF with nprobe=4/16 must keep high recall vs brute force on this
+    data, and every reported score must be exact (rerank is exact)."""
+    from nativeextractor_ray.pipelines.similarity import ann_cosine_topk, ann_ivf_topk
+
+    brute = {(r["query_id"], r["vec_id"]): r["score"] for r in _rows(ann_cosine_topk(sf_dir))}
+    ivf = _rows(ann_ivf_topk(sf_dir))
+    assert ivf
+    hits = sum(1 for r in ivf if (r["query_id"], r["vec_id"]) in brute)
+    assert hits / len(brute) >= 0.5, f"recall {hits}/{len(brute)}"
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            assert r["score"] == brute[key]
+    # self-vector lands in its own (probed) centroid bucket → rank-1 hit
+    self_hits = {r["query_id"] for r in ivf if r["vec_id"] == r["query_id"] and r["rank"] == 1}
+    assert len(self_hits) == 10
