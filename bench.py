@@ -28,8 +28,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # replicate transcripts so the headline job is long enough to measure
-# (documents@sf0.1 = 5k rows -> x40 = 200k turns); deterministic.
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "40"))
+# (documents@sf0.1 = 5k rows -> x160 = 800k turns); deterministic.
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "160"))
 
 
 def _consume(ds) -> int:
@@ -65,9 +65,12 @@ def run_suite() -> dict:
         "conv_entity_flow": ("nativeextractor_ray.pipelines.kg", "conv_entity_flow"),
         "conv_stats": ("nativeextractor_ray.pipelines.kg", "conv_stats"),
         "dedup_exact": ("nativeextractor_ray.pipelines.dedup", "dedup_exact"),
+        "dedup_ngram": ("nativeextractor_ray.pipelines.dedup", "dedup_ngram_jaccard"),
         "dedup_minhash": ("nativeextractor_ray.pipelines.dedup", "dedup_minhash_pairs"),
         "dedup_simhash": ("nativeextractor_ray.pipelines.dedup", "dedup_simhash_pairs"),
         "ann_topk": ("nativeextractor_ray.pipelines.similarity", "ann_cosine_topk"),
+        "events_windowed": ("nativeextractor_ray.pipelines.events", "events_windowed"),
+        "conv_digest_salted": ("nativeextractor_ray.pipelines.kg", "conv_digest_salted"),
         "text_quality": ("nativeextractor_ray.pipelines.textstats", "text_quality"),
         "lang_id": ("nativeextractor_ray.pipelines.textstats", "lang_id"),
     }

@@ -300,8 +300,6 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
     Uses *string* grams (not hashes) so the result is bit-identical to the
     SQL oracle rendering; the coarse-partition trick keeps the shuffle
     groups chunky."""
-    from ray.data.aggregate import Max, Sum
-
     from nativeextractor_ray.functions.hashing import word_shingles
 
     def grams(t: pa.Table) -> pa.Table:
@@ -321,7 +319,11 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
                          "n_gram": pa.array(n_out, pa.int64())})
 
     def partition_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        a, b, na, nb = [], [], [], []
+        # vectorized pair generation (triu indices per gram bucket), then a
+        # LOCAL combine: the same doc pair recurs for every gram the two
+        # docs share within this partition — summing here shrinks the
+        # global pair shuffle by the per-partition multiplicity
+        a_all, b_all, na_all, nb_all = [], [], [], []
         for _, sub in grp.groupby("g", sort=False):
             m = len(sub)
             if m < 2 or m > MAX_BUCKET:
@@ -329,36 +331,47 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
             sub = sub.sort_values("doc_id", kind="stable")
             ids = sub["doc_id"].to_numpy()
             ns = sub["n_gram"].to_numpy()
-            for i in range(m - 1):
-                a.extend(int(ids[i]) for _ in range(m - 1 - i))
-                b.extend(int(x) for x in ids[i + 1:])
-                na.extend(int(ns[i]) for _ in range(m - 1 - i))
-                nb.extend(int(x) for x in ns[i + 1:])
-        return pd.DataFrame({"doc_a": pd.array(a, dtype="int64"),
-                             "doc_b": pd.array(b, dtype="int64"),
-                             "na": pd.array(na, dtype="int64"),
-                             "nb": pd.array(nb, dtype="int64"),
-                             "common": pd.array([1] * len(a), dtype="int64")})
+            iu, ju = np.triu_indices(m, k=1)
+            a_all.append(ids[iu]); b_all.append(ids[ju])
+            na_all.append(ns[iu]); nb_all.append(ns[ju])
+        if not a_all:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "na": pd.array([], dtype="int64"),
+                                 "nb": pd.array([], dtype="int64"),
+                                 "common": pd.array([], dtype="int64")})
+        df = pd.DataFrame({"doc_a": np.concatenate(a_all),
+                           "doc_b": np.concatenate(b_all),
+                           "na": np.concatenate(na_all),
+                           "nb": np.concatenate(nb_all)})
+        out = (df.groupby(["doc_a", "doc_b"], sort=False)
+               .agg(na=("na", "max"), nb=("nb", "max"), common=("na", "size"))
+               .reset_index())
+        return out.astype("int64")
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        # coarse key for the pair-level combine: the 2-int-key Ray
+        # aggregate over millions of pair partials was the wall; the
+        # partition+local-pandas pattern is ~50× cheaper
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        return t.append_column("part2", pa.array((a * 1_000_003 + b) % N_PARTS))
+
+    def pair_combine(grp: pd.DataFrame) -> pd.DataFrame:
+        out = (grp.groupby(["doc_a", "doc_b"], sort=False)
+               .agg(na=("na", "max"), nb=("nb", "max"), common=("common", "sum"))
+               .reset_index())
+        j = out["common"].to_numpy() / (
+            out["na"].to_numpy() + out["nb"].to_numpy() - out["common"].to_numpy()
+        )
+        out = out[j >= threshold]
+        out = out.assign(jaccard=np.round(j[j >= threshold], 6))
+        return out[["doc_a", "doc_b", "jaccard"]]
 
     g = ds.map_batches(grams, batch_format="pyarrow")
     pairs = g.groupby("part").map_groups(partition_pairs, batch_format="pandas")
-    acc = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Sum("common", alias_name="common"),
-        Max("na", alias_name="na"),
-        Max("nb", alias_name="nb"),
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        common = t.column("common").to_numpy().astype(np.float64)
-        na = t.column("na").to_numpy().astype(np.float64)
-        nb = t.column("nb").to_numpy().astype(np.float64)
-        j = common / (na + nb - common)
-        keep = j >= threshold
-        out = t.filter(pa.array(keep))
-        return pa.table({"doc_a": out.column("doc_a"), "doc_b": out.column("doc_b"),
-                         "jaccard": pa.array(np.round(j[keep], 6))})
-
-    return acc.map_batches(finish, batch_format="pyarrow")
+    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow")
+    return pairs.groupby("part2").map_groups(pair_combine, batch_format="pandas")
 
 
 def dedup_ngram_jaccard(sf_dir: str, n: int = 3, threshold: float = 0.3):
