@@ -190,18 +190,35 @@ def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
                          "est_jaccard": pd.array(j_out, dtype="float64")})
 
 
+
+def _pair_dedup(pairs, value_col: str, how: str):
+    """Coarse-partitioned pair-level dedup: the same (doc_a, doc_b) pair can
+    surface from several bands/buckets; combine with a local vectorized
+    pandas groupby per hash partition (a raw 2-int-key Ray aggregate costs
+    an order of magnitude more at scale — see the ngram stage)."""
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        return t.append_column("part2", pa.array((a * 1_000_003 + b) % N_PARTS))
+
+    def combine(grp: pd.DataFrame) -> pd.DataFrame:
+        out = (grp.groupby(["doc_a", "doc_b"], sort=False)[value_col]
+               .agg(how).reset_index())
+        return out[["doc_a", "doc_b", value_col]]
+
+    pairs = pairs.map_batches(add_part, batch_format="pyarrow")
+    return pairs.groupby("part2").map_groups(combine, batch_format="pandas")
+
+
 def minhash_pairs(ds, threshold: float = 0.5):
     """MinHash+LSH near-dup pairs over any (doc_id, text) Dataset."""
-    from ray.data.aggregate import Max
-
     buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
     pairs = buckets.groupby("part").map_groups(
         lambda g: _minhash_partition_pairs(g, threshold), batch_format="pandas"
     )
-    # a pair can surface from several bands — dedup on the pair key
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    return _pair_dedup(pairs, "est_jaccard", "max")
 
 
 def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
@@ -259,8 +276,6 @@ def _sim_partition_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
 def simhash_pairs(ds, max_hamming: int = 3):
     """SimHash near-dup: 4×16-bit band buckets guarantee recall for
     Hamming ≤ 3 (pigeonhole: one band must match exactly)."""
-    from ray.data.aggregate import Min
-
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
 
     def bands(t: pa.Table) -> pa.Table:
@@ -282,7 +297,7 @@ def simhash_pairs(ds, max_hamming: int = 3):
     pairs = b.groupby("part").map_groups(
         lambda g: _sim_partition_pairs(g, max_hamming), batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _pair_dedup(pairs, "hamming", "min")
 
 
 def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
