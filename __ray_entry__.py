@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract,
         kg,
         multimodal,
+        relational,
         similarity,
         textstats,
     )
@@ -49,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entities": kg.entities_table,
         "events_windowed": events.events_windowed,
         "events_sessionized": events.events_sessionized,
+        "events_props": events.events_props_stats,
+        "orders_by_nation": relational.orders_by_nation,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash_pairs,      # rows-only (LSH)
@@ -74,7 +77,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from nativeextractor_ray.pipelines import dedup, events, multimodal, similarity, textstats
+    from nativeextractor_ray.pipelines import (
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
@@ -90,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
         "entities": o.ENTITIES_SQL,
         "events_windowed": events.EVENTS_WINDOWED_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
+        "events_props": events.EVENTS_PROPS_SQL,
+        "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding": dedup.embedding_dup_sql(),

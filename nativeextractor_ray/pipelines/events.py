@@ -61,6 +61,38 @@ EVENTS_WINDOWED_SQL = """SELECT date_trunc('hour', ts) AS window, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def events_props_stats(sf_dir: str):
+    """JSON-props extraction + rollup: pull ``k`` out of the ``props`` JSON
+    column with a vectorized RE2 kernel (no per-row json.loads) and
+    aggregate per event_type.  Mirrors DuckDB's json_extract in the
+    oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>[0-9]+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        tmp = pa.table({"event_type": t.column("event_type"), "k": kv})
+        g = tmp.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "k_sum": pc.cast(g.column("k_sum"), pa.int64()),
+            "n": pc.cast(g.column("k_count"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("event_type").aggregate(
+        Sum("k_sum", alias_name="k_sum"), Sum("n", alias_name="n")
+    )
+
+
+EVENTS_PROPS_SQL = """SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 

@@ -90,7 +90,9 @@ def triples_from_transcripts(ds):
         batch_size=KG_BATCH_SIZE,
         concurrency=pool_concurrency(),
     )
-    partial = partial.map_batches(_precombine, batch_format="pyarrow", batch_size=65536)
+    # no pre-shuffle combiner: stats show the single-int-key sort shuffle
+    # costs ~1s core time even at 3.4M partial rows, while a pandas
+    # combiner pass costs ~85 core-s — the shuffle is the cheap side here
     agg = partial.groupby("part").map_groups(_final_combine, batch_format="pandas")
     return agg.map_batches(lambda t: t.select(TRIPLE_COLS), batch_format="pyarrow")
 
