@@ -55,9 +55,16 @@ def run_headline() -> dict:
     # turns = docs × replicate by construction (deterministic derivation)
     n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
     n_turns = n_docs * REPLICATE
+    stats_path = os.environ.get("GRAFT_BENCH_STATS")
     t0 = time.perf_counter()
-    n_triples = triples_dataset(SF_DIR, replicate=REPLICATE).count()
+    ds = triples_dataset(SF_DIR, replicate=REPLICATE)
+    if stats_path:
+        ds = ds.materialize()
+    n_triples = ds.count()
     dt = time.perf_counter() - t0
+    if stats_path:
+        with open(stats_path, "w") as f:
+            f.write(ds.stats())
     return {"sec": dt, "turns": n_turns, "triples": n_triples,
             "turns_per_sec": n_turns / dt}
 
