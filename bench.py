@@ -69,12 +69,32 @@ def run_headline() -> dict:
             "turns_per_sec": n_turns / dt}
 
 
+def run_mentions_throughput() -> dict:
+    """Mention-detection (the reference's core competency) in bytes/sec —
+    the closest apples-to-apples throughput framing vs a text-scanning
+    engine.  Input bytes = total UTF-8 text scanned."""
+    import pyarrow.compute as pc
+
+    from nativeextractor_ray.pipelines.extract import mentions_dataset
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    tds = transcripts_dataset(SF_DIR, replicate=REPLICATE)
+    n_bytes = sum(
+        pc.sum(pc.binary_length(b.column("text"))).as_py() or 0
+        for b in tds.iter_batches(batch_size=8192, batch_format="pyarrow")
+    )
+    t0 = time.perf_counter()
+    n_mentions = mentions_dataset(SF_DIR, replicate=REPLICATE).count()
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "bytes": n_bytes, "mentions": n_mentions,
+            "mb_per_sec": n_bytes / dt / 1e6}
+
+
 def run_suite() -> dict:
     """Secondary pipelines (smaller, one pass each)."""
     import importlib
 
     queries = {
-        "mentions": ("nativeextractor_ray.pipelines.extract", "mentions_dataset"),
         "mention_counts": ("nativeextractor_ray.pipelines.extract", "mention_counts"),
         "conv_entity_flow": ("nativeextractor_ray.pipelines.kg", "conv_entity_flow"),
         "conv_stats": ("nativeextractor_ray.pipelines.kg", "conv_stats"),
@@ -108,8 +128,10 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     head = run_headline()
+    ment = run_mentions_throughput()
     qs = run_suite()
-    qs = {"triples_e2e": round(head["sec"], 3), **qs}
+    qs = {"triples_e2e": round(head["sec"], 3),
+          "mentions_e2e": round(ment["sec"], 3), **qs}
     total = round(sum(qs.values()), 3)
     print(json.dumps({
         "metric": "e2e turns/sec triple extraction (headline) + suite wall sec",
@@ -121,6 +143,8 @@ def main() -> None:
         "turns": head["turns"],
         "triples": head["triples"],
         "turns_per_sec": round(head["turns_per_sec"], 1),
+        "scan_mb_per_sec": round(ment["mb_per_sec"], 1),
+        "mentions": ment["mentions"],
     }))
     ray.shutdown()
 

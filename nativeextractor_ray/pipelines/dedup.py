@@ -51,12 +51,6 @@ ROWS_PER_BAND = 4
 MAX_BUCKET = 1000
 N_PARTS = 256  # coarse shuffle partitions (buckets per partition >> 1)
 
-_EMPTY_PAIRS = {
-    "doc_a": pd.array([], dtype="int64"),
-    "doc_b": pd.array([], dtype="int64"),
-}
-
-
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     from nativeextractor_ray.sources.tables import read_table
 
