@@ -45,6 +45,15 @@ class DictionaryMiner(Miner):
         self.label = label
         self.threshold = threshold
         self._memo: dict[str, bool] = {}
+        # An ASCII-first-char token can only reach prefix-ratio > 0 if some
+        # dictionary word starts with that exact char (byte == char for
+        # ASCII), so it can be rejected O(1) before the trie/memo — most
+        # tokens on natural text.  Non-ASCII first chars bypass the filter:
+        # partial lead-byte matches inside one multi-byte char can still
+        # reach the ratio (e.g. 3 of 4 bytes = 0.75).
+        self._first = frozenset(
+            k.decode("utf-8", "replace")[0] for k, _ in self.trie.items() if k
+        ) if threshold > 0 else None
 
     def accepts(self, token: str) -> bool:
         v = self._memo.get(token)
@@ -58,6 +67,7 @@ class DictionaryMiner(Miner):
     def find(self, text: str):
         out = []
         accepts = self.accepts
+        first = self._first
         for m in _TOKEN_RE.finditer(text):
             s, e = m.span()
             tok = m.group()
@@ -68,6 +78,9 @@ class DictionaryMiner(Miner):
                 tok = tok[1:]
                 if not tok:
                     continue
+            c0 = tok[0]
+            if first is not None and c0 not in first and c0 <= "\x7f":
+                continue
             if accepts(tok):
                 out.append((s, e, 1.0))
         return out
