@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionized": events.events_sessionized,
         "events_props": events.events_props_stats,
         "orders_by_nation": relational.orders_by_nation,
+        "order_priority_totals": relational.order_priority_totals,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash_pairs,      # rows-only (LSH)
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "events_props": events.EVENTS_PROPS_SQL,
         "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
+        "order_priority_totals": relational.ORDER_PRIORITY_TOTALS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding": dedup.embedding_dup_sql(),

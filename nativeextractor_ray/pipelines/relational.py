@@ -56,6 +56,51 @@ def orders_by_nation(sf_dir: str):
     )
 
 
+def order_priority_totals(sf_dir: str):
+    """Big-big hash join (``Dataset.join``, Ray's distributed hash
+    shuffle-join) — the path for when NEITHER side fits in a broadcast:
+    orders ⋈ lineitem on orderkey, rolled up per order priority.  Sums in
+    integer cents."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table, target_parallelism
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    joined = orders.join(
+        items,
+        join_type="inner",
+        num_partitions=target_parallelism(),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc2.cast(pc2.round(pc2.multiply(t.column("l_extendedprice"), 100.0)),
+                         pa.int64())
+        tmp = pa.table({"o_orderpriority": t.column("o_orderpriority"), "cents": cents})
+        g = tmp.group_by("o_orderpriority").aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "n_items": pc2.cast(g.column("cents_count"), pa.int64()),
+            "total_cents": pc2.cast(g.column("cents_sum"), pa.int64()),
+        })
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+
+ORDER_PRIORITY_TOTALS_SQL = """SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""
+
+
 ORDERS_BY_NATION_SQL = """SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
