@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_digest_salted": kg.conv_digest_salted,
         "top_triples": kg.top_triples,
         "entities": kg.entities_table,
+        "entity_components": kg.entity_components,
         "events_windowed": events.events_windowed,
         "events_sessionized": events.events_sessionized,
         "events_props": events.events_props_stats,
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_digest_salted": o.CONV_DIGEST_SALTED_SQL,
         "top_triples": o.TOP_TRIPLES_SQL,
         "entities": o.ENTITIES_SQL,
+        "entity_components": o.ENTITY_COMPONENTS_SQL,
         "events_windowed": events.EVENTS_WINDOWED_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "events_props": events.EVENTS_PROPS_SQL,

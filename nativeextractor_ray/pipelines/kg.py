@@ -260,6 +260,23 @@ def entities_table(sf_dir: str):
     return ds.groupby("ent").map_groups(rollup, batch_format="pandas")
 
 
+def entity_components(sf_dir: str):
+    """Connected components of the entity co-occurrence graph — the
+    distributed union-find (iterative min-label propagation,
+    functions/unionfind.py::connected_components_ds) applied to
+    ``co_occurs_with`` triple edges.  Canonicalization's scale path."""
+    from nativeextractor_ray.functions.unionfind import connected_components_ds
+
+    triples = triples_dataset(sf_dir)
+
+    def edges(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("pred"), "co_occurs_with"))
+        return pa.table({"a": m.column("subj"), "b": m.column("obj")})
+
+    e = triples.map_batches(edges, batch_format="pyarrow")
+    return connected_components_ds(e)
+
+
 SALT_TURNS = 1000  # turns per salt bucket for hot-conversation splitting
 
 

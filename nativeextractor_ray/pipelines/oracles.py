@@ -158,6 +158,27 @@ SELECT conv_id, md5(string_agg(cd, '' ORDER BY salt)) AS digest,
        CAST(sum(n) AS BIGINT) AS n_turns
 FROM chunks GROUP BY conv_id"""
 
+# connected components via recursive min-label reachability: `walk`
+# enumerates (node, reachable-label) pairs (UNION dedups → terminates),
+# then min per node — bounded by V² rows on the entity vocabulary
+ENTITY_COMPONENTS_SQL = f"""WITH RECURSIVE t AS (
+  {TRANSCRIPTS_SQL}
+),
+{_ENTS},
+edges AS (
+  SELECT DISTINCT a.ent AS a, b.ent AS b
+  FROM ents_d a JOIN ents_d b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.ent < b.ent
+),
+nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+bi AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT bi.v, w.label FROM walk w JOIN bi ON bi.u = w.node
+)
+SELECT node, min(label) AS component FROM walk GROUP BY node"""
+
 TRANSCRIPTS_ONLY_SQL = TRANSCRIPTS_SQL
 
 

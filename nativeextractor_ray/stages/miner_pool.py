@@ -27,9 +27,13 @@ from nativeextractor_ray.miners.base import Miner, make_miner, run_miners
 from nativeextractor_ray.occurrence import MENTIONS_SCHEMA
 from nativeextractor_ray.sources.transcripts import DICT_NAMES
 
-# (miner_name, args, kwargs) — the config-driven pipeline assembly surface
-# (the analogue of add_miner_so(path, symbol, params), extractor.c:307-401)
-MinerSpec = tuple[str, tuple, dict]
+# (miner_name_or_class, args, kwargs) — the config-driven pipeline assembly
+# surface (the analogue of add_miner_so(path, symbol, params),
+# extractor.c:307-401).  A registry NAME resolves against the registry *in
+# the worker process* (built-ins register at import); a custom miner CLASS
+# is shipped by value inside the spec — the distributed analogue of the
+# reference's "load this .so on every node" plugin convention.
+MinerSpec = tuple[str | type, tuple, dict]
 
 #: the standard KG mention-detection set
 STD_MINER_SPECS: list[MinerSpec] = [
@@ -42,7 +46,10 @@ STD_MINER_SPECS: list[MinerSpec] = [
 
 
 def build_miners(specs: Sequence[MinerSpec]) -> list[Miner]:
-    return [make_miner(name, *args, **kwargs) for name, args, kwargs in specs]
+    return [
+        name(*args, **kwargs) if callable(name) else make_miner(name, *args, **kwargs)
+        for name, args, kwargs in specs
+    ]
 
 
 class MinerPool:

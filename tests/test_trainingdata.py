@@ -180,3 +180,24 @@ def test_ann_ivf_recall(sf_dir, ray_session):
     # self-vector lands in its own (probed) centroid bucket → rank-1 hit
     self_hits = {r["query_id"] for r in ivf if r["vec_id"] == r["query_id"] and r["rank"] == 1}
     assert len(self_hits) == 10
+
+
+def test_connected_components_ds_matches_unionfind(ray_session):
+    """Distributed min-label propagation == driver union-find on a graph
+    with several components, a chain (propagation depth), and a cycle."""
+    import ray.data
+
+    from nativeextractor_ray.functions.unionfind import UnionFind, connected_components_ds
+
+    edges = [("b", "a"), ("c", "b"), ("d", "c"),       # chain -> comp 'a'
+             ("x", "y"), ("y", "z"), ("z", "x"),       # cycle -> comp 'x'
+             ("m", "n")]                               # pair  -> comp 'm'
+    t = pa.table({"a": pa.array([e[0] for e in edges]),
+                  "b": pa.array([e[1] for e in edges])})
+    got = {r["node"]: r["component"]
+           for r in connected_components_ds(ray.data.from_arrow(t)).take_all()}
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    want = {m: min(ms) for _, ms in uf.components().items() for m in ms}
+    assert got == want
