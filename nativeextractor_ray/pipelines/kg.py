@@ -46,8 +46,19 @@ def _precombine(t: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out[TRIPLE_COLS + ["part"]], preserve_index=False)
 
 
-def _final_combine(g) -> "object":
-    return _combine_df(g, ["subj", "pred", "obj"])[TRIPLE_COLS]
+def _final_combine(t: pa.Table) -> pa.Table:
+    # Arrow C++ group_by: ~10x the pandas string-key groupby throughput
+    g = t.group_by(["subj", "pred", "obj"]).aggregate(
+        [("support", "sum"), ("first_seen", "min"), ("prob", "max")]
+    )
+    return pa.table({
+        "subj": g.column("subj"),
+        "pred": g.column("pred"),
+        "obj": g.column("obj"),
+        "support": pc.cast(g.column("support_sum"), pa.int64()),
+        "first_seen": g.column("first_seen_min"),
+        "prob": pc.cast(g.column("prob_max"), pa.float32()),
+    })
 
 
 def _triple_part_column(t: pa.Table) -> pa.Table:
@@ -70,7 +81,7 @@ def combine_triple_partials(ds):
     with the same coarse-partitioned associative combine the live pipeline
     uses: sum support, min first_seen, max prob per (subj, pred, obj)."""
     ds = ds.map_batches(_triple_part_column, batch_format="pyarrow")
-    agg = ds.groupby("part").map_groups(_final_combine, batch_format="pandas")
+    agg = ds.groupby("part").map_groups(_final_combine, batch_format="pyarrow")
     return agg.map_batches(lambda t: t.select(TRIPLE_COLS), batch_format="pyarrow")
 
 
@@ -93,7 +104,7 @@ def triples_from_transcripts(ds):
     # no pre-shuffle combiner: stats show the single-int-key sort shuffle
     # costs ~1s core time even at 3.4M partial rows, while a pandas
     # combiner pass costs ~85 core-s — the shuffle is the cheap side here
-    agg = partial.groupby("part").map_groups(_final_combine, batch_format="pandas")
+    agg = partial.groupby("part").map_groups(_final_combine, batch_format="pyarrow")
     return agg.map_batches(lambda t: t.select(TRIPLE_COLS), batch_format="pyarrow")
 
 
@@ -166,8 +177,9 @@ def entity_turns_dataset(sf_dir: str):
             turn = batch.column("turn_idx").to_pylist()
             text = batch.column("text").to_pylist()
             c_out, t_out, e_out = [], [], []
+            all_ents = self.batch_entities(text)
             for r in range(len(text)):
-                for e in self.turn_entities(text[r]):
+                for e in all_ents[r]:
                     c_out.append(conv[r])
                     t_out.append(turn[r])
                     e_out.append(e)

@@ -50,6 +50,40 @@ class KgExtract:
     ):
         self.miners = build_miners(specs)
         self.index = DictIndex(dict_words)
+        self._dict_memo: dict[str, str | None] = {}
+        # fast-path applicability: entity extraction needs only the SET of
+        # (label, surface) per turn — no span bookkeeping — so the standard
+        # miner set can scan a whole batch joined with "\n" in single
+        # C-level regex passes (no miner of the std set can match across a
+        # newline: regex classes exclude \s / digits only, the email FSM
+        # chars exclude \n, NER tokens are \S+).  Custom specs fall back to
+        # the per-row parity engine.
+        self._fast = [name for name, a, k in specs] == [
+            name for name, a, k in STD_MINER_SPECS
+        ]
+        if self._fast:
+            import re
+
+            from nativeextractor_ray.miners.builtin import EmailMiner
+
+            self._email = EmailMiner()
+            # dict-candidate tokens filtered by the regex engine itself: a
+            # token can only link if its first char starts some dictionary
+            # word.  Only valid when every dict word starts ASCII (for
+            # multi-byte first chars a partial lead-byte match can still
+            # reach the 0.75 ratio — see miners/ner.py); BOF-delimiter
+            # quirk rows are disjoint (dict chars are letters) and handled
+            # per-row.
+            firsts = {
+                w.decode("utf-8")[0]
+                for lst in self.index.by_first.values()
+                for w in lst
+            }
+            if firsts and all(ord(c) < 128 for c in firsts):
+                chars = re.escape("".join(sorted(firsts)))
+                self._cand_re = re.compile(rf"(?<!\S)[{chars}]\S*")
+            else:
+                self._cand_re = re.compile(r"\S+")
 
     def turn_entities(self, text: str) -> list[str]:
         """Distinct canonical entities mentioned in one turn, sorted."""
@@ -59,6 +93,87 @@ class KgExtract:
             if e:
                 ents.add(e)
         return sorted(ents)
+
+    def batch_entities(self, texts: list[str]) -> list[list[str]]:
+        """Per-row sorted distinct entities for a whole batch.
+
+        Equivalent to ``[turn_entities(t) for t in texts]`` for the
+        standard miner set (asserted by tests/test_kg_fastpath.py and the
+        triples oracle); one pass per miner over the joined text instead
+        of len(texts) Python-level scans."""
+        if not self._fast:
+            return [self.turn_entities(t) for t in texts]
+        import re
+
+        import numpy as np
+
+        from nativeextractor_ray.functions.linking import best_dict_match
+        from nativeextractor_ray.miners.builtin import (
+            DateMiner, EmailMiner, PhoneMiner, UrlMiner,
+        )
+        from nativeextractor_ray.unicode import is_delimiter
+
+        joined = "\n".join(texts)
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, t in enumerate(texts):
+            offsets[i + 1] = offsets[i] + len(t) + 1
+        row_starts = offsets[:-1]
+
+        ents: list[set] = [set() for _ in texts]
+
+        def rows_for(starts: list[int]) -> np.ndarray:
+            # ONE vectorized searchsorted per miner — a scalar call per
+            # match costs more than the regex scan itself
+            return np.searchsorted(offsets, np.asarray(starts, dtype=np.int64),
+                                   side="right") - 1
+
+        matches = [(mt.start(), mt.group()) for mt in re.finditer(UrlMiner.pattern, joined)]
+        if matches:
+            for r, (_, s) in zip(rows_for([m[0] for m in matches]), matches):
+                rest = s.split("://", 1)
+                host = rest[1].split("/", 1)[0] if len(rest) == 2 else s
+                ents[r].add(f"url:{host}")
+        matches = [(mt.start(), mt.group()) for mt in re.finditer(DateMiner.pattern, joined)]
+        if matches:
+            for r, (_, s) in zip(rows_for([m[0] for m in matches]), matches):
+                ents[r].add(f"date:{s}")
+        matches = [(mt.start(), mt.group()) for mt in re.finditer(PhoneMiner.pattern, joined)]
+        if matches:
+            for r, (_, s) in zip(rows_for([m[0] for m in matches]), matches):
+                ents[r].add(f"phone:{s}")
+        # email keeps the reference FSM semantics (not a regex rendering)
+        spans = self._email.find(joined)
+        if spans:
+            for r, (s, e, _) in zip(rows_for([sp[0] for sp in spans]), spans):
+                ents[r].add(f"email:{joined[s:e].casefold()}")
+
+        memo = self._dict_memo
+        index = self.index
+
+        def link(tok: str, r: int) -> None:
+            if tok in memo:
+                w = memo[tok]
+            else:
+                w = best_dict_match(tok, index)
+                if len(memo) < 1_000_000:
+                    memo[tok] = w
+            if w is not None:
+                ents[r].add(f"person:{w}")
+
+        toks = [(mt.start(), mt.group()) for mt in self._cand_re.finditer(joined)]
+        if toks:
+            for (s, tok), r in zip(toks, rows_for([t[0] for t in toks])):
+                link(tok, r)
+        # per-row BOF quirk: the NER anchor consumes a leading NON-SPACE
+        # delimiter (ner.c:24); such first tokens start with punctuation,
+        # so the candidate regex skipped them — handle those rows directly
+        for r, txt in enumerate(texts):
+            if txt and is_delimiter(txt[0]) and not txt[0].isspace():
+                tok = txt[1:].split(None, 1)[0] if txt[1:].strip() else ""
+                if tok and len(txt) > 1 and not txt[1].isspace():
+                    link(tok, r)
+
+        return [sorted(s) for s in ents]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
@@ -78,11 +193,12 @@ class KgExtract:
                 cur[0] += 1
                 if seen < cur[1]:
                     cur[1] = seen
+        all_ents = self.batch_entities(text)
         for r in range(len(text)):
             seen = f"{conv[r]}#{turn[r]:09d}"
             if tool[r]:
                 emit(f"conv:{conv[r]}", "uses_tool", f"tool:{tool[r]}", seen)
-            ents = self.turn_entities(text[r])
+            ents = all_ents[r]
             speaker = f"speaker:{conv[r]}/{role[r]}"
             for e in ents:
                 emit(speaker, "mentions", e, seen)
