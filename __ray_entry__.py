@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.multimodal_features,
         "frame_sample": multimodal.frame_sample_features,  # rows-only
     }
+    q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)  # rows-only: full
+    # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
     for label in ("Email", "Url", "Date", "Phone", "Dict"):
         q[f"mentions_{label.lower()}"] = (
             lambda sf, lab=label: extract.mentions_by_label(sf, lab)
