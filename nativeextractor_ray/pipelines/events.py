@@ -106,23 +106,41 @@ def events_sessionized(sf_dir: str):
 
     ds = _events(sf_dir, ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts)
-        breaks = int((gaps >= SESSION_GAP_US).sum())
-        n_sessions = breaks + 1
-        # longest session by event count
-        idx = np.nonzero(gaps >= SESSION_GAP_US)[0]
-        bounds = np.concatenate([[0], idx + 1, [len(ts)]])
-        longest = int(np.diff(bounds).max())
-        return pd.DataFrame({
-            "user_id": pd.array([int(g["user_id"].iloc[0])], dtype="int64"),
-            "n_sessions": pd.array([n_sessions], dtype="int64"),
-            "n_events": pd.array([len(ts)], dtype="int64"),
-            "longest_session_events": pd.array([longest], dtype="int64"),
-        })
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "upart", pa.array(t.column("user_id").to_numpy() % 256)
+        )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_part(part: pd.DataFrame) -> pd.DataFrame:
+        # one shuffle partition = many users; fully vectorized: sort by
+        # (user, ts), session starts where the user changes or the gap
+        # reaches the threshold, then per-(user, session) sizes
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        uid = part["user_id"].to_numpy()
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(len(part), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(part), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) >= SESSION_GAP_US
+        starts = new_user | gap
+        sess = np.cumsum(starts)
+        df = pd.DataFrame({"user_id": uid, "sess": sess})
+        per_sess = df.groupby(["user_id", "sess"], sort=False).size().reset_index(name="n")
+        out = (
+            per_sess.groupby("user_id", sort=False)
+            .agg(n_sessions=("sess", "size"), n_events=("n", "sum"),
+                 longest_session_events=("n", "max"))
+            .reset_index()
+        )
+        return out.astype("int64")
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(sessions_part, batch_format="pandas")
+    )
 
 
 EVENTS_SESSIONIZED_SQL = f"""WITH o AS (

@@ -322,31 +322,52 @@ def conv_digest_salted(sf_dir: str, replicate: int = 1):
             "text": t.column("text"),
         })
 
-    def chunk_digest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")  # Ray groupby gives no order
-        payload = "\x1f".join(g["text"].tolist())
-        return pd.DataFrame({
-            "conv_id": [g["conv_id"].iloc[0]],
-            "salt": pd.array([int(g["salt"].iloc[0])], dtype="int64"),
-            "chunk_digest": [hashlib.md5(payload.encode()).hexdigest()],
-            "n": pd.array([len(g)], dtype="int64"),
-        })
+    # partition-wise processing (one UDF call per shuffle partition, a
+    # vectorized pandas groupby inside — never one Python call per group;
+    # at 10^12 turns the (conv, salt) group count is ~10^9)
+    def chunk_digests(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["conv_id", "salt", "turn_idx"], kind="stable")
+        out = (
+            part.groupby(["conv_id", "salt"], sort=False)
+            .agg(payload=("text", "\x1f".join), n=("text", "size"))
+            .reset_index()
+        )
+        out["chunk_digest"] = [
+            hashlib.md5(p.encode()).hexdigest() for p in out["payload"]
+        ]
+        out["n"] = out["n"].astype("int64")
+        return out[["conv_id", "salt", "chunk_digest", "n"]]
 
-    def merge_digest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("salt", kind="stable")
-        payload = "".join(g["chunk_digest"].tolist())
-        return pd.DataFrame({
-            "conv_id": [g["conv_id"].iloc[0]],
-            "digest": [hashlib.md5(payload.encode()).hexdigest()],
-            "n_turns": pd.array([int(g["n"].sum())], dtype="int64"),
-        })
+    def merge_digests(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["conv_id", "salt"], kind="stable")
+        out = (
+            part.groupby("conv_id", sort=False)
+            .agg(payload=("chunk_digest", "".join), n_turns=("n", "sum"))
+            .reset_index()
+        )
+        out["digest"] = [hashlib.md5(p.encode()).hexdigest() for p in out["payload"]]
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out[["conv_id", "digest", "n_turns"]]
+
+    def add_part(t: pa.Table, keys) -> pa.Table:
+        import zlib
+
+        vals = zip(*(t.column(k).to_pylist() for k in keys))
+        part = [zlib.crc32("|".join(map(str, v)).encode()) % 256 for v in vals]
+        return t.append_column("gpart", pa.array(part, pa.int64()))
 
     chunks = (
         ds.map_batches(with_salt, batch_format="pyarrow")
-        .groupby(["conv_id", "salt"])
-        .map_groups(chunk_digest, batch_format="pandas")
+        .map_batches(lambda t: add_part(t, ["conv_id", "salt"]), batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(chunk_digests, batch_format="pandas")
     )
-    return chunks.groupby("conv_id").map_groups(merge_digest, batch_format="pandas")
+    merged = (
+        chunks.map_batches(lambda t: add_part(t, ["conv_id"]), batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(merge_digests, batch_format="pandas")
+    )
+    return merged
 
 
 def conv_stats(sf_dir: str):
