@@ -52,10 +52,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": events.events_windowed,
         "events_sessionized": events.events_sessionized,
         "events_props": events.events_props_stats,
+        "events_sliding": events.events_sliding_window,
         "orders_by_nation": relational.orders_by_nation,
         "order_priority_totals": relational.order_priority_totals,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
+        "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_minhash": dedup.dedup_minhash_pairs,      # rows-only (LSH)
         "dedup_simhash": dedup.dedup_simhash_pairs,      # rows-only (LSH)
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -64,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,         # rows-only (approx)
         "ann_ivf_topk": similarity.ann_ivf_topk,         # rows-only (approx)
         "text_quality": textstats.text_quality,
+        "documents_quality_filtered": textstats.documents_quality_filtered,
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
@@ -106,13 +109,16 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": events.EVENTS_WINDOWED_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "events_props": events.EVENTS_PROPS_SQL,
+        "events_sliding": events.EVENTS_SLIDING_SQL,
         "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
         "order_priority_totals": relational.ORDER_PRIORITY_TOTALS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding": dedup.embedding_dup_sql(),
         "ann_topk": similarity.ANN_TOPK_SQL,
         "text_quality": textstats.TEXT_QUALITY_SQL,
+        "documents_quality_filtered": textstats.DOCUMENTS_QUALITY_FILTERED_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,

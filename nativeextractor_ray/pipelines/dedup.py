@@ -460,3 +460,17 @@ def embedding_dup_sql(threshold: float = 0.4) -> str:
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}"""
+
+
+def dedup_keep_list(sf_dir: str):
+    """The curated output of exact dedup: doc ids that survive (one per
+    content group — the keep side of the cleaning pipeline)."""
+    ds = dedup_exact(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("keep_id")})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+DEDUP_KEEP_LIST_SQL = """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"""

@@ -93,6 +93,62 @@ EVENTS_PROPS_SQL = """SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+def events_sliding_window(sf_dir: str, size_min: int = 60, hop_min: int = 30):
+    """Sliding (hopping) windows: each event lands in size/hop windows
+    (flat-map replication per hop, then the same partial-aggregate →
+    rollup shape as the tumbling case)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    n_hops = size_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64()).to_numpy()
+        etype = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        base = (ts // hop_us) * hop_us  # latest window start containing ts
+        w_out, e_out, c_out = [], [], []
+        for k in range(n_hops):
+            w_out.append(base - k * hop_us)
+            e_out.append(etype)
+            c_out.append(cents)
+        win = np.concatenate(w_out)
+        tmp = pa.table({
+            "window": pa.array(win.astype("datetime64[us]")),
+            "event_type": pa.array(np.concatenate(e_out).tolist(), pa.string()),
+            "cents": pa.array(np.concatenate(c_out)),
+        })
+        g = tmp.group_by(["window", "event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table({
+            "window": g.column("window"),
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("cents_count"), pa.int64()),
+            "value_cents": pc.cast(g.column("cents_sum"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["window", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
+    )
+
+
+EVENTS_SLIDING_SQL = """WITH hops AS (
+  SELECT e.*, make_timestamp((epoch_us(ts) // 1800000000 - h.k) * 1800000000)
+         AS "window"
+  FROM events e, UNNEST(generate_series(0, 1)) AS h(k)
+)
+SELECT "window", event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM hops GROUP BY 1, 2"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 

@@ -210,3 +210,25 @@ def doc_fingerprint_winnow(sf_dir: str, k: int = 8, w: int = 16):
         })
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def documents_quality_filtered(sf_dir: str, min_tokens: int = 10, min_stop_pm: int = 0):
+    """Training-data curation filter: documents passing the quality gates
+    (the select step of a cleaning pipeline) — streaming filter, no
+    shuffle."""
+    ds = _docs(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        n_tokens = _count(t.column("text"), TOKEN_RE)
+        mask = pc.greater_equal(n_tokens, min_tokens)
+        out = t.filter(mask)
+        return pa.table({"doc_id": out.column("doc_id"),
+                         "n_tokens": n_tokens.filter(mask)})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+DOCUMENTS_QUALITY_FILTERED_SQL = f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE len(regexp_extract_all(text, '{TOKEN_RE}')) >= 10"""
