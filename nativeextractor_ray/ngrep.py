@@ -14,6 +14,7 @@ The reference compiles the regex to a native .so and dlopens it
 from __future__ import annotations
 
 import argparse
+import csv
 import json
 import sys
 
@@ -71,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     n = 0
+    # RFC-4180 escaping for EVERY field (paths can contain commas/quotes,
+    # not just the surface) — parity with the reference's escape_csv
+    csv_out = csv.writer(sys.stdout, lineterminator="\n", quoting=csv.QUOTE_MINIMAL)
     for batch in mentions.iter_batches(batch_size=4096, batch_format="pyarrow"):
         rows = batch.to_pylist()
         for r in rows:
@@ -82,8 +86,9 @@ def main(argv: list[str] | None = None) -> int:
                     "prob": r["prob"],
                 }))
             elif args.format == "csv":
-                surf = r["surface"].replace('"', '""')
-                print(f'{r["conv_id"]},{r["pos"]},{r["len"]},"{surf}",{r["label"]}')
+                csv_out.writerow(
+                    [r["conv_id"], r["pos"], r["len"], r["surface"], r["label"]]
+                )
             else:
                 print(f'{r["conv_id"]}:{r["pos"]};{r["len"]};{r["surface"]};{r["label"]}')
             n += 1

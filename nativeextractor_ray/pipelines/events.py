@@ -38,14 +38,17 @@ def events_windowed(sf_dir: str):
             "window": win,
             "event_type": t.column("event_type"),
             "cents": cents,
+            # explicit row counter: count(*) semantics even if value is
+            # ever null (pyarrow's ("cents", "count") would skip nulls)
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
         })
         g = tmp.group_by(["window", "event_type"]).aggregate(
-            [("cents", "sum"), ("cents", "count")]
+            [("cents", "sum"), ("one", "sum")]
         )
         return pa.table({
             "window": g.column("window"),
             "event_type": g.column("event_type"),
-            "n": pc.cast(g.column("cents_count"), pa.int64()),
+            "n": pc.cast(g.column("one_sum"), pa.int64()),
             "value_cents": pc.cast(g.column("cents_sum"), pa.int64()),
         })
 
@@ -71,14 +74,25 @@ def events_props_stats(sf_dir: str):
     ds = _events(sf_dir, ["event_type", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
-        k = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>[0-9]+)')
+        # props schema constraint (asserted by tests/test_trainingdata.py):
+        # flat one-level JSON objects, so a top-level '"k":' match is
+        # exact $.k semantics; sign handled for negative values.  Nested
+        # objects or "k" inside string values would need a real JSON
+        # parser — out of scope for the fixture schema.
+        k = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?[0-9]+)')
         kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
-        tmp = pa.table({"event_type": t.column("event_type"), "k": kv})
-        g = tmp.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+        tmp = pa.table({
+            "event_type": t.column("event_type"),
+            "k": kv,
+            # count(*) parity: count every row, not just rows where the
+            # extraction matched (sum still null-skips, same as SQL sum)
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        g = tmp.group_by("event_type").aggregate([("k", "sum"), ("one", "sum")])
         return pa.table({
             "event_type": g.column("event_type"),
             "k_sum": pc.cast(g.column("k_sum"), pa.int64()),
-            "n": pc.cast(g.column("k_count"), pa.int64()),
+            "n": pc.cast(g.column("one_sum"), pa.int64()),
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

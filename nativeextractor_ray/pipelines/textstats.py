@@ -219,8 +219,20 @@ def documents_quality_filtered(sf_dir: str, min_tokens: int = 10, min_stop_pm: i
     ds = _docs(sf_dir)
 
     def keep(t: pa.Table) -> pa.Table:
-        n_tokens = _count(t.column("text"), TOKEN_RE)
+        txt = t.column("text")
+        n_tokens = _count(txt, TOKEN_RE)
         mask = pc.greater_equal(n_tokens, min_tokens)
+        if min_stop_pm > 0:  # stopword-density gate (mirrored in the SQL
+            # only for the default min_stop_pm=0 oracle; callers passing a
+            # gate get it applied here)
+            n_stop = _count(txt, STOP_RE)
+            denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+            pm = pc.cast(
+                pc.floor(pc.divide(pc.multiply(pc.cast(n_stop, pa.float64()), 1000.0),
+                                   pc.cast(denom, pa.float64()))),
+                pa.int64(),
+            )
+            mask = pc.and_(mask, pc.greater_equal(pm, min_stop_pm))
         out = t.filter(mask)
         return pa.table({"doc_id": out.column("doc_id"),
                          "n_tokens": n_tokens.filter(mask)})

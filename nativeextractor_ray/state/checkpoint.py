@@ -104,6 +104,14 @@ def run_partitioned(
         part_dir = out / "parts" / str(pid)  # no "=" in the path: the
         # parquet reader would hive-infer a "part" column and collide with
         # the triple hash-partition column
+        # A run killed mid-write leaves orphan parquet files with no
+        # manifest; write_parquet appends uniquely-named files, so a resumed
+        # rerun would double-count.  Clear the partition dir before writing
+        # — the manifest (written after) remains the only commit point.
+        if part_dir.exists():
+            import shutil
+
+            shutil.rmtree(part_dir)
         # count while writing is not possible in one pass without a
         # materialize; the partition slice is small relative to the job, so
         # materialize it, count, then write (stays distributed in the
