@@ -21,6 +21,30 @@ _SEED = 42
 _K_DEFAULT = 64
 
 
+def stable_part(t, keys: list[str], n: int):
+    """Vectorized process-stable partition key over table columns:
+    element-wise join → ``pandas.util.hash_array`` (siphash with a fixed
+    key — stable across processes and nodes, unlike builtin ``hash``) →
+    mod ``n``.  Replaces per-row Python crc32 loops on 10^12-row paths
+    (VERDICT r1 item 5).  Returns an int64 pyarrow Array.
+
+    ``categorize=False`` is load-bearing: with the default categorize=True,
+    pandas 2.2's object-array path returns values that depend on the
+    factorize order of the WHOLE array — the same string hashes differently
+    in different batches, which silently splits keys across partitions
+    (caught by test_checkpoint.py::test_partitioned_equals_direct)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pandas.util import hash_array
+
+    cols = [pc.cast(t.column(k), pa.string()).combine_chunks() for k in keys]
+    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x00")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    h = hash_array(joined.to_numpy(zero_copy_only=False), categorize=False)
+    return pa.array((h % np.uint64(n)).astype(np.int64))
+
+
 def h64(s: str) -> int:
     """Stable 64-bit hash of a string (blake2b, process-independent —
     unlike Python's ``hash`` which is salted per process)."""

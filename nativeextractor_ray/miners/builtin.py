@@ -42,10 +42,57 @@ def _domain_char(c: str) -> bool:
     return _email_valid(c) and c != "."
 
 
+_EMAIL_DOM = re.compile(r"@[\w.\-]*")
+# The class [\w.-] is EXACTLY the FSM's valid-char set: CPython's unicode
+# \w is isalnum-or-underscore, and _email_valid is is_alnum or "-._" —
+# verified equal for every codepoint 0..0x10FFFF (test_regex_class_parity).
+# Anchoring the pattern on the literal '@' keeps sre's memchr prefix skip
+# (an unanchored V*@ prefix would retry the greedy run at every position).
+
+
 class EmailMiner(Miner):
     label = "Email"  # miner name stamp (naive_email_miner.c:153)
 
     def find(self, text: str):
+        """Regex-candidate rendering of the per-'@' FSM scan — identical
+        output (asserted by tests/test_email_parity.py):
+
+        - ``@[\\w.-]*`` yields exactly the FSM's anchor sequence (every
+          '@', in order: the class excludes '@', so each match contains
+          exactly one), and its greedy tail IS the FSM's maximal domain
+          run (domain chars and dots are both valid chars).
+        - The left-context run is a short Python walk (local parts are a
+          few chars; the domain walk was the FSM's Python-loop cost).
+        - Post-checks are the FSM's accept conditions: nonempty left run,
+          >= 2 subdomains (i.e. a dot in the domain), last subdomain >= 2
+          chars, and the mark_start refusal (miner.c:36-38) via end_last.
+        - A failed FSM attempt resumes at the next '@', which never lies
+          inside the failed candidate ('@' is not a domain char), so
+          skipping to the next regex match preserves FSM order; after an
+          accept the FSM resumes at the span end = the match end.
+        """
+        out = []
+        end_last = 0
+        for m in _EMAIL_DOM.finditer(text):
+            at, e = m.span()
+            j = at
+            while j > 0 and _email_valid(text[j - 1]):
+                j -= 1
+            if j == at:  # validate_left_context: at least one char
+                continue
+            dom = text[at + 1:e]
+            ld = dom.rfind(".")
+            if ld < 0 or len(dom) - ld - 1 < 2:
+                continue
+            if j < end_last:  # mark_start refusal (miner.c:36-38)
+                continue
+            out.append((j, e, 1.0))
+            end_last = e
+        return out
+
+    def _find_fsm(self, text: str):
+        """The direct per-'@' FSM (reference rendering) — kept as the
+        parity oracle for tests."""
         out = []
         n = len(text)
         end_last = 0
@@ -91,14 +138,20 @@ class EmailMiner(Miner):
 
 
 class _ReMiner(Miner):
-    """Shared base for leftmost-greedy compiled-regex miners."""
+    """Shared base for leftmost-greedy compiled-regex miners.
+
+    ``pattern`` is the semantic spec (kept RE2-compatible so the DuckDB
+    oracles can run it verbatim); ``scan_pattern``, when set, is an
+    equivalent rewrite tuned for Python's sre engine (e.g. lookahead
+    prefix-factoring that restores the first-charset skip)."""
 
     pattern: str
+    scan_pattern: str | None = None
 
     def __init__(self, label: str | None = None):
         if label is not None:
             self.label = label
-        self._re = re.compile(self.pattern)
+        self._re = re.compile(self.scan_pattern or self.pattern)
 
     def find(self, text: str):
         return [(m.start(), m.end(), 1.0) for m in self._re.finditer(text)]
@@ -112,10 +165,17 @@ class UrlMiner(_ReMiner):
 
 
 class DateMiner(_ReMiner):
-    """naive_date analogue: ISO (YYYY-MM-DD) or dotted (D.M.YYYY) dates."""
+    """naive_date analogue: ISO (YYYY-MM-DD) or dotted (D.M.YYYY) dates.
+
+    ``scan_pattern``'s leading ``(?=[0-9])`` is a pure optimization: both
+    alternatives start with a digit, so the lookahead changes nothing
+    semantically but restores sre's first-charset skip, which a top-level
+    alternation defeats (2.2x on the corpus scan).  RE2 (DuckDB oracles)
+    has no lookahead, so ``pattern`` stays the plain alternation."""
 
     label = "Date"
     pattern = r"[0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}\.[0-9]{1,2}\.[0-9]{4}"
+    scan_pattern = r"(?=[0-9])(?:[0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}\.[0-9]{1,2}\.[0-9]{4})"
 
 
 class PhoneMiner(_ReMiner):

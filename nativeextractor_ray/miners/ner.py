@@ -54,6 +54,32 @@ class DictionaryMiner(Miner):
         self._first = frozenset(
             k.decode("utf-8", "replace")[0] for k, _ in self.trie.items() if k
         ) if threshold > 0 else None
+        # Candidate-token regex: a token can only reach prefix-ratio > 0 if
+        # its first BYTE matches some trie root edge (the ratio is
+        # matched-bytes / token-bytes, so any accept needs >= 1 matched
+        # byte).  When every dictionary word starts with an ASCII byte, a
+        # non-ASCII-initial token (lead byte >= 0x80) can therefore NEVER
+        # match — the candidate class is just the ASCII first-byte set,
+        # which keeps sre's fast first-charset skip (a class containing a
+        # -\U0010ffff range defeats it).  Lets the C regex engine
+        # skip non-candidate tokens instead of a Python loop over every
+        # \S+ token — the round-1 mention-scan profile was 70% that loop.
+        if self._first is not None:
+            first_bytes = sorted({k[0] for k, _ in self.trie.items() if k})
+            if not first_bytes:
+                self._cand = re.compile(r"(?!x)x")  # empty dict: no matches
+            elif first_bytes[-1] < 0x80:
+                cls = "".join(re.escape(chr(b)) for b in first_bytes)
+                self._cand = re.compile("(?<!\\S)[" + cls + "]\\S*")
+            else:
+                cls = "".join(
+                    re.escape(chr(b)) for b in first_bytes if b < 0x80
+                )
+                self._cand = re.compile(
+                    "(?<!\\S)[" + cls + "\\u0080-\\U0010ffff]\\S*"
+                )
+        else:
+            self._cand = None
 
     def accepts(self, token: str) -> bool:
         v = self._memo.get(token)
@@ -65,22 +91,37 @@ class DictionaryMiner(Miner):
         return v
 
     def find(self, text: str):
+        accepts = self.accepts
+        if self._cand is None:  # threshold <= 0: every token is a candidate
+            return self._find_all_tokens(text)
+        out = []
+        start = 0
+        if text and is_delimiter(text[0]) and not text[0].isspace():
+            # BOF anchor consumes the leading delimiter (ner.c:24 via
+            # MATCH_DELIMITER(e, Left, Right)) — the trimmed first token
+            # would not anchor the candidate regex, so handle it here and
+            # resume the scan after it
+            m0 = _TOKEN_RE.match(text)
+            tok = m0.group()[1:]
+            if tok and accepts(tok):
+                out.append((1, m0.end(), 1.0))
+            start = m0.end()
+        for m in self._cand.finditer(text, start):
+            if accepts(m.group()):
+                out.append((m.start(), m.end(), 1.0))
+        return out
+
+    def _find_all_tokens(self, text: str):
         out = []
         accepts = self.accepts
-        first = self._first
         for m in _TOKEN_RE.finditer(text):
             s, e = m.span()
             tok = m.group()
             if s == 0 and is_delimiter(text[0]):
-                # BOF anchor consumes the leading delimiter (ner.c:24 via
-                # MATCH_DELIMITER(e, Left, Right))
                 s += 1
                 tok = tok[1:]
                 if not tok:
                     continue
-            c0 = tok[0]
-            if first is not None and c0 not in first and c0 <= "\x7f":
-                continue
             if accepts(tok):
                 out.append((s, e, 1.0))
         return out

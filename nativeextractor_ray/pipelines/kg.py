@@ -62,18 +62,11 @@ def _final_combine(t: pa.Table) -> pa.Table:
 
 
 def _triple_part_column(t: pa.Table) -> pa.Table:
-    """Process-stable partition key (crc32, never builtin ``hash``)."""
-    import zlib
+    """Process-stable partition key (vectorized siphash, never builtin
+    ``hash`` which is salted per process)."""
+    from nativeextractor_ray.functions.hashing import stable_part
 
-    part = [
-        zlib.crc32(f"{s}\x00{p}\x00{o}".encode()) % N_TRIPLE_PARTS
-        for s, p, o in zip(
-            t.column("subj").to_pylist(),
-            t.column("pred").to_pylist(),
-            t.column("obj").to_pylist(),
-        )
-    ]
-    return t.append_column("part", pa.array(part, pa.int64()))
+    return t.append_column("part", stable_part(t, ["subj", "pred", "obj"], N_TRIPLE_PARTS))
 
 
 def combine_triple_partials(ds):
@@ -220,21 +213,33 @@ def conv_entity_flow(sf_dir: str):
 
     partial = ds.map_batches(partial_first_seen, batch_format="pyarrow")
 
-    def flow_group(g: pd.DataFrame) -> pd.DataFrame:
-        conv = g["conv_id"].iloc[0]
-        m = (
-            g.groupby("ent", sort=False)["turn_idx"].min().reset_index()
-            .sort_values(["turn_idx", "ent"], kind="stable")
-        )
-        return pd.DataFrame(
-            {
-                "conv_id": [conv],
-                "flow": [" ".join(m["ent"].tolist())],
-                "n_entities": pd.array([len(m)], dtype="int64"),
-            }
-        )
+    # coarse partition + ONE vectorized pandas pass per shuffle partition
+    # (conv_id cardinality is unbounded, so a per-conversation UDF call
+    # would be the map_groups-overhead trap — VERDICT r1 item 7)
+    def add_gpart(t: pa.Table) -> pa.Table:
+        from nativeextractor_ray.functions.hashing import stable_part
 
-    return partial.groupby("conv_id").map_groups(flow_group, batch_format="pandas")
+        return t.append_column("gpart", stable_part(t, ["conv_id"], 256))
+
+    def flow_part(part: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            part.groupby(["conv_id", "ent"], sort=False)["turn_idx"].min()
+            .reset_index()
+            .sort_values(["conv_id", "turn_idx", "ent"], kind="stable")
+        )
+        out = (
+            m.groupby("conv_id", sort=False)
+            .agg(flow=("ent", " ".join), n_entities=("ent", "size"))
+            .reset_index()
+        )
+        out["n_entities"] = out["n_entities"].astype("int64")
+        return out[["conv_id", "flow", "n_entities"]]
+
+    return (
+        partial.map_batches(add_gpart, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(flow_part, batch_format="pandas")
+    )
 
 
 def top_triples(sf_dir: str, k: int = 20):
@@ -260,16 +265,41 @@ def entities_table(sf_dir: str):
 
     ds = entity_turns_dataset(sf_dir)
 
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        ent = g["ent"].iloc[0]
-        return pd.DataFrame({
-            "entity_id": [ent],
-            "label": [ent.split(":", 1)[0]],
-            "n_turns": pd.array([len(g)], dtype="int64"),
-            "n_convs": pd.array([g["conv_id"].nunique()], dtype="int64"),
+    # per-batch pre-aggregate: (ent, conv_id) → row count, so the shuffle
+    # moves one row per (ent, conv) per batch instead of one per turn
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ent", "conv_id"]).aggregate([("turn_idx", "count")])
+        return pa.table({
+            "ent": g.column("ent"),
+            "conv_id": g.column("conv_id"),
+            "n": pc.cast(g.column("turn_idx_count"), pa.int64()),
         })
 
-    return ds.groupby("ent").map_groups(rollup, batch_format="pandas")
+    def add_gpart(t: pa.Table) -> pa.Table:
+        from nativeextractor_ray.functions.hashing import stable_part
+
+        return t.append_column("gpart", stable_part(t, ["ent"], 256))
+
+    def rollup_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.groupby("ent", sort=False)
+            .agg(n_turns=("n", "sum"), n_convs=("conv_id", "nunique"))
+            .reset_index()
+        )
+        out = pd.DataFrame({
+            "entity_id": g["ent"],
+            "label": g["ent"].str.split(":", n=1).str[0],
+            "n_turns": g["n_turns"].astype("int64"),
+            "n_convs": g["n_convs"].astype("int64"),
+        })
+        return out
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .map_batches(add_gpart, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(rollup_part, batch_format="pandas")
+    )
 
 
 def entity_components(sf_dir: str):
@@ -350,11 +380,9 @@ def conv_digest_salted(sf_dir: str, replicate: int = 1):
         return out[["conv_id", "digest", "n_turns"]]
 
     def add_part(t: pa.Table, keys) -> pa.Table:
-        import zlib
+        from nativeextractor_ray.functions.hashing import stable_part
 
-        vals = zip(*(t.column(k).to_pylist() for k in keys))
-        part = [zlib.crc32("|".join(map(str, v)).encode()) % 256 for v in vals]
-        return t.append_column("gpart", pa.array(part, pa.int64()))
+        return t.append_column("gpart", stable_part(t, keys, 256))
 
     chunks = (
         ds.map_batches(with_salt, batch_format="pyarrow")

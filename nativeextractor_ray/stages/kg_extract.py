@@ -133,7 +133,8 @@ class KgExtract:
                 rest = s.split("://", 1)
                 host = rest[1].split("/", 1)[0] if len(rest) == 2 else s
                 ents[r].add(f"url:{host}")
-        matches = [(mt.start(), mt.group()) for mt in re.finditer(DateMiner.pattern, joined)]
+        matches = [(mt.start(), mt.group()) for mt in re.finditer(
+            DateMiner.scan_pattern or DateMiner.pattern, joined)]
         if matches:
             for r, (_, s) in zip(rows_for([m[0] for m in matches]), matches):
                 ents[r].add(f"date:{s}")
@@ -206,15 +207,10 @@ class KgExtract:
                 for j in range(i + 1, len(ents)):
                     emit(ents[i], "co_occurs_with", ents[j], seen)
 
-        import zlib
+        from nativeextractor_ray.functions.hashing import stable_part
 
         keys = list(acc.keys())
-        # process-stable partition key for the downstream coarse combine
-        # (builtin hash() is salted per process and would split keys)
-        part = [
-            zlib.crc32(f"{k[0]}\x00{k[1]}\x00{k[2]}".encode()) % 256 for k in keys
-        ]
-        return pa.table(
+        out = pa.table(
             {
                 "subj": pa.array([k[0] for k in keys], pa.string()),
                 "pred": pa.array([k[1] for k in keys], pa.string()),
@@ -222,6 +218,8 @@ class KgExtract:
                 "support": pa.array([acc[k][0] for k in keys], pa.int64()),
                 "first_seen": pa.array([acc[k][1] for k in keys], pa.string()),
                 "prob": pa.array([1.0] * len(keys), pa.float32()),
-                "part": pa.array(part, pa.int64()),
             }
         )
+        # process-stable partition key for the downstream coarse combine
+        # (builtin hash() is salted per process and would split keys)
+        return out.append_column("part", stable_part(out, ["subj", "pred", "obj"], 256))

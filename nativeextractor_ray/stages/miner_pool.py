@@ -25,10 +25,8 @@ import pyarrow as pa
 
 from nativeextractor_ray.miners.base import (
     Miner,
-    filter_enclosed,
     make_miner,
     run_miners,
-    sort_occurrences,
 )
 from nativeextractor_ray.occurrence import MENTIONS_SCHEMA
 from nativeextractor_ray.sources.transcripts import DICT_NAMES
@@ -94,10 +92,16 @@ class MinerPool:
         self.sort = sort
         self.carry = tuple(carry)
         self._fast_ok = _fast_scan_safe(self.miners)
+        import numpy as np
 
-    def _find_batch(self, texts: list[str]) -> list[list]:
-        """Per-row mention lists via ONE global scan per miner over the
-        newline-joined batch.
+        labels = [m.label for m in self.miners]
+        self._label_arr = np.asarray(labels, dtype=object)
+        ranks = {l: i for i, l in enumerate(sorted(set(labels)))}
+        self._label_rank = np.asarray([ranks[l] for l in labels], dtype=np.int64)
+
+    def _scan_batch_arrays(self, texts: list[str]):
+        """ONE global scan per miner over the newline-joined batch,
+        returning numpy span arrays — no per-mention Python objects.
 
         Exact-span equivalent of the per-row engine for fast-safe miners
         (asserted by tests/test_miner_pool_fastpath.py): no fast-safe
@@ -108,81 +112,172 @@ class MinerPool:
         per-row scan.  The NER BOF-delimiter quirk applies per row, so
         rows starting with a non-space delimiter are patched after the
         global scan (dict words never start with a delimiter — checked in
-        ``_fast_scan_safe``)."""
+        ``_fast_scan_safe``).
+
+        Returns ``(joined, starts, rows, gu0, gu1, lab_idx, prob)`` where
+        gu0/gu1 are codepoint spans into ``joined``, ``rows`` the batch row
+        of each span, ``lab_idx`` the miner index.  Array order is
+        miner-major with spans ascending within each miner — i.e. per row,
+        exactly the per-row engine's insertion order (found.extend per
+        miner in miner order)."""
+        import re as _re
+
         import numpy as np
 
         from nativeextractor_ray.miners.ner import DictionaryMiner
-        from nativeextractor_ray.occurrence import Mention
-        from nativeextractor_ray.unicode import byte_offsets, is_delimiter, to_byte_span
+        from nativeextractor_ray.unicode import is_delimiter
 
         joined = "\n".join(texts)
-        starts = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, t in enumerate(texts):
-            starts[i + 1] = starts[i] + len(t) + 1
-        row_start = starts[:-1]
-        ascii_row = [t.isascii() for t in texts]
-        off_cache: dict[int, list] = {}
+        nrows = len(texts)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nrows)
+        starts = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=starts[1:])
 
-        per_row: list[list] = [[] for _ in texts]
+        # rows starting with a NON-SPACE delimiter: the per-row scan trims
+        # that char off the first token (ner.c:24); the global scan saw it
+        # only at joined[0].  Row 0 needs no patch: joined[0] IS
+        # texts[0][0], so the global scan already applied the quirk there.
+        quirk_rows = [
+            r for r, t in enumerate(texts)
+            if r > 0 and t and is_delimiter(t[0]) and not t[0].isspace()
+        ]
+        quirk_starts = starts[np.asarray(quirk_rows, dtype=np.int64)] if quirk_rows else None
 
-        def emit(miner, u0: int, u1: int, prob: float, r: int):
-            lu0 = u0 - int(row_start[r])
-            lu1 = u1 - int(row_start[r])
-            if ascii_row[r]:
-                pos, blen = lu0, lu1 - lu0
-            else:
-                o = off_cache.get(r)
-                if o is None:
-                    o = off_cache[r] = byte_offsets(texts[r])
-                pos, blen = to_byte_span(o, lu0, lu1)
-            per_row[r].append(
-                Mention(miner.label, pos, lu0, blen, lu1 - lu0,
-                        texts[r][lu0:lu1], prob)
-            )
-
-        for miner in self.miners:
+        u0_parts, u1_parts, lab_parts, prob_parts = [], [], [], []
+        for mi, miner in enumerate(self.miners):
             spans = miner.find(joined)
-            if not spans:
-                continue
-            rows = np.searchsorted(
-                starts, np.fromiter((s[0] for s in spans), dtype=np.int64,
-                                    count=len(spans)),
-                side="right",
-            ) - 1
-            if isinstance(miner, DictionaryMiner):
-                # rows starting with a NON-SPACE delimiter: the per-row
-                # scan trims that char off the first token (ner.c:24); the
-                # global scan saw it only at joined[0].  The trimmed
-                # mention starts at local position 1, before any other
-                # token of the row, so emitting it first keeps row order.
-                # row 0 needs no patch: joined[0] IS texts[0][0], so the
-                # global scan already applied the quirk there
-                quirk = {
-                    r for r, t in enumerate(texts)
-                    if r > 0 and t and is_delimiter(t[0]) and not t[0].isspace()
-                }
-                import re as _re
-
-                for r in sorted(quirk):
-                    t = texts[r]
-                    m0 = _re.match(r"\S+", t)
+            n = len(spans)
+            u0 = np.fromiter((s[0] for s in spans), dtype=np.int64, count=n)
+            u1 = np.fromiter((s[1] for s in spans), dtype=np.int64, count=n)
+            pr = np.fromiter((s[2] for s in spans), dtype=np.float32, count=n)
+            if isinstance(miner, DictionaryMiner) and quirk_rows:
+                # drop any global span anchored at a quirk row's first char
+                # (untrimmed first token accepted globally — cannot happen
+                # for letter-first dictionaries, guarded in
+                # _fast_scan_safe; kept to stay row-equivalent)
+                drop = np.isin(u0, quirk_starts)
+                if drop.any():
+                    keep = ~drop
+                    u0, u1, pr = u0[keep], u1[keep], pr[keep]
+                # emit the trimmed first token where the dictionary accepts
+                # it; its start (local position 1) precedes every other
+                # token of the row, so the merge below keeps row order
+                q0, q1 = [], []
+                for r in quirk_rows:
+                    m0 = _re.match(r"\S+", texts[r])
                     tok = m0.group()[1:] if m0 else ""
                     if tok and miner.accepts(tok):
-                        emit(miner, int(row_start[r]) + 1,
-                             int(row_start[r]) + m0.end(), 1.0, r)
-                for (u0, u1, prob), r in zip(spans, rows):
-                    if int(r) in quirk and u0 == row_start[r]:
-                        # untrimmed first token accepted globally — cannot
-                        # happen for letter-first dictionaries (guarded in
-                        # _fast_scan_safe); skip to stay row-equivalent
-                        continue
-                    emit(miner, int(u0), int(u1), prob, int(r))
-            else:
-                for (u0, u1, prob), r in zip(spans, rows):
-                    emit(miner, int(u0), int(u1), prob, int(r))
-        return per_row
+                        q0.append(int(starts[r]) + 1)
+                        q1.append(int(starts[r]) + m0.end())
+                if q0:
+                    u0 = np.concatenate([u0, np.asarray(q0, np.int64)])
+                    u1 = np.concatenate([u1, np.asarray(q1, np.int64)])
+                    pr = np.concatenate([pr, np.ones(len(q0), np.float32)])
+                    order = np.argsort(u0, kind="stable")
+                    u0, u1, pr = u0[order], u1[order], pr[order]
+            u0_parts.append(u0)
+            u1_parts.append(u1)
+            prob_parts.append(pr)
+            lab_parts.append(np.full(len(u0), mi, dtype=np.int64))
+
+        gu0 = np.concatenate(u0_parts) if u0_parts else np.empty(0, np.int64)
+        gu1 = np.concatenate(u1_parts) if u1_parts else np.empty(0, np.int64)
+        lab = np.concatenate(lab_parts) if lab_parts else np.empty(0, np.int64)
+        prob = np.concatenate(prob_parts) if prob_parts else np.empty(0, np.float32)
+        rows = np.searchsorted(starts, gu0, side="right") - 1
+        return joined, starts, rows, gu0, gu1, lab, prob
+
+    def _call_fast(self, batch: pa.Table) -> pa.Table:
+        """Vectorized batch path: numpy span arrays end to end, one Arrow
+        ``take`` for the carried columns, one ``pa.array`` per output
+        column — no per-mention Python append loop (the round-1 output
+        assembly was the mention-scan wall; VERDICT.md r1 item 1)."""
+        import numpy as np
+
+        texts = batch.column("text").to_pylist()
+        joined, starts, rows, gu0, gu1, lab, prob = self._scan_batch_arrays(texts)
+
+        # local codepoint spans
+        lu0 = gu0 - starts[rows]
+        ulen = gu1 - gu0
+        # byte spans, vectorized: per-codepoint UTF-8 widths via the
+        # UTF-32 view of the joined batch (equals the reference's
+        # unicode_getbytesize, include/nativeextractor/unicode.h:36-44)
+        if joined.isascii():
+            pos, blen = lu0, ulen
+            gb0, gbend = gu0, gu1
+            total_bytes = len(joined)
+        else:
+            cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            w = (
+                1
+                + (cp >= 0x80).astype(np.int64)
+                + (cp >= 0x800)
+                + (cp >= 0x10000)
+            )
+            gboff = np.zeros(len(cp) + 1, dtype=np.int64)
+            np.cumsum(w, out=gboff[1:])
+            gb0, gbend = gboff[gu0], gboff[gu1]
+            pos = gb0 - gboff[starts[rows]]
+            blen = gbend - gb0
+            total_bytes = int(gboff[-1])
+
+        # Enclosed filter as ONE global sweep in byte coordinates: rows
+        # occupy disjoint global intervals (a previous row's max end is
+        # always < the next row's span ends), so the global sweep equals
+        # the per-row filter_enclosed (extractor.c:145-203) — drop spans
+        # properly contained in another, keep identical intervals.
+        sel = np.arange(len(rows))
+        if self.no_enclosed and len(rows) > 1:
+            order = np.lexsort((-blen, gb0))  # pos asc, len desc
+            end_o = (gb0 + blen)[order]
+            # c encodes (end, -pos) lexicographically: prefix-max(c) > c_k
+            # iff an earlier-in-sweep span (pos<=pos_k) properly contains k
+            M = np.int64(total_bytes) + 2
+            c = end_o * M - gb0[order]
+            prefix = np.empty_like(c)
+            prefix[0] = np.iinfo(np.int64).min
+            np.maximum.accumulate(c[:-1], out=prefix[1:])
+            keep = np.ones(len(rows), dtype=bool)
+            keep[order] = prefix <= c
+            sel = np.nonzero(keep)[0]
+
+        if self.sort:
+            # (pos asc, len asc, label asc) within each row
+            # (extractor.c:102-112 + the deterministic label tiebreak of
+            # sort_occurrences)
+            order = np.lexsort(
+                (self._label_rank[lab[sel]], blen[sel], pos[sel], rows[sel])
+            )
+        else:
+            # keep per-row insertion order (miner-major, spans ascending)
+            order = np.argsort(rows[sel], kind="stable")
+        sel = sel[order]
+
+        idx = pa.array(rows[sel])
+        base = batch.select(["conv_id", "turn_idx", *self.carry]).take(idx)
+        labels = self._label_arr[lab[sel]]
+        g0 = gu0[sel].tolist()
+        g1 = gu1[sel].tolist()
+        data = {
+            "conv_id": base.column("conv_id"),
+            "turn_idx": base.column("turn_idx"),
+            "label": pa.array(labels, pa.string()),
+            "pos": pa.array(pos[sel], pa.int64()),
+            "upos": pa.array(lu0[sel], pa.int64()),
+            "len": pa.array(blen[sel].astype(np.int32)),
+            "ulen": pa.array(ulen[sel].astype(np.int32)),
+            "surface": pa.array([joined[a:b] for a, b in zip(g0, g1)], pa.string()),
+            "prob": pa.array(prob[sel], pa.float32()),
+        }
+        for c in self.carry:
+            data[c] = base.column(c)
+        return pa.table(data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._fast_ok:
+            return self._call_fast(batch)
+
         conv = batch.column("conv_id").to_pylist()
         turn = batch.column("turn_idx").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -190,18 +285,10 @@ class MinerPool:
 
         cols: dict[str, list] = {name: [] for name in MENTIONS_SCHEMA.names}
         carried_out: dict[str, list] = {c: [] for c in self.carry}
-        fast_rows = self._find_batch(texts) if self._fast_ok else None
         for r, text in enumerate(texts):
-            if fast_rows is not None:
-                found = fast_rows[r]
-                if self.no_enclosed:
-                    found = filter_enclosed(found)
-                if self.sort:
-                    found = sort_occurrences(found)
-            else:
-                found = run_miners(
-                    text, self.miners, no_enclosed=self.no_enclosed, sort=self.sort
-                )
+            found = run_miners(
+                text, self.miners, no_enclosed=self.no_enclosed, sort=self.sort
+            )
             for m in found:
                 cols["conv_id"].append(conv[r])
                 cols["turn_idx"].append(turn[r])
