@@ -135,14 +135,18 @@ def events_sliding_window(sf_dir: str, size_min: int = 60, hop_min: int = 30):
             "window": pa.array(win.astype("datetime64[us]")),
             "event_type": pa.array(np.concatenate(e_out).tolist(), pa.string()),
             "cents": pa.array(np.concatenate(c_out)),
+            # count(*) semantics even if value is ever null (a ("cents",
+            # "count") aggregate would null-skip) — same fix as the
+            # tumbling window
+            "one": pa.array(np.ones(len(win), dtype=np.int64)),
         })
         g = tmp.group_by(["window", "event_type"]).aggregate(
-            [("cents", "sum"), ("cents", "count")]
+            [("cents", "sum"), ("one", "sum")]
         )
         return pa.table({
             "window": g.column("window"),
             "event_type": g.column("event_type"),
-            "n": pc.cast(g.column("cents_count"), pa.int64()),
+            "n": pc.cast(g.column("one_sum"), pa.int64()),
             "value_cents": pc.cast(g.column("cents_sum"), pa.int64()),
         })
 
