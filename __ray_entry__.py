@@ -8,8 +8,12 @@ here (or in the library) calls ``ray.init()``/``ray.shutdown()``.
 - ``queries()`` — one entry per implemented pipeline/operator
   (SURVEY.md §2 + the training-data operators); each callable takes
   ``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible
-  (non-SQL ops — MinHash/SimHash dedup, LSH ANN — are rows-only checked).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible.
+  Only two queries are rows-only checked: ``ann_ivf_topk`` (the k-means
+  quantizer is trained state, not SQL-expressible; recall is pytest-
+  asserted instead) and ``mentions_spans`` (DuckDB regexp functions
+  cannot return match OFFSETS, and the span math is the point of the
+  query; surfaces/labels ARE oracle-checked via the mentions_* queries).
 """
 
 from __future__ import annotations
@@ -58,21 +62,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_keep_list": dedup.dedup_keep_list,
-        "dedup_minhash": dedup.dedup_minhash_pairs,      # rows-only (LSH)
-        "dedup_simhash": dedup.dedup_simhash_pairs,      # rows-only (LSH)
+        "dedup_minhash": dedup.dedup_minhash_pairs,  # LSH + exact verify
+        "dedup_simhash": dedup.dedup_simhash_pairs,  # md5-simhash, exact SQL
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding": dedup.embedding_dup_pairs,
         "ann_topk": similarity.ann_cosine_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,         # rows-only (approx)
-        "ann_ivf_topk": similarity.ann_ivf_topk,         # rows-only (approx)
+        "ann_lsh_topk": similarity.ann_lsh_topk,  # plane-literal SQL oracle
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (trained quantizer)
         "text_quality": textstats.text_quality,
         "documents_quality_filtered": textstats.documents_quality_filtered,
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
-        "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,  # rows-only
+        "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,
         "multimodal_features": multimodal.multimodal_features,
-        "frame_sample": multimodal.frame_sample_features,  # rows-only
+        "frame_sample": multimodal.frame_sample_features,
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)  # rows-only: full
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -114,15 +118,25 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_totals": relational.ORDER_PRIORITY_TOTALS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
+        # LSH proposes, exact n-gram Jaccard verifies → the quadratic SQL
+        # is a true oracle (recall argument in dedup_minhash_pairs)
+        "dedup_minhash": dedup.ngram_jaccard_sql(3, 0.5),
+        # signature computation replayed in SQL; 4×16 banding has
+        # guaranteed recall for Hamming ≤ 3, so all-pairs SQL == LSH output
+        "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding": dedup.embedding_dup_sql(),
         "ann_topk": similarity.ANN_TOPK_SQL,
+        # seed-fixed hyperplanes as SQL literals → identical buckets+rerank
+        "ann_lsh_topk": similarity.ann_lsh_sql(),
         "text_quality": textstats.TEXT_QUALITY_SQL,
         "documents_quality_filtered": textstats.DOCUMENTS_QUALITY_FILTERED_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+        "doc_fingerprint_winnow": textstats.WINNOW_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
+        "frame_sample": multimodal.FRAME_SAMPLE_SQL,
     }
     sqls.update(o.mention_sqls())
     return sqls

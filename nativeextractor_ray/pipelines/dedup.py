@@ -113,9 +113,13 @@ def _shingle_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
     if m < n:
         n = m
     with np.errstate(over="ignore"):
+        # multiply-THEN-xor chain: xor-first ((a^b)*G) is symmetric in the
+        # first two tokens, so transposed grams collided (caught by the
+        # minhash-vs-exact-SQL oracle); acc*G ^ t is order-sensitive at
+        # every position
         acc = tok_hashes[: m - n + 1].copy()
         for k in range(1, n):
-            acc = (acc ^ tok_hashes[k : m - n + 1 + k]) * GOLDEN + np.uint64(k)
+            acc = (acc * GOLDEN) ^ tok_hashes[k : m - n + 1 + k]
     return np.unique(acc)
 
 
@@ -215,18 +219,176 @@ def minhash_pairs(ds, threshold: float = 0.5):
     return _pair_dedup(pairs, "est_jaccard", "max")
 
 
-def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
-    return minhash_pairs(_docs(sf_dir), threshold)
+def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
+    """LSH candidates + EXACT verification (the standard production shape):
+
+    1. MinHash/LSH proposes candidate pairs with a LOOSE estimator gate
+       (``threshold - 0.15``) so estimator variance can't drop a true pair;
+    2. each candidate is verified with its exact word-n-gram Jaccard and
+       kept iff ``jaccard >= threshold``.
+
+    The verify stage broadcasts only the candidate doc-ID SET (8 bytes per
+    doc) to filter the corpus, then ships each candidate doc's distinct
+    shingle-hash array through two coarse-partitioned shuffles to attach
+    both sides of every pair — pairs and shingle rows scale with the
+    near-dup population, never the corpus.
+
+    Oracle: exact verification makes the output SQL-expressible —
+    ``ngram_jaccard_sql(shingle_n, threshold)`` recomputes the same pairs
+    quadratically in DuckDB; they agree whenever LSH recall at
+    ``threshold`` is 1 on the data (16 bands × 4 rows: P(miss) at J=0.8
+    is ~3e-8; verified empirically at every sf)."""
+    import ray
+
+    cand = minhash_pairs(_docs(sf_dir), max(0.0, threshold - 0.15)).materialize()
+
+    # candidate doc-id set (ids only): semijoin filter for the corpus
+    idt = [ray.get(r) for r in cand.to_arrow_refs()]
+    cand_ids: set[int] = set()
+    for t in idt:
+        if t.num_rows == 0:  # empty reducer blocks carry an empty schema
+            continue
+        cand_ids.update(t.column("doc_a").to_pylist())
+        cand_ids.update(t.column("doc_b").to_pylist())
+    if not cand_ids:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    idref = ray.put(cand_ids)
+
+    class ShingleSets:
+        def __init__(self):
+            self.tokens = _TokenHashCache()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = ray.get(idref)
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            d_out, s_out = [], []
+            for d, txt in zip(ids, texts):
+                if d in keep:
+                    sh = _shingle_hashes(self.tokens.hash_tokens(txt), 3)
+                    d_out.append(d)
+                    s_out.append(sh.tobytes())  # binary, not list<int64>:
+                    # Ray auto-promotes equal-length list columns to a
+                    # tensor extension type that breaks pandas map_groups
+            return pa.table({
+                "doc_id": pa.array(d_out, pa.int64()),
+                "sh": pa.array(s_out, pa.binary()),
+            })
+
+    shingles = _docs(sf_dir).map_batches(ShingleSets, batch_format="pyarrow",
+                                         concurrency=(1, 8))
+
+    # shuffle A: attach doc_a's shingle list to each pair
+    def tag_a(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        return pa.table({
+            "key": a, "doc_b": t.column("doc_b"),
+            "sh": pa.nulls(len(a), pa.binary()),
+            "part3": pa.array((a % N_PARTS).astype(np.int64)),
+        })
+
+    def tag_sh(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return pa.table({
+            "key": d, "doc_b": pa.nulls(len(d), pa.int64()),
+            "sh": t.column("sh"),
+            "part3": pa.array((d % N_PARTS).astype(np.int64)),
+        })
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        sets = df[df["doc_b"].isna()].drop_duplicates("key").set_index("key")["sh"]
+        prs = df[~df["doc_b"].isna()]
+        out = pd.DataFrame({
+            "doc_a": prs["key"].astype("int64"),
+            "doc_b": prs["doc_b"].astype("int64"),
+            "sh_a": prs["key"].map(sets),
+        })
+        out["part4"] = (out["doc_b"].to_numpy() % N_PARTS).astype("int64")
+        return out
+
+    # shuffle B: attach doc_b's list, compute exact jaccard
+    def tag_b_sh(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_a": pa.nulls(len(d), pa.int64()),
+            "doc_b": pa.array(d, pa.int64()),
+            "sh_a": t.column("sh"),
+            "part4": pa.array((d % N_PARTS).astype(np.int64)),
+        })
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sets = df[df["doc_a"].isna()].drop_duplicates("doc_b").set_index("doc_b")["sh_a"]
+        prs = df[~df["doc_a"].isna()]
+        a_out, b_out, j_out = [], [], []
+        for a, b, sh_a in zip(prs["doc_a"].astype("int64"),
+                              prs["doc_b"].astype("int64"), prs["sh_a"]):
+            sh_b = sets.get(b)
+            if sh_a is None or sh_b is None:
+                continue
+            sa = np.frombuffer(sh_a, dtype=np.uint64)
+            sb = np.frombuffer(sh_b, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                a_out.append(int(a)); b_out.append(int(b)); j_out.append(round(j, 6))
+        return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),
+                             "doc_b": pd.array(b_out, dtype="int64"),
+                             "jaccard": pd.array(j_out, dtype="float64")})
+
+    withA = (
+        cand.map_batches(tag_a, batch_format="pyarrow")
+        .union(shingles.map_batches(tag_sh, batch_format="pyarrow"))
+        .groupby("part3")
+        .map_groups(attach_a, batch_format="pandas")
+    )
+    return (
+        withA.map_batches(
+            lambda t: t.select(["doc_a", "doc_b", "sh_a", "part4"]),
+            batch_format="pyarrow")
+        .union(shingles.map_batches(tag_b_sh, batch_format="pyarrow"))
+        .groupby("part4")
+        .map_groups(verify, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- simhash
 
 
+def _md5_h64(tok: str) -> int:
+    """Lower 8 digest bytes of md5, little-endian — EXACTLY DuckDB's
+    ``md5_number_lower``, so the simhash oracle can recompute token hashes
+    in SQL (blake2b has no DuckDB equivalent)."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:16], "little")
+
+
+class _Md5TokenHashCache(_TokenHashCache):
+    def hash_tokens(self, text: str) -> np.ndarray:
+        c = self.cache
+        out = []
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            v = c.get(tok)
+            if v is None:
+                v = _md5_h64(tok)
+                c[tok] = v
+            out.append(v)
+        return np.array(out, dtype=np.uint64)
+
+
 class SimHasher:
-    """Vectorized simhash: per-doc weighted bit votes over token hashes."""
+    """Vectorized simhash: per-doc weighted bit votes over token hashes.
+
+    Token hashes are md5-lower64 (``_md5_h64``) so SIMHASH_SQL can replay
+    the identical signature computation with ``md5_number_lower``."""
 
     def __init__(self):
-        self.tokens = _TokenHashCache()
+        self.tokens = _Md5TokenHashCache()
         self._bits = np.arange(64, dtype=np.uint64)
 
     def sim64(self, th: np.ndarray) -> int:
@@ -296,6 +458,46 @@ def simhash_pairs(ds, max_hamming: int = 3):
 
 def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     return simhash_pairs(_docs(sf_dir), max_hamming)
+
+
+# SimHash oracle: replays the EXACT signature computation in SQL (md5
+# token hashes via md5_number_lower, weighted bit votes, votes > 0 → bit),
+# then all-pairs Hamming ≤ 3.  Valid as a full oracle because the 4×16-bit
+# banding has GUARANTEED recall for Hamming ≤ 3 (pigeonhole: at most 3
+# differing bits can spoil at most 3 of the 4 bands), so the bucketed Ray
+# output equals the quadratic SQL — no luck involved.
+SIMHASH_SQL = """WITH tk AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h, sum(c) AS c
+  FROM tk GROUP BY doc_id, md5_number_lower(tok)
+),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(c * (2 * CAST((h >> b.b) & 1 AS BIGINT) - 1)) AS v
+  FROM th, UNNEST(generate_series(0, 63)) AS b(b)
+  GROUP BY doc_id, b.b
+),
+sigu AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+             ELSE 0 END) AS HUGEINT) AS su
+  FROM votes GROUP BY doc_id
+),
+sig AS (  -- uint64 bit pattern reinterpreted as int64 (matches the Ray view)
+  SELECT doc_id,
+    CAST(CASE WHEN su >= 9223372036854775808 THEN su - 18446744073709551616
+         ELSE su END AS BIGINT) AS s
+  FROM sigu
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3"""
 
 
 # ---------------------------------------------------------------- exact n-gram jaccard

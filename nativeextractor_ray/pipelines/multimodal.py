@@ -105,7 +105,12 @@ FROM documents"""
 
 def frame_sample_features(sf_dir: str, stride: int = 16):
     """Frame/sample extraction pattern: stride-sample the payload bytes and
-    emit per-doc aggregate features.  Rows-only checked."""
+    emit per-doc aggregate features.
+
+    Oracle: the payload after the 8-byte header IS the document text
+    (fake_media_dataset), so FRAME_SAMPLE_SQL strides over the text's
+    bytes directly (byte == character on this corpus — every document is
+    ASCII, asserted by tests/test_trainingdata.py)."""
     import numpy as np
 
     ds = fake_media_dataset(sf_dir)
@@ -125,3 +130,15 @@ def frame_sample_features(sf_dir: str, stride: int = 16):
         })
 
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=256)
+
+
+FRAME_SAMPLE_SQL = """SELECT doc_id,
+  n_frames,
+  CAST(CASE WHEN n_frames = 0 THEN 0 ELSE s // n_frames END AS BIGINT) AS mean_byte
+FROM (
+  SELECT doc_id,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+         ELSE (length(text) - 1) // 16 + 1 END AS BIGINT) AS n_frames,
+    coalesce(list_sum(list_transform(
+      generate_series(1, length(text), 16), i -> ascii(substr(text, i, 1)))), 0) AS s
+  FROM documents)"""

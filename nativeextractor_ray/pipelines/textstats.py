@@ -186,7 +186,11 @@ DOC_FINGERPRINT_SQL = "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
 
 def doc_fingerprint_winnow(sf_dir: str, k: int = 8, w: int = 16):
     """Winnowing fingerprints (rolling k-byte hashes, window-min selection,
-    Schleimer et al. 2003).  Rows-only checked (no SQL equivalent)."""
+    Schleimer et al. 2003).
+
+    Oracle: WINNOW_SQL replays the same polynomial rolling hash
+    (base 257 mod 2^61-1, HUGEINT intermediates) and the leftmost-argmin
+    window selection in DuckDB — byte == character on this ASCII corpus."""
     from nativeextractor_ray.functions.hashing import rolling_hashes, winnow
 
     def fp(t: pa.Table) -> pa.Table:
@@ -210,6 +214,59 @@ def doc_fingerprint_winnow(sf_dir: str, k: int = 8, w: int = 16):
         })
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+# Winnowing in SQL: positions i = 1..len-7 get the rolling hash of bytes
+# [i, i+7] (same base-257 / mod 2^61-1 polynomial, HUGEINT intermediates);
+# each length-16 window picks its LEFTMOST argmin via min(h * 2^40 + i);
+# consecutive-duplicate picks collapse to DISTINCT positions (the argmin
+# position is non-decreasing as the window slides, so consecutive dedup ==
+# distinct).  Small docs: 8 <= len <= 23 yields the single min hash;
+# len < 8 yields zero fingerprints.
+WINNOW_SQL = """WITH pos AS (
+  SELECT doc_id, i,
+    CAST(list_reduce(
+      list_transform(generate_series(i, i + 7),
+                     p -> CAST(ascii(substr(text, p, 1)) AS HUGEINT)),
+      (a, x) -> (a * 257 + x) % 2305843009213693951) AS HUGEINT) AS h
+  FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+  WHERE length(text) >= 8
+),
+npos AS (SELECT doc_id, max(i) AS n FROM pos GROUP BY doc_id),
+sel AS (
+  SELECT p.doc_id, p.i,
+    min(p.h * 1099511627776 + p.i) OVER (
+      PARTITION BY p.doc_id ORDER BY p.i
+      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS key
+  FROM pos p JOIN npos n ON n.doc_id = p.doc_id
+  WHERE n.n > 16
+  QUALIFY p.i <= n.n - 15
+),
+picks AS (
+  SELECT DISTINCT doc_id,
+         key // 1099511627776 AS h
+  , key % 1099511627776 AS j
+  FROM sel
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         CAST(min(h) AS BIGINT) AS fp_min,
+         CAST(bit_xor(CAST(h AS BIGINT)) AS BIGINT) AS fp_xor
+  FROM picks GROUP BY doc_id
+),
+small AS (  -- 8 <= len <= 23: single pick = global min hash
+  SELECT p.doc_id, CAST(1 AS BIGINT) AS n_fp,
+         CAST(min(p.h) AS BIGINT) AS fp_min,
+         CAST(min(p.h) AS BIGINT) AS fp_xor
+  FROM pos p JOIN npos n ON n.doc_id = p.doc_id
+  WHERE n.n <= 16 GROUP BY p.doc_id
+),
+tiny AS (  -- len < 8: no k-grams at all
+  SELECT doc_id, CAST(0 AS BIGINT) AS n_fp, CAST(0 AS BIGINT) AS fp_min,
+         CAST(0 AS BIGINT) AS fp_xor
+  FROM documents WHERE length(text) < 8
+)
+SELECT * FROM agg UNION ALL SELECT * FROM small UNION ALL SELECT * FROM tiny"""
 
 
 def documents_quality_filtered(sf_dir: str, min_tokens: int = 10, min_stop_pm: int = 0):
