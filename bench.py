@@ -91,6 +91,37 @@ def run_mentions_throughput() -> dict:
             "mb_per_sec": n_bytes / dt / 1e6}
 
 
+def run_gazetteer() -> dict:
+    """100k-word gazetteer scan: FlatDictionary built once + ray.put once,
+    resolved per actor (the PATTY-mmap economics, VERDICT r1 item 6)."""
+    import numpy as np
+    import ray
+
+    from nativeextractor_ray.sources.transcripts import DICT_NAMES, transcripts_dataset
+    from nativeextractor_ray.stages.miner_pool import MinerPool
+    from nativeextractor_ray.state.flatdict import FlatDictionary
+
+    rng = np.random.default_rng(5)
+    big = {f"gz{int(x):07d}" for x in rng.integers(0, 10**7, size=100_000)}
+    t0 = time.perf_counter()
+    ref = ray.put(FlatDictionary(sorted(set(DICT_NAMES) | big)))
+    build = time.perf_counter() - t0
+
+    from nativeextractor_ray.pipelines.common import pool_concurrency
+
+    ds = transcripts_dataset(SF_DIR, replicate=max(1, REPLICATE // 4))
+    t0 = time.perf_counter()
+    n = ds.map_batches(
+        MinerPool,
+        fn_constructor_args=([("ner", (ref,), {"label": "Dict"})],),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=pool_concurrency(),
+    ).count()
+    return {"sec": round(time.perf_counter() - t0, 3),
+            "build_sec": round(build, 3), "mentions": n}
+
+
 def run_suite() -> dict:
     """Secondary pipelines (smaller, one pass each)."""
     import importlib
@@ -130,9 +161,11 @@ def main() -> None:
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     head = run_headline()
     ment = run_mentions_throughput()
+    gaz = run_gazetteer()
     qs = run_suite()
     qs = {"triples_e2e": round(head["sec"], 3),
-          "mentions_e2e": round(ment["sec"], 3), **qs}
+          "mentions_e2e": round(ment["sec"], 3),
+          "gazetteer_100k": gaz["sec"], **qs}
     total = round(sum(qs.values()), 3)
     print(json.dumps({
         "metric": "e2e turns/sec triple extraction (headline) + suite wall sec",

@@ -37,11 +37,28 @@ class DictionaryMiner(Miner):
 
     def __init__(
         self,
-        words: Iterable[str] | PatriciaTrie,
+        words: "Iterable[str] | PatriciaTrie | object",
         label: str = "NER",
         threshold: float = NER_THRESHOLD,
     ):
-        self.trie = words if isinstance(words, PatriciaTrie) else PatriciaTrie(words)
+        from nativeextractor_ray.state.flatdict import FlatDictionary
+
+        try:
+            import ray
+
+            if isinstance(words, ray.ObjectRef):
+                # large-gazetteer path: the FlatDictionary artifact was
+                # built once and ray.put by the driver; each actor resolves
+                # it here — numpy buffers are plasma-shared per node (the
+                # Ray analogue of the reference's PATTY mmap,
+                # patricia.c:583-612)
+                words = ray.get(words)
+        except ImportError:  # pure-library use without ray
+            pass
+        if isinstance(words, (PatriciaTrie, FlatDictionary)):
+            self.trie = words
+        else:
+            self.trie = PatriciaTrie(words)
         self.label = label
         self.threshold = threshold
         self._memo: dict[str, bool] = {}
@@ -51,9 +68,19 @@ class DictionaryMiner(Miner):
         # tokens on natural text.  Non-ASCII first chars bypass the filter:
         # partial lead-byte matches inside one multi-byte char can still
         # reach the ratio (e.g. 3 of 4 bytes = 0.75).
-        self._first = frozenset(
-            k.decode("utf-8", "replace")[0] for k, _ in self.trie.items() if k
-        ) if threshold > 0 else None
+        if threshold <= 0:
+            first_bytes: list[int] | None = None
+            self._first = None
+        else:
+            if hasattr(self.trie, "first_bytes"):
+                # flat artifact: O(distinct first bytes), no full traversal
+                first_bytes = sorted(self.trie.first_bytes())
+            else:
+                first_bytes = sorted({k[0] for k, _ in self.trie.items() if k})
+            self._first = frozenset(
+                chr(b) if b < 0x80 else bytes([b]).decode("utf-8", "replace")
+                for b in first_bytes
+            )
         # Candidate-token regex: a token can only reach prefix-ratio > 0 if
         # its first BYTE matches some trie root edge (the ratio is
         # matched-bytes / token-bytes, so any accept needs >= 1 matched
@@ -64,8 +91,7 @@ class DictionaryMiner(Miner):
         # -\U0010ffff range defeats it).  Lets the C regex engine
         # skip non-candidate tokens instead of a Python loop over every
         # \S+ token — the round-1 mention-scan profile was 70% that loop.
-        if self._first is not None:
-            first_bytes = sorted({k[0] for k, _ in self.trie.items() if k})
+        if first_bytes is not None:
             if not first_bytes:
                 self._cand = re.compile(r"(?!x)x")  # empty dict: no matches
             elif first_bytes[-1] < 0x80:

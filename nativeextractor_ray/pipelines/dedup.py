@@ -18,9 +18,9 @@ Scale shape (each documented inline):
              n_gram) rows → coarse partition → per-gram pair partials →
              ``groupby(pair)`` sums.  No broadcast of per-doc counts (they
              ride on each row), no join.
-- embedding: normalized matrix broadcast once via ``ray.put`` (the IVF/LSH
-             bucketing path takes over when the matrix outgrows a
-             broadcast; see similarity.py), per-batch numpy matmul.
+- embedding: banded hyperplane-LSH buckets → in-bucket exact cosine
+             rerank (simhash-shaped coarse partition; nothing global is
+             broadcast, the SQL oracle replays the bucketing).
 
 All pair emitters cap pathological buckets at ``MAX_BUCKET`` docs
 (SURVEY.md §4.3.2 skew rule) — a degenerate corpus (everything identical)
@@ -210,13 +210,19 @@ def _pair_dedup(pairs, value_col: str, how: str):
     return pairs.groupby("part2").map_groups(combine, batch_format="pandas")
 
 
-def minhash_pairs(ds, threshold: float = 0.5):
-    """MinHash+LSH near-dup pairs over any (doc_id, text) Dataset."""
+def _minhash_candidates(ds, threshold: float):
+    """Raw in-bucket pair candidates (may repeat across bands — callers
+    dedup, either via :func:`_pair_dedup` or inside their own verify
+    partition)."""
     buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
-    pairs = buckets.groupby("part").map_groups(
+    return buckets.groupby("part").map_groups(
         lambda g: _minhash_partition_pairs(g, threshold), batch_format="pandas"
     )
-    return _pair_dedup(pairs, "est_jaccard", "max")
+
+
+def minhash_pairs(ds, threshold: float = 0.5):
+    """MinHash+LSH near-dup pairs over any (doc_id, text) Dataset."""
+    return _pair_dedup(_minhash_candidates(ds, threshold), "est_jaccard", "max")
 
 
 def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
@@ -240,7 +246,10 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     is ~3e-8; verified empirically at every sf)."""
     import ray
 
-    cand = minhash_pairs(_docs(sf_dir), max(0.0, threshold - 0.15)).materialize()
+    # raw candidates (band-level duplicates kept: the verify partition
+    # dedups them for free — all rows of a pair share doc_b, hence part4 —
+    # which saves _pair_dedup's two extra shuffles)
+    cand = _minhash_candidates(_docs(sf_dir), max(0.0, threshold - 0.15)).materialize()
 
     # candidate doc-id set (ids only): semijoin filter for the corpus
     idt = [ray.get(r) for r in cand.to_arrow_refs()]
@@ -259,29 +268,29 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
             "jaccard": pa.array([], pa.float64())}))
     idref = ray.put(cand_ids)
 
-    class ShingleSets:
-        def __init__(self):
-            self.tokens = _TokenHashCache()
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        # task (not actor) stage: the candidate filter drops most rows, so
+        # pool startup would dwarf the work; the token cache is per batch
+        keep = ray.get(idref)
+        tokens = _TokenHashCache()
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        d_out, s_out = [], []
+        for d, txt in zip(ids, texts):
+            if d in keep:
+                sh = _shingle_hashes(tokens.hash_tokens(txt), 3)
+                d_out.append(d)
+                s_out.append(sh.tobytes())  # binary, not list<int64>:
+                # Ray auto-promotes equal-length list columns to a
+                # tensor extension type that breaks pandas map_groups
+        return pa.table({
+            "doc_id": pa.array(d_out, pa.int64()),
+            "sh": pa.array(s_out, pa.binary()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = ray.get(idref)
-            ids = t.column("doc_id").to_pylist()
-            texts = t.column("text").to_pylist()
-            d_out, s_out = [], []
-            for d, txt in zip(ids, texts):
-                if d in keep:
-                    sh = _shingle_hashes(self.tokens.hash_tokens(txt), 3)
-                    d_out.append(d)
-                    s_out.append(sh.tobytes())  # binary, not list<int64>:
-                    # Ray auto-promotes equal-length list columns to a
-                    # tensor extension type that breaks pandas map_groups
-            return pa.table({
-                "doc_id": pa.array(d_out, pa.int64()),
-                "sh": pa.array(s_out, pa.binary()),
-            })
-
-    shingles = _docs(sf_dir).map_batches(ShingleSets, batch_format="pyarrow",
-                                         concurrency=(1, 8))
+    shingles = _docs(sf_dir).map_batches(
+        shingle_sets, batch_format="pyarrow"
+    ).materialize()  # consumed by BOTH verify shuffles — computed once
 
     # shuffle A: attach doc_a's shingle list to each pair
     def tag_a(t: pa.Table) -> pa.Table:
@@ -302,7 +311,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
 
     def attach_a(df: pd.DataFrame) -> pd.DataFrame:
         sets = df[df["doc_b"].isna()].drop_duplicates("key").set_index("key")["sh"]
-        prs = df[~df["doc_b"].isna()]
+        prs = df[~df["doc_b"].isna()].drop_duplicates(["key", "doc_b"])
         out = pd.DataFrame({
             "doc_a": prs["key"].astype("int64"),
             "doc_b": prs["doc_b"].astype("int64"),
@@ -323,7 +332,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         sets = df[df["doc_a"].isna()].drop_duplicates("doc_b").set_index("doc_b")["sh_a"]
-        prs = df[~df["doc_a"].isna()]
+        prs = df[~df["doc_a"].isna()].drop_duplicates(["doc_a", "doc_b"])
         a_out, b_out, j_out = [], [], []
         for a, b, sh_a in zip(prs["doc_a"].astype("int64"),
                               prs["doc_b"].astype("int64"), prs["sh_a"]):

@@ -46,9 +46,20 @@ def _fast_scan_safe(miners: Sequence[Miner]) -> bool:
 
     for m in miners:
         if isinstance(m, DictionaryMiner):
-            for k, _ in m.trie.items():
-                if k and is_delimiter(k.decode("utf-8", "replace")[0]):
+            if hasattr(m.trie, "first_bytes"):
+                # flat gazetteer artifact: decide from the first-byte set
+                # (O(256)) instead of materializing a million words; a
+                # non-ASCII first byte falls back to the per-row engine
+                # conservatively (the first CHAR would need a decode)
+                fb = m.trie.first_bytes()
+                if any(b >= 0x80 for b in fb):
                     return False
+                if any(is_delimiter(chr(b)) for b in fb):
+                    return False
+            else:
+                for k, _ in m.trie.items():
+                    if k and is_delimiter(k.decode("utf-8", "replace")[0]):
+                        return False
         elif not isinstance(m, (_ReMiner, EmailMiner)):
             return False
     return True
