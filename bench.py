@@ -28,6 +28,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Importing the package points RAY_DATA_LOGGING_CONFIG at a config that
+# silences the benign per-reduce-task "Failed to hash the schemas" spam
+# (see nativeextractor_ray/__init__.py) — must happen BEFORE ray.init so
+# workers inherit the env.
+import nativeextractor_ray  # noqa: E402,F401
 # replicate transcripts so the headline job is long enough to measure
 # (documents@sf0.1 = 5k rows -> x160 = 800k turns); deterministic.
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "160"))

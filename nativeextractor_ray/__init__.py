@@ -25,3 +25,19 @@ are owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Ray's block-schema dedup (transform_pyarrow.py) hashes block schemas for
+# an early-exit; any block that passed through pandas carries b'pandas'
+# schema metadata that this pyarrow version cannot hash, so every
+# sort-reduce task logs "Failed to hash the schemas (for deduplication):
+# unhashable type: 'dict'" and falls back to the correct unify path.
+# Benign but it drowns bench/driver logs.  Reduce tasks run in workers
+# that never import this package, so an in-process setLevel can't reach
+# them — instead point Ray Data's own logging hook at a config that pins
+# that one logger to ERROR (workers inherit the env from the driver).
+_os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    _os.path.join(_os.path.dirname(__file__), "ray_data_logging.yaml"),
+)

@@ -60,17 +60,32 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 # ---------------------------------------------------------------- exact
 
 
-def dedup_exact(sf_dir: str):
-    """Exact dedup: hash-partition on md5(text), keep min doc_id per group."""
+def dedup_exact_from(ds):
+    """Exact dedup over any (doc_id, text) Dataset: hash-partition on
+    md5(text), keep min doc_id per group."""
     from ray.data.aggregate import Count, Min
 
     def keys(t: pa.Table) -> pa.Table:
         key = [hashlib.md5(s.encode()).hexdigest() for s in t.column("text").to_pylist()]
         return pa.table({"key": pa.array(key, pa.string()), "doc_id": t.column("doc_id")})
 
-    ds = _docs(sf_dir).map_batches(keys, batch_format="pyarrow")
-    return ds.groupby("key").aggregate(
+    return ds.map_batches(keys, batch_format="pyarrow").groupby("key").aggregate(
         Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+
+
+def dedup_exact(sf_dir: str):
+    return dedup_exact_from(_docs(sf_dir))
+
+
+def combine_exact_partials(ds):
+    """Merge per-checkpoint-partition exact-dedup partials — the same
+    associative combine as the live groupby: min keep_id, summed n_dups
+    per content key."""
+    from ray.data.aggregate import Min, Sum
+
+    return ds.groupby("key").aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n_dups", alias_name="n_dups")
     )
 
 

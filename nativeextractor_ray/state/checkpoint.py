@@ -58,24 +58,86 @@ def partition_triples(sf_dir: str, pid: int, n_partitions: int, replicate: int =
     return triples_from_transcripts(ds)
 
 
+def partition_mentions(sf_dir: str, pid: int, n_partitions: int, replicate: int = 1):
+    """The mention-scan pipeline restricted to one input slice."""
+    from nativeextractor_ray.pipelines.common import DEFAULT_BATCH_SIZE, pool_concurrency
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+    from nativeextractor_ray.stages.miner_pool import MinerPool
+
+    ds = transcripts_dataset(
+        sf_dir, replicate=replicate, doc_partition=(pid, n_partitions)
+    )
+    return ds.map_batches(
+        MinerPool,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_BATCH_SIZE,
+        concurrency=pool_concurrency(),
+    )
+
+
+def partition_dedup_exact(sf_dir: str, pid: int, n_partitions: int, replicate: int = 1):
+    """Per-partition exact-dedup partials: md5 groups WITHIN the slice
+    (doc_id % n_partitions); finalize merges them with the same
+    associative combine (min keep_id, sum n_dups per key)."""
+    import numpy as np
+
+    from nativeextractor_ray.pipelines.dedup import dedup_exact_from
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % n_partitions == pid))
+
+    return dedup_exact_from(ds.map_batches(part_filter, batch_format="pyarrow"))
+
+
+#: checkpointable pipelines: name -> (partition factory, finalize combiner,
+#: weight column summed into the manifest counters or None)
+def _finalize_concat(ds):
+    return ds
+
+
+def _pipelines():
+    from nativeextractor_ray.pipelines.dedup import combine_exact_partials
+    from nativeextractor_ray.pipelines.kg import combine_triple_partials
+
+    return {
+        # outputs are per-(subj,pred,obj) partials -> associative merge
+        "triples": (partition_triples, combine_triple_partials, "support"),
+        # mentions from disjoint doc slices are globally disjoint -> concat
+        "mentions": (partition_mentions, _finalize_concat, None),
+        # per-key (md5) partials -> min keep_id + summed n_dups
+        "dedup_exact": (partition_dedup_exact, combine_exact_partials, "n_dups"),
+    }
+
+
 def run_partitioned(
     sf_dir: str,
     out_dir: str,
     n_partitions: int = 8,
     *,
+    pipeline: str = "triples",
     resume: bool = True,
     replicate: int = 1,
     fail_after: int | None = None,
 ) -> dict:
-    """Run the triples pipeline partition by partition with checkpointing.
+    """Run a checkpointable pipeline partition by partition.
 
-    ``fail_after`` (tests only) raises after N partitions to simulate a
-    killed run.  Returns a summary with per-partition status + counters.
+    ``pipeline`` names an entry of the registry (triples / mentions /
+    dedup_exact) — the checkpoint mechanics (deterministic input slices,
+    write-then-commit manifests, lineage fingerprints, resume skipping)
+    are pipeline-independent.  ``fail_after`` (tests only) raises after N
+    partitions to simulate a killed run.  Returns a summary with
+    per-partition status + counters.
     """
+    factory, _combine, weight_col = _pipelines()[pipeline]
     out = Path(out_dir)
     man_dir = out / "_manifest"
     man_dir.mkdir(parents=True, exist_ok=True)
     fp = _input_fingerprint(sf_dir)
+    stage_version = f"{STAGE_VERSION}:{pipeline}"
 
     done, ran, skipped = [], [], []
     t_start = time.time()
@@ -88,7 +150,7 @@ def run_partitioned(
                 m = None
             if (
                 m
-                and m.get("stage_version") == STAGE_VERSION
+                and m.get("stage_version") == stage_version
                 and m.get("input") == fp
                 and m.get("n_partitions") == n_partitions
                 and m.get("replicate") == replicate
@@ -100,7 +162,7 @@ def run_partitioned(
             raise RuntimeError(f"simulated kill after {fail_after} partitions")
 
         t0 = time.time()
-        ds = partition_triples(sf_dir, pid, n_partitions, replicate)
+        ds = factory(sf_dir, pid, n_partitions, replicate)
         part_dir = out / "parts" / str(pid)  # no "=" in the path: the
         # parquet reader would hive-infer a "part" column and collide with
         # the triple hash-partition column
@@ -117,21 +179,27 @@ def run_partitioned(
         # materialize it, count, then write (stays distributed in the
         # object store — no driver collection)
         mat = ds.materialize()
-        n_triples = mat.count()
-        support = sum(
-            r["s"] for r in mat.map_batches(
-                lambda t: pa.table({"s": pa.array([pc.sum(t.column("support")).as_py() or 0])}),
-                batch_format="pyarrow",
-            ).take_all()
-        )
+        n_rows = mat.count()
+        if weight_col is not None:
+            weight = sum(
+                r["s"] for r in mat.map_batches(
+                    lambda t, c=weight_col: pa.table(
+                        {"s": pa.array([pc.sum(t.column(c)).as_py() or 0])}
+                    ),
+                    batch_format="pyarrow",
+                ).take_all()
+            )
+        else:
+            weight = n_rows
         mat.write_parquet(str(part_dir))
         manifest = {
             "pid": pid,
             "n_partitions": n_partitions,
             "replicate": replicate,
-            "stage_version": STAGE_VERSION,
+            "pipeline": pipeline,
+            "stage_version": stage_version,
             "input": fp,
-            "counters": {"triples": n_triples, "support_total": int(support)},
+            "counters": {"rows": n_rows, "weight_total": int(weight)},
             "wall_sec": round(time.time() - t0, 3),
             "ts": time.time(),
         }
@@ -141,28 +209,29 @@ def run_partitioned(
 
     return {
         "out_dir": str(out),
+        "pipeline": pipeline,
         "n_partitions": n_partitions,
         "ran": ran,
         "skipped": skipped,
         "counters": {
-            "triples_partial": sum(m["counters"]["triples"] for m in done),
-            "support_total": sum(m["counters"]["support_total"] for m in done),
+            "rows_partial": sum(m["counters"]["rows"] for m in done),
+            "weight_total": sum(m["counters"]["weight_total"] for m in done),
         },
         "wall_sec": round(time.time() - t_start, 3),
     }
 
 
-def finalize(out_dir: str):
-    """Merge per-partition triple partials into the final triples Dataset
-    (same associative combine as the live pipeline)."""
+def finalize(out_dir: str, pipeline: str = "triples"):
+    """Merge per-partition partials into the final Dataset with the
+    pipeline's own associative combine (concat for pipelines whose
+    partition outputs are globally disjoint)."""
     import ray.data
 
-    from nativeextractor_ray.pipelines.kg import combine_triple_partials
-
+    _factory, combine, _w = _pipelines()[pipeline]
     files = [
         str(f)
         for p in sorted(Path(out_dir).glob("parts/*"))
         for f in sorted(p.glob("*.parquet"))
     ]
     ds = ray.data.read_parquet(files)
-    return combine_triple_partials(ds)
+    return combine(ds)

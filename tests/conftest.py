@@ -1,5 +1,6 @@
 """Shared fixtures.  Ray is initialised ONCE per pytest session."""
 
+import nativeextractor_ray  # noqa: F401  (sets RAY_DATA_LOGGING_CONFIG pre-init)
 import pytest
 
 

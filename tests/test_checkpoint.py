@@ -19,6 +19,15 @@ def _to_df(ds) -> pd.DataFrame:
     return df.sort_values(["subj", "pred", "obj"], kind="stable").reset_index(drop=True)
 
 
+def _to_df_cols(ds, cols) -> pd.DataFrame:
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows] or parts[:1]
+    df = pa.concat_tables(parts, promote_options="default").to_pandas()[cols]
+    return df.sort_values(cols, kind="stable").reset_index(drop=True)
+
+
 @pytest.fixture()
 def out_dir(tmp_path):
     return str(tmp_path / "kg_out")
@@ -76,10 +85,54 @@ def test_manifest_counters(sf_dir, out_dir, ray_session):
     summary = run_partitioned(sf_dir, out_dir, n_partitions=2)
     for pid in (0, 1):
         m = json.loads((Path(out_dir) / "_manifest" / f"part-{pid}.json").read_text())
-        assert m["counters"]["triples"] > 0
-        assert m["counters"]["support_total"] >= m["counters"]["triples"]
+        assert m["counters"]["rows"] > 0
+        assert m["counters"]["weight_total"] >= m["counters"]["rows"]
         assert m["wall_sec"] > 0 and m["stage_version"]
-    assert summary["counters"]["triples_partial"] > 0
+    assert summary["counters"]["rows_partial"] > 0
+
+
+def test_mentions_killed_run_resumes(sf_dir, out_dir, ray_session):
+    """Checkpoint/resume for a NON-KG pipeline (mention scan): kill after 1
+    of 3 partitions, resume, finalize == the direct pipeline output."""
+    import ray
+
+    from nativeextractor_ray.pipelines.extract import mentions_dataset
+    from nativeextractor_ray.state.checkpoint import finalize, run_partitioned
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_partitioned(sf_dir, out_dir, n_partitions=3, pipeline="mentions",
+                        fail_after=1)
+    assert len(list(Path(out_dir).glob("_manifest/part-*.json"))) == 1
+
+    summary = run_partitioned(sf_dir, out_dir, n_partitions=3, pipeline="mentions")
+    assert summary["skipped"] == [0] and summary["ran"] == [1, 2]
+
+    def rows(ds):
+        out = []
+        for r in ds.to_arrow_refs():
+            t = ray.get(r)
+            if t.num_rows:
+                out.extend(zip(t.column("conv_id").to_pylist(),
+                               t.column("turn_idx").to_pylist(),
+                               t.column("pos").to_pylist(),
+                               t.column("label").to_pylist(),
+                               t.column("surface").to_pylist()))
+        return sorted(out)
+
+    assert rows(finalize(out_dir, pipeline="mentions")) == rows(mentions_dataset(sf_dir))
+
+
+def test_dedup_exact_partitioned_equals_direct(sf_dir, out_dir, ray_session):
+    """Checkpointed exact dedup: per-slice md5 partials merge to exactly
+    the direct groupby output (min keep_id, summed n_dups)."""
+    from nativeextractor_ray.pipelines.dedup import dedup_exact
+    from nativeextractor_ray.state.checkpoint import finalize, run_partitioned
+
+    run_partitioned(sf_dir, out_dir, n_partitions=3, pipeline="dedup_exact")
+    got = _to_df_cols(finalize(out_dir, pipeline="dedup_exact"),
+                      ["key", "keep_id", "n_dups"])
+    want = _to_df_cols(dedup_exact(sf_dir), ["key", "keep_id", "n_dups"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_run_kg_cli(sf_dir, tmp_path, ray_session):
