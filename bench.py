@@ -128,6 +128,30 @@ def run_gazetteer() -> dict:
             "build_sec": round(build, 3), "mentions": n}
 
 
+def run_regex_scan() -> dict:
+    """Custom reference-dialect regex scan (the ngrep -r path) over a
+    ~100 MB corpus — powerset-DFA execution + joined-batch fast path
+    (VERDICT r1 item 8's done-criterion)."""
+    from nativeextractor_ray.pipelines.common import pool_concurrency
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+    from nativeextractor_ray.stages.miner_pool import MinerPool
+
+    rep = max(1, REPLICATE // 2)  # ~100 MB of text at sf0.1
+    ds = transcripts_dataset(SF_DIR, replicate=rep)
+    t0 = time.perf_counter()
+    n = ds.map_batches(
+        MinerPool,
+        fn_constructor_args=([
+            ("regex", ("[0-9]{4}-[0-9]{2}-[0-9]{2}",), {"label": "Iso"}),
+            ("regex", ("\\w+@\\w+\\.\\w+",), {"label": "At"}),
+        ],),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=pool_concurrency(),
+    ).count()
+    return {"sec": round(time.perf_counter() - t0, 3), "matches": n}
+
+
 def run_suite() -> dict:
     """Secondary pipelines (smaller, one pass each)."""
     import importlib
@@ -168,10 +192,12 @@ def main() -> None:
     head = run_headline()
     ment = run_mentions_throughput()
     gaz = run_gazetteer()
+    rx = run_regex_scan()
     qs = run_suite()
     qs = {"triples_e2e": round(head["sec"], 3),
           "mentions_e2e": round(ment["sec"], 3),
-          "gazetteer_100k": gaz["sec"], **qs}
+          "gazetteer_100k": gaz["sec"],
+          "regex_scan_100mb": rx["sec"], **qs}
     total = round(sum(qs.values()), 3)
     print(json.dumps({
         "metric": "e2e turns/sec triple extraction (headline) + suite wall sec",

@@ -313,7 +313,19 @@ def _build(nfa: _NFA, node, frm: int, to: int) -> None:
 
 
 class CompiledRegex:
-    """Compile-once automaton (the analogue of a built+dlopened .so module)."""
+    """Compile-once automaton (the analogue of a built+dlopened .so module).
+
+    Compilation mirrors the reference's full chain
+    (regex_generator.c:1212-1258): Thompson NFA -> powerset DFA.  The DFA
+    runs over an ALPHABET PARTITION — a character's class is determined by
+    (which literal it equals, which predicates accept it) — discovered
+    lazily per distinct codepoint, so the transition table stays tiny.
+    The NFA-set simulation is kept as ``_run_nfa`` (fallback when the
+    powerset construction exceeds ``max_dfa_states``, and the parity
+    oracle for tests/test_regex_dfa.py).
+    """
+
+    MAX_DFA_STATES = 4096
 
     def __init__(self, pattern: str):
         self.pattern = pattern
@@ -327,6 +339,9 @@ class CompiledRegex:
         self._start_lits: frozenset[str] | None = None
         self._start_tests: list[Callable[[str], bool]] = []
         self._scan_start_edges()
+        self._compile_dfa()
+
+    # -- NFA machinery (kept as the semantics oracle / fallback) -----------
 
     def _closure(self, states: set[int], at_bof: bool, at_eof: bool) -> frozenset[int]:
         stack = list(states)
@@ -356,10 +371,10 @@ class CompiledRegex:
     def can_start(self, ch: str) -> bool:
         return ch in self._start_lits or any(t(ch) for t in self._start_tests)
 
-    def run(self, text: str, i: int) -> int | None:
-        """Maximal-run attempt at codepoint position i.  Returns the end of
-        the matched span, or None (regex_generator.c:1134-1154 semantics:
-        accept iff the state set where the run gets stuck is final)."""
+    def _run_nfa(self, text: str, i: int) -> int | None:
+        """Maximal-run attempt at codepoint position i — NFA-set rendering
+        (regex_generator.c:1134-1154 semantics: accept iff the state set
+        where the run gets stuck is final)."""
         n = len(text)
         cur = self._closure({self.start}, i == 0, i == n)
         while i < n:
@@ -376,6 +391,149 @@ class CompiledRegex:
             cur = self._closure(nxt, False, i == n)
         return i if self.final in cur else None
 
+    # kept under the old name for any external callers/tests
+    run = _run_nfa
+
+    # -- powerset DFA over the lazy alphabet partition ---------------------
+
+    def _compile_dfa(self) -> None:
+        edges = self.nfa.edges
+        lits: set[str] = set()
+        preds: list = []
+        pred_ids: dict[int, int] = {}
+        for es in edges:
+            for kind, data, _to in es:
+                if kind == "lit":
+                    lits.add(data)
+                elif kind == "test":
+                    if id(data) not in pred_ids:
+                        pred_ids[id(data)] = len(preds)
+                        preds.append(data)
+        self._lits = lits
+        self._preds = preds
+        self._pred_pos = {id(q): i for i, q in enumerate(preds)}
+        self._cls_repr: list[tuple] = []
+        self.uses_anchors = any(
+            kind in ("bof", "eof") for es in edges for kind, _d, _t in es
+        )
+        # a run can never cross "\n" iff no consuming edge accepts it
+        self.consumes_newline = ("\n" in lits) or any(p("\n") for p in preds)
+        # the joined-batch scan is exact iff runs can't cross rows and
+        # BOF/EOF anchors are absent (per-row ^/$ would bind to the join)
+        self.joined_scan_safe = not self.uses_anchors and not self.consumes_newline
+
+        # class bookkeeping (lazy: one entry per distinct codepoint seen)
+        self._cls_of_cp: dict[int, int] = {}
+        self._sig_to_cls: dict[tuple, int] = {}
+        self._n_classes = 0
+
+        # DFA states: frozensets of NFA states (eps/eof-free closures)
+        self._dstates: list[frozenset[int]] = []
+        self._dindex: dict[frozenset[int], int] = {}
+        self._trans: list[list[int]] = []   # [state][class] -> state | -1
+        self._acc_mid: list[bool] = []
+        self._acc_eof: list[bool] = []
+        self.dfa_ok = True
+
+        self._start_mid = self._dstate(self._closure({self.start}, False, False))
+        self._start_bof = self._dstate(self._closure({self.start}, True, False))
+
+    def _dstate(self, s: frozenset[int]) -> int:
+        i = self._dindex.get(s)
+        if i is not None:
+            return i
+        if len(self._dstates) >= self.MAX_DFA_STATES:
+            self.dfa_ok = False
+            return -1
+        i = len(self._dstates)
+        self._dindex[s] = i
+        self._dstates.append(s)
+        # placeholder FIRST: _compute_trans below can recursively create
+        # states, and their rows must land at their own indices
+        self._trans.append([])
+        self._acc_mid.append(self.final in s)
+        self._acc_eof.append(self.final in self._closure(set(s), False, True))
+        row = self._trans[i]
+        while len(row) < self._n_classes:
+            row.append(self._compute_trans(s, len(row)))
+        return i
+
+    def _compute_trans(self, s: frozenset[int], cls: int) -> int:
+        lit_ch, bits = self._cls_repr[cls]
+        nxt = set()
+        for st in s:
+            for kind, data, to in self.nfa.edges[st]:
+                if kind == "lit":
+                    if lit_ch is not None and data == lit_ch:
+                        nxt.add(to)
+                elif kind == "test":
+                    if bits & (1 << self._pred_index(data)):
+                        nxt.add(to)
+        if not nxt:
+            return -1
+        return self._dstate(self._closure(nxt, False, False))
+
+    def _pred_index(self, p) -> int:
+        return self._pred_pos[id(p)]
+
+    def _class_of_char(self, ch: str) -> int:
+        cp = ord(ch)
+        c = self._cls_of_cp.get(cp)
+        if c is not None:
+            return c
+        lit_ch = ch if ch in self._lits else None
+        bits = 0
+        for i, p in enumerate(self._preds):
+            if p(ch):
+                bits |= 1 << i
+        sig = (lit_ch, bits)
+        c = self._sig_to_cls.get(sig)
+        if c is None:
+            c = self._n_classes
+            self._sig_to_cls[sig] = c
+            self._cls_repr.append(sig)
+            self._n_classes += 1
+            # extend every state's row with the new class; extension can
+            # create MORE states (appended while we iterate), whose rows
+            # are built full-width — the len guard skips those
+            si = 0
+            while si < len(self._trans):
+                row = self._trans[si]
+                while len(row) < self._n_classes:
+                    row.append(self._compute_trans(self._dstates[si], len(row)))
+                si += 1
+        self._cls_of_cp[cp] = c
+        return c
+
+    def _classes_of_text(self, text: str):
+        """Vectorized char→class mapping: per-UNIQUE-codepoint evaluation,
+        then a searchsorted gather (the alphabet seen in practice is tiny
+        relative to the text)."""
+        import numpy as np
+
+        if not text:
+            return np.empty(0, dtype=np.int64)
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        uniq = np.unique(cp)
+        u_cls = np.array([self._class_of_char(chr(int(u))) for u in uniq],
+                         dtype=np.int64)
+        return u_cls[np.searchsorted(uniq, cp)]
+
+    def run_table(self, cls_arr, i: int, n: int, at_bof: bool) -> int | None:
+        """Maximal-run attempt via the DFA table (same semantics as
+        ``_run_nfa`` — asserted by the property tests)."""
+        trans = self._trans
+        cur = self._start_bof if at_bof else self._start_mid
+        j = i
+        while j < n:
+            nx = trans[cur][cls_arr[j]]
+            if nx < 0:
+                break
+            cur = nx
+            j += 1
+        ok = self._acc_eof[cur] if j == n else self._acc_mid[cur]
+        return j if ok else None
+
 
 class RegexMiner(Miner):
     """``regex_compile(expr, naming, label)`` analogue
@@ -390,6 +548,51 @@ class RegexMiner(Miner):
         # scan loop with per-miner non-overlap (extractor.c:55-93): a failed
         # attempt leaves the cursor in place (generated code resets to mark),
         # so the driver advances one position; successes resume at the end.
+        re_ = self._re
+        if re_.dfa_ok:
+            return self._find_dfa(text)
+        return self._find_nfa(text)
+
+    def _find_dfa(self, text: str):
+        import numpy as np
+
+        re_ = self._re
+        n = len(text)
+        if n == 0:
+            return []
+        cls = re_._classes_of_text(text)
+        if not re_.dfa_ok:  # class discovery may have tripped the cap
+            return self._find_nfa(text)
+        # candidate starts: classes with a live transition out of the scan
+        # start state (position 0 checked separately with the BOF state)
+        start_row = np.asarray(re_._trans[re_._start_mid], dtype=np.int64)
+        cand = np.nonzero(start_row[cls] >= 0)[0] if len(start_row) else np.empty(0, np.int64)
+        out = []
+        i = 0
+        k = 0
+        run = re_.run_table
+        # position 0 first (BOF closure may differ)
+        end = run(cls, 0, n, True)
+        if end is not None and end > 0:
+            out.append((0, end, 1.0))
+            i = end
+        else:
+            i = 1 if (len(cand) == 0 or cand[0] != 0) else 0
+        while True:
+            while k < len(cand) and cand[k] < max(i, 1):
+                k += 1
+            if k >= len(cand):
+                break
+            i = int(cand[k])
+            end = run(cls, i, n, False)
+            if end is not None and end > i:
+                out.append((i, end, 1.0))
+                i = end
+            else:
+                k += 1
+        return out
+
+    def _find_nfa(self, text: str):
         out = []
         n = len(text)
         i = 0
@@ -397,7 +600,7 @@ class RegexMiner(Miner):
         can_start = re_.can_start
         while i < n:
             if can_start(text[i]) or i == 0 or i == n:
-                end = re_.run(text, i)
+                end = re_._run_nfa(text, i)
                 if end is not None and end > i:  # allow_empty=false
                     out.append((i, end, 1.0))
                     i = end

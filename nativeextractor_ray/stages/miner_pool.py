@@ -36,12 +36,14 @@ def _fast_scan_safe(miners: Sequence[Miner]) -> bool:
     """True iff every miner is safe for the joined-batch global scan:
     regex-family and email-FSM miners can't match across "\\n"; a
     dictionary miner qualifies when no dict word starts with a delimiter
-    (so the BOF-quirk skip guard in _find_batch is airtight).  Glob,
-    reference-dialect regex (`*` and `.` can cross the separator or depend
-    on BOF/EOF anchors) and custom miners fall back to the per-row
-    engine."""
+    (so the BOF-quirk skip guard in _find_batch is airtight); a
+    reference-dialect regex qualifies when its compiled automaton proves
+    no consuming edge accepts a newline and no BOF/EOF anchor is present
+    (CompiledRegex.joined_scan_safe).  Glob and custom miners fall back
+    to the per-row engine."""
     from nativeextractor_ray.miners.builtin import EmailMiner, _ReMiner
     from nativeextractor_ray.miners.ner import DictionaryMiner
+    from nativeextractor_ray.miners.regexlang import RegexMiner
     from nativeextractor_ray.unicode import is_delimiter
 
     for m in miners:
@@ -60,6 +62,9 @@ def _fast_scan_safe(miners: Sequence[Miner]) -> bool:
                 for k, _ in m.trie.items():
                     if k and is_delimiter(k.decode("utf-8", "replace")[0]):
                         return False
+        elif isinstance(m, RegexMiner):
+            if not m._re.joined_scan_safe:
+                return False
         elif not isinstance(m, (_ReMiner, EmailMiner)):
             return False
     return True

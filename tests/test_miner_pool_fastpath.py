@@ -50,3 +50,24 @@ def test_glob_specs_fall_back():
     assert not mp._fast_ok
     out = _rows_of(mp, ["Twinkle twinkle star", "sparkle"])
     assert len(out) == 3
+
+
+def test_custom_regex_spec_fast_path(sf_dir):
+    """A user-supplied dialect-regex MinerSpec rides the joined-batch fast
+    path when its automaton proves newline/anchor safety — identical spans
+    to the per-row engine (VERDICT r1 item 8)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = derive_transcripts_table(t).column("text").to_pylist()[:800]
+    specs = [("regex", ("[0-9]{4}-[0-9]{2}-[0-9]{2}",), {"label": "ISO"}),
+             ("regex", ("\\w+@\\w+\\.\\w+",), {"label": "At"})]
+    fast = MinerPool(specs)
+    assert fast._fast_ok
+    slow = MinerPool(specs)
+    slow._fast_ok = False
+    assert _rows_of(fast, texts) == _rows_of(slow, texts)
+
+
+def test_unsafe_regex_spec_falls_back():
+    assert not MinerPool([("regex", ("^a+",), {})])._fast_ok      # BOF anchor
+    assert not MinerPool([("regex", ("a\\sb",), {})])._fast_ok    # \s eats \n
+    assert MinerPool([("regex", ("[0-9]+",), {})])._fast_ok
