@@ -1,9 +1,16 @@
 """Mention extraction pipeline: transcripts → mentions.
 
-``read_parquet`` (column-pruned) → stateless derive → actor-pool
+``read_parquet`` (column-pruned) → stateless derive →
 ``map_batches(MinerPool)`` → mentions rows.  Mention detection is per-turn
 and embarrassingly parallel: no grouping, no shuffle anywhere
-(SURVEY.md §4.3.1)."""
+(SURVEY.md §4.3.1).
+
+Execution mode is chosen by miner-state cost: the STANDARD spec set
+compiles in ~ms, so a pre-built MinerPool instance runs as plain TASKS
+that Ray fuses with the derive stage (one task per block — per-task
+scheduling overhead, not compute, dominates at small block sizes);
+custom specs (large gazetteer ObjectRefs, expensive automata) keep the
+actor-pool path where __init__ runs once per actor."""
 
 from __future__ import annotations
 
@@ -24,6 +31,17 @@ def mentions_dataset(
     carry: Sequence[str] = (),
     replicate: int = 1,
 ):
+    std = [n for n, a, k in specs] == [n for n, a, k in STD_MINER_SPECS]
+    if std:
+        # cheap state → task mode, fused with the derive explode.
+        # batch_size=None is LOAD-BEARING: a fused stage applies an
+        # explicit batch_size to the PRE-explosion row count (4096 docs →
+        # 650k-row tasks at replicate=160, collapsing to ~2 tasks); None
+        # means "the upstream op's output batch", i.e. one post-explosion
+        # batch per 64-doc input slice.
+        pool = MinerPool(list(specs), no_enclosed=no_enclosed, carry=tuple(carry))
+        ds = transcripts_dataset(sf_dir, replicate=replicate, fuse=True)
+        return ds.map_batches(pool, batch_format="pyarrow", batch_size=None)
     ds = transcripts_dataset(sf_dir, replicate=replicate)
     return ds.map_batches(
         MinerPool,

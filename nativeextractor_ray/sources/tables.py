@@ -21,21 +21,18 @@ def target_parallelism() -> int:
     return max(8, cpus * 2)
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+def read_table(
+    sf_dir: str, name: str, columns: list[str] | None = None,
+    blocks: int | None = None,
+):
     import ray.data
 
-    path = f"{sf_dir}/{name}.parquet"
-    ds = ray.data.read_parquet(path, columns=columns)
-    blocks = target_parallelism()
-    # single-row-group small files come back as one block; split them so
-    # downstream map_batches/actor pools actually parallelize.  Row-group
-    # count is read from local parquet metadata (no execution triggered).
-    try:
-        import pyarrow.parquet as pq
-
-        n_groups = pq.ParquetFile(path).num_row_groups
-    except Exception:
-        n_groups = blocks
-    if n_groups < blocks:
-        ds = ds.repartition(blocks)
-    return ds
+    # single-row-group small files come back as one block; override the
+    # block count so the READ op itself splits (SplitBlocks — a cheap
+    # post-read slice, streaming) instead of a downstream ``repartition``,
+    # which plans as an AllToAll BARRIER and serializes pipeline start.
+    return ray.data.read_parquet(
+        f"{sf_dir}/{name}.parquet",
+        columns=columns,
+        override_num_blocks=blocks or target_parallelism(),
+    )

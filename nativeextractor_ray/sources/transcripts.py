@@ -112,17 +112,23 @@ def derive_transcripts_table(batch: pa.Table) -> pa.Table:
     """(doc_id, text) batch → transcripts batch.  Pure, per-row, stateless;
     text built with vectorized Arrow kernels (the per-row ``_enrich`` is
     the readable spec and the property-test oracle)."""
+    import pyarrow.compute as pc
+
     d = batch.column("doc_id").to_numpy()
 
     hot = (d % 97) < 5
-    conv_id = np.where(
-        hot,
-        "c_hot",
-        np.char.add("c", (d % 97).astype(str)),
+    # Arrow kernels end to end (np.char + .tolist() round-trips were ~40%
+    # of the derive cpu): conv_id = "c_hot" | "c" + str(d % 97)
+    conv_id = pc.if_else(
+        pa.array(hot),
+        pa.scalar("c_hot"),
+        pc.binary_join_element_wise(
+            "c", pc.cast(pa.array(d % 97), pa.string()), ""
+        ),
     )
     turn_idx = np.where(hot, (d // 97) * 5 + d % 97, d // 97).astype(np.int32)
-    role = np.array(ROLES, dtype=object)[d % 3]
-    tool = np.array(TOOLS, dtype=object)[d % 5]
+    role = pc.take(pa.array(ROLES, pa.string()), pa.array(d % 3))
+    tool = pc.take(pa.array(TOOLS, pa.string()), pa.array(d % 5))
     ts = EPOCH_US + (d * 1_000_000).astype("timedelta64[us]")
     text = _pc_enrich(
         batch.column("doc_id").combine_chunks(), batch.column("text").combine_chunks()
@@ -130,11 +136,11 @@ def derive_transcripts_table(batch: pa.Table) -> pa.Table:
 
     return pa.table(
         {
-            "conv_id": pa.array(conv_id.tolist(), pa.string()),
+            "conv_id": conv_id,
             "turn_idx": pa.array(turn_idx, pa.int32()),
-            "role": pa.array(role.tolist(), pa.string()),
+            "role": role,
             "text": text,
-            "tool": pa.array(tool.tolist(), pa.string()),
+            "tool": tool,
             "ts": pa.array(ts, pa.timestamp("us")),
         }
     )
@@ -178,6 +184,7 @@ def transcripts_dataset(
     sf_dir: str,
     replicate: int = 1,
     doc_partition: tuple[int, int] | None = None,
+    fuse: bool = False,
 ):
     """Streaming transcripts Dataset derived from <sf_dir>/documents.parquet.
 
@@ -190,10 +197,28 @@ def transcripts_dataset(
     of the input, never of execution order).  At real scale this filter is
     file/row-group pruning; on the single-file test tables it's a cheap
     vectorized post-read filter.
+
+    ``fuse=True`` (task-based consumers only) lets Ray fuse the explode
+    stage with the downstream map into one task per block — cutting
+    per-task scheduling overhead, which dominates small-block local runs.
+    Actor-pool consumers MUST keep the default: a fused task+actor stage
+    applies the downstream ``batch_size`` to PRE-explosion row counts and
+    collapses the stage to a handful of tasks.
     """
     from nativeextractor_ray.sources.tables import read_table
 
-    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    blocks = None
+    if fuse:
+        # fused task chains pay per-task scheduling overhead, not startup:
+        # fewer, chunkier blocks win (one ~50k-turn task per block at
+        # bench replicate; measured 2x vs cpus*2 blocks on 32 cpus)
+        try:
+            import ray
+
+            blocks = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+        except Exception:
+            blocks = 8
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"], blocks=blocks)
     if doc_partition is not None:
         pid, n_parts = doc_partition
 
@@ -219,6 +244,8 @@ def transcripts_dataset(
         ]
         return derive_transcripts_table(pa.concat_tables(shifted).combine_chunks())
 
+    if fuse:
+        return ds.map_batches(explode, batch_format="pyarrow", batch_size=64)
     # small input batches: each task's output is replicate× larger.  The
     # distinct num_cpus blocks operator fusion with the downstream actor
     # stage — fused, the downstream batch_size would apply to the
