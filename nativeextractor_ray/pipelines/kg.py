@@ -102,7 +102,19 @@ def triples_from_transcripts(ds):
 
 
 def triples_dataset(sf_dir: str, replicate: int = 1):
-    return triples_from_transcripts(transcripts_dataset(sf_dir, replicate=replicate))
+    """Headline path: KgExtract's state (dict index + compiled regexes)
+    builds in ~ms, so it runs as a pre-built instance in TASK mode, fused
+    with the transcripts derive — per-task scheduling overhead, not
+    compute, dominated the actor-pool shape on chunky local blocks
+    (measured 2× at 800k turns).  ``batch_size=None`` is load-bearing:
+    an explicit batch_size on a fused stage applies to PRE-explosion row
+    counts (see extract.mentions_dataset).  ``triples_from_transcripts``
+    keeps the actor-pool path for caller-supplied datasets."""
+    kg = KgExtract()
+    ds = transcripts_dataset(sf_dir, replicate=replicate, fuse=True)
+    partial = ds.map_batches(kg, batch_format="pyarrow", batch_size=None)
+    agg = partial.groupby("part").map_groups(_final_combine, batch_format="pyarrow")
+    return agg.map_batches(lambda t: t.select(TRIPLE_COLS), batch_format="pyarrow")
 
 
 def triples_tool(sf_dir: str):
@@ -184,13 +196,9 @@ def entity_turns_dataset(sf_dir: str):
                 }
             )
 
-    ds = transcripts_dataset(sf_dir)
-    return ds.map_batches(
-        EntityTurns,
-        batch_format="pyarrow",
-        batch_size=DEFAULT_BATCH_SIZE,
-        concurrency=pool_concurrency(),
-    )
+    # same fused-task shape as triples_dataset (cheap per-instance state)
+    ds = transcripts_dataset(sf_dir, fuse=True)
+    return ds.map_batches(EntityTurns(), batch_format="pyarrow", batch_size=None)
 
 
 def conv_entity_flow(sf_dir: str):
