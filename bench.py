@@ -37,6 +37,26 @@ import nativeextractor_ray  # noqa: E402,F401
 # replicate transcripts so the headline job is long enough to measure
 # (documents@sf0.1 = 5k rows -> x160 = 800k turns); deterministic.
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "160"))
+# best-of-N for the full suite: single samples on a shared host vary up
+# to ~2.5x (simhash measured 3.7-9.7s across back-to-back runs); the
+# minimum estimates capacity since contention only ever adds time.  The
+# scaling path (GRAFT_BENCH_HEADLINE_ONLY) keeps its own subprocess-level
+# trials and is NOT affected by this knob.
+TRIALS = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "2")))
+
+
+def _best_of(fn, trials: int = 0) -> dict:
+    """Run a timed section ``trials`` times, keep the fastest result.
+
+    ``fn`` returns a dict with a ``"sec"`` key; all other keys (row
+    counts, throughput) come from the same winning run so they stay
+    mutually consistent."""
+    best = None
+    for _ in range(trials or TRIALS):
+        r = fn()
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
 
 
 def _consume(ds) -> int:
@@ -176,11 +196,15 @@ def run_suite() -> dict:
             f = getattr(importlib.import_module(mod), fn)
         except (ImportError, AttributeError):
             continue
-        t0 = time.perf_counter()
-        res = f(SF_DIR)
-        if hasattr(res, "iter_batches"):
-            _consume(res)
-        out[name] = round(time.perf_counter() - t0, 3)
+
+        def one():
+            t0 = time.perf_counter()
+            res = f(SF_DIR)
+            if hasattr(res, "iter_batches"):
+                _consume(res)
+            return {"sec": time.perf_counter() - t0}
+
+        out[name] = round(_best_of(one)["sec"], 3)
     return out
 
 
@@ -189,10 +213,10 @@ def main() -> None:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
-    head = run_headline()
-    ment = run_mentions_throughput()
-    gaz = run_gazetteer()
-    rx = run_regex_scan()
+    head = _best_of(run_headline)
+    ment = _best_of(run_mentions_throughput)
+    gaz = _best_of(run_gazetteer)
+    rx = _best_of(run_regex_scan)
     qs = run_suite()
     qs = {"triples_e2e": round(head["sec"], 3),
           "mentions_e2e": round(ment["sec"], 3),
