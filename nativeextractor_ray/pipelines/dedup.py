@@ -177,8 +177,26 @@ class MinHasher:
         })
 
 
+_MINHASHER: "MinHasher | None" = None
+
+
+def _minhash_batch(t: pa.Table) -> pa.Table:
+    """Task-mode MinHasher: state is cheap to build (perm table + empty
+    token cache) and cached per worker PROCESS, so the map fuses with the
+    upstream read instead of paying actor-pool spin-up per query."""
+    global _MINHASHER
+    if _MINHASHER is None:
+        _MINHASHER = MinHasher()
+    return _MINHASHER(t)
+
+
 def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """One shuffle partition = many buckets; vectorized inner groupby."""
+    """One shuffle partition = many buckets; vectorized inner groupby.
+
+    Buckets are mostly singletons (LSH is sparse by design), so the Python
+    group loop is gated behind a vectorized duplicated() prefilter — the
+    loop only ever sees buckets that can emit a pair."""
+    g = g[g.duplicated("bucket", keep=False)]
     a_out, b_out, j_out = [], [], []
     for _, grp in g.groupby("bucket", sort=False):
         n = len(grp)
@@ -229,7 +247,7 @@ def _minhash_candidates(ds, threshold: float):
     """Raw in-bucket pair candidates (may repeat across bands — callers
     dedup, either via :func:`_pair_dedup` or inside their own verify
     partition)."""
-    buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    buckets = ds.map_batches(_minhash_batch, batch_format="pyarrow")
     return buckets.groupby("part").map_groups(
         lambda g: _minhash_partition_pairs(g, threshold), batch_format="pandas"
     )
@@ -306,6 +324,49 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     shingles = _docs(sf_dir).map_batches(
         shingle_sets, batch_format="pyarrow"
     ).materialize()  # consumed by BOTH verify shuffles — computed once
+
+    # Small-side broadcast fast path: candidate shingle sets scale with the
+    # NEAR-DUP population, not the corpus — when they fit comfortably in
+    # the object store (≤256 MB here; a 100-TB corpus with a pathological
+    # near-dup rate falls through to the shuffle path below), ship them
+    # once via ray.put and verify pairs inside the single pair-dedup
+    # shuffle instead of two union+groupby exchanges.
+    if (shingles.size_bytes() or 0) <= 256 << 20:
+        sh_map: dict[int, bytes] = {}
+        for t in [ray.get(r) for r in shingles.to_arrow_refs()]:
+            if t.num_rows:
+                sh_map.update(zip(t.column("doc_id").to_pylist(),
+                                  t.column("sh").to_pylist()))
+        shref = ray.put(sh_map)
+
+        def add_part2(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy()
+            b = t.column("doc_b").to_numpy()
+            return t.append_column("part2",
+                                   pa.array((a * 1_000_003 + b) % N_PARTS))
+
+        def bverify(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(shref)
+            prs = df.drop_duplicates(["doc_a", "doc_b"])
+            a_out, b_out, j_out = [], [], []
+            for a, b in zip(prs["doc_a"].astype("int64"),
+                            prs["doc_b"].astype("int64")):
+                sh_a, sh_b = m.get(int(a)), m.get(int(b))
+                if sh_a is None or sh_b is None:
+                    continue
+                sa = np.frombuffer(sh_a, dtype=np.uint64)
+                sb = np.frombuffer(sh_b, dtype=np.uint64)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
+                if j >= threshold:
+                    a_out.append(int(a)); b_out.append(int(b))
+                    j_out.append(round(j, 6))
+            return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),
+                                 "doc_b": pd.array(b_out, dtype="int64"),
+                                 "jaccard": pd.array(j_out, dtype="float64")})
+
+        return (cand.map_batches(add_part2, batch_format="pyarrow")
+                .groupby("part2").map_groups(bverify, batch_format="pandas"))
 
     # shuffle A: attach doc_a's shingle list to each pair
     def tag_a(t: pa.Table) -> pa.Table:
@@ -432,7 +493,21 @@ class SimHasher:
                          "sig": pa.array(sigs.view(np.int64))})
 
 
+_SIMHASHER: "SimHasher | None" = None
+
+
+def _simhash_batch(t: pa.Table) -> pa.Table:
+    """Task-mode SimHasher — same per-process state cache as
+    :func:`_minhash_batch` (the md5 token cache survives across tasks in
+    the same worker, which is where its Zipfian hit rate comes from)."""
+    global _SIMHASHER
+    if _SIMHASHER is None:
+        _SIMHASHER = SimHasher()
+    return _SIMHASHER(t)
+
+
 def _sim_partition_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    g = g[g.duplicated("bucket", keep=False)]  # singleton buckets can't pair
     a_out, b_out, h_out = [], [], []
     for _, grp in g.groupby("bucket", sort=False):
         n = len(grp)
@@ -456,7 +531,7 @@ def _sim_partition_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
 def simhash_pairs(ds, max_hamming: int = 3):
     """SimHash near-dup: 4×16-bit band buckets guarantee recall for
     Hamming ≤ 3 (pigeonhole: one band must match exactly)."""
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+    sigs = ds.map_batches(_simhash_batch, batch_format="pyarrow")
 
     def bands(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
