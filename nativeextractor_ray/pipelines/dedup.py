@@ -633,6 +633,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
         # LOCAL combine: the same doc pair recurs for every gram the two
         # docs share within this partition — summing here shrinks the
         # global pair shuffle by the per-partition multiplicity
+        grp = grp[grp.duplicated("g", keep=False)]  # single-doc grams can't pair
         a_all, b_all, na_all, nb_all = [], [], [], []
         for _, sub in grp.groupby("g", sort=False):
             m = len(sub)
