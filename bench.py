@@ -152,23 +152,14 @@ def run_regex_scan() -> dict:
     """Custom reference-dialect regex scan (the ngrep -r path) over a
     ~100 MB corpus — powerset-DFA execution + joined-batch fast path
     (VERDICT r1 item 8's done-criterion)."""
-    from nativeextractor_ray.pipelines.common import pool_concurrency
-    from nativeextractor_ray.sources.transcripts import transcripts_dataset
-    from nativeextractor_ray.stages.miner_pool import MinerPool
+    from nativeextractor_ray.pipelines.extract import mentions_dataset
 
     rep = max(1, REPLICATE // 2)  # ~100 MB of text at sf0.1
-    ds = transcripts_dataset(SF_DIR, replicate=rep)
     t0 = time.perf_counter()
-    n = ds.map_batches(
-        MinerPool,
-        fn_constructor_args=([
-            ("regex", ("[0-9]{4}-[0-9]{2}-[0-9]{2}",), {"label": "Iso"}),
-            ("regex", ("\\w+@\\w+\\.\\w+",), {"label": "At"}),
-        ],),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=pool_concurrency(),
-    ).count()
+    n = mentions_dataset(SF_DIR, specs=[
+        ("regex", ("[0-9]{4}-[0-9]{2}-[0-9]{2}",), {"label": "Iso"}),
+        ("regex", ("\\w+@\\w+\\.\\w+",), {"label": "At"}),
+    ], replicate=rep).count()
     return {"sec": round(time.perf_counter() - t0, 3), "matches": n}
 
 

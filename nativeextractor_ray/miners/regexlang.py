@@ -506,18 +506,50 @@ class CompiledRegex:
         return c
 
     def _classes_of_text(self, text: str):
-        """Vectorized char→class mapping: per-UNIQUE-codepoint evaluation,
-        then a searchsorted gather (the alphabet seen in practice is tiny
-        relative to the text)."""
+        """Vectorized char→class mapping.  Codepoints < 256 (≈ all text)
+        resolve through a persistent 256-entry lookup table — one numpy
+        gather; rarer high codepoints go per-UNIQUE-codepoint with a
+        searchsorted gather.  Class ids are append-only, so the table
+        never invalidates."""
         import numpy as np
 
         if not text:
-            return np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=np.int32)
         cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-        uniq = np.unique(cp)
+        lut = getattr(self, "_cls_lut", None)
+        if lut is None:
+            lut = np.full(256, -1, dtype=np.int32)
+            self._cls_lut = lut
+        if cp.max(initial=0) < 256:
+            out = lut[cp]
+            if (out < 0).any():
+                # presence-scatter, NOT unique: a linear pass over the
+                # unseen chars (unique's sort over the full text was the
+                # first-call wall; bincount is erratically slow on large
+                # inputs in this numpy)
+                present = np.zeros(256, dtype=bool)
+                present[cp[out < 0].astype(np.int64)] = True
+                for u in np.nonzero(present)[0]:
+                    lut[u] = self._class_of_char(chr(int(u)))
+                out = lut[cp]
+            return out
+        out = np.empty(len(cp), dtype=np.int32)
+        small = cp < 256
+        sm = cp[small]
+        osm = lut[sm]
+        if (osm < 0).any():
+            present = np.zeros(256, dtype=bool)
+            present[sm[osm < 0].astype(np.int64)] = True
+            for u in np.nonzero(present)[0]:
+                lut[u] = self._class_of_char(chr(int(u)))
+            osm = lut[sm]
+        out[small] = osm
+        hi = cp[~small]
+        uniq = np.unique(hi)
         u_cls = np.array([self._class_of_char(chr(int(u))) for u in uniq],
-                         dtype=np.int64)
-        return u_cls[np.searchsorted(uniq, cp)]
+                         dtype=np.int32)
+        out[~small] = u_cls[np.searchsorted(uniq, hi)]
+        return out
 
     def run_table(self, cls_arr, i: int, n: int, at_bof: bool) -> int | None:
         """Maximal-run attempt via the DFA table (same semantics as
@@ -533,6 +565,46 @@ class CompiledRegex:
             j += 1
         ok = self._acc_eof[cur] if j == n else self._acc_mid[cur]
         return j if ok else None
+
+    def full_lut(self):
+        """Byte→class LUT with ALL 256 single-byte chars classified
+        eagerly (≈5 ms once per pattern per process).  Makes the table
+        shape stable for the ASCII kernel: later lazy discovery can only
+        add classes for codepoints ≥ 256."""
+        import numpy as np
+
+        if not getattr(self, "_lut_full", False):
+            lut = getattr(self, "_cls_lut", None)
+            if lut is None:
+                lut = np.full(256, -1, dtype=np.int32)
+                self._cls_lut = lut
+            for u in range(256):
+                if lut[u] < 0:
+                    lut[u] = self._class_of_char(chr(u))
+            self._lut_full = True
+        return self._cls_lut
+
+    def ctables(self):
+        """Dense C-ready copies of the DFA tables for the native scan
+        kernel (miners/dfacc.py) — rebuilt whenever the lazy class/state
+        discovery has grown them (cache keyed on the table shape)."""
+        import numpy as np
+
+        shape = (len(self._dstates), self._n_classes)
+        cached = getattr(self, "_ctab", None)
+        if cached is not None and cached[0] == shape:
+            return cached[1]
+        trans = np.full(shape, -1, dtype=np.int16)  # MAX_DFA_STATES < 2**15
+        for i, row in enumerate(self._trans):
+            if row:
+                trans[i, : len(row)] = row
+        tabs = (
+            np.ascontiguousarray(trans),
+            np.asarray(self._acc_mid, dtype=np.uint8),
+            np.asarray(self._acc_eof, dtype=np.uint8),
+        )
+        self._ctab = (shape, tabs)
+        return tabs
 
 
 class RegexMiner(Miner):
@@ -553,6 +625,46 @@ class RegexMiner(Miner):
             return self._find_dfa(text)
         return self._find_nfa(text)
 
+    def find_arrays(self, text: str):
+        """Span arrays ``(u0, u1, prob)`` — the no-tuple protocol the
+        joined-batch scan prefers.  Uses the native DFA kernel when the
+        machine has one; otherwise wraps the Python engines."""
+        import numpy as np
+
+        re_ = self._re
+        n = len(text)
+        if n and re_.dfa_ok:
+            from nativeextractor_ray.miners import dfacc
+
+            if dfacc.available():
+                if text.isascii():
+                    # bytes == codepoints; the kernel does byte→class
+                    # lookup inline, so nothing text-sized is allocated
+                    lut = re_.full_lut()
+                    if re_.dfa_ok:
+                        trans, am, ae = re_.ctables()
+                        u0, u1 = dfacc.scan_ascii(
+                            text.encode(), lut, trans, am, ae,
+                            re_._start_bof, re_._start_mid,
+                        )
+                        return u0, u1, np.ones(len(u0), dtype=np.float32)
+                else:
+                    cls = re_._classes_of_text(text)
+                    if re_.dfa_ok:  # discovery may have tripped the cap
+                        trans, am, ae = re_.ctables()
+                        u0, u1 = dfacc.scan(
+                            cls.astype(np.int32, copy=False), trans, am, ae,
+                            re_._start_bof, re_._start_mid,
+                        )
+                        return u0, u1, np.ones(len(u0), dtype=np.float32)
+        spans = self.find(text)
+        m = len(spans)
+        return (
+            np.fromiter((s[0] for s in spans), dtype=np.int64, count=m),
+            np.fromiter((s[1] for s in spans), dtype=np.int64, count=m),
+            np.fromiter((s[2] for s in spans), dtype=np.float32, count=m),
+        )
+
     def _find_dfa(self, text: str):
         import numpy as np
 
@@ -560,6 +672,11 @@ class RegexMiner(Miner):
         n = len(text)
         if n == 0:
             return []
+        from nativeextractor_ray.miners import dfacc
+
+        if dfacc.available():
+            u0, u1, _pr = self.find_arrays(text)
+            return [(int(a), int(b), 1.0) for a, b in zip(u0, u1)]
         cls = re_._classes_of_text(text)
         if not re_.dfa_ok:  # class discovery may have tripped the cap
             return self._find_nfa(text)

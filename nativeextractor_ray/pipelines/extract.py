@@ -23,6 +23,28 @@ from nativeextractor_ray.sources.transcripts import transcripts_dataset
 from nativeextractor_ray.stages.miner_pool import STD_MINER_SPECS, MinerPool
 
 
+#: miners whose per-process construction is cheap (pattern compile, no
+#: gazetteer load) — safe for fused task mode, where every worker process
+#: builds its own pool once from the picklable specs
+CHEAP_MINERS = frozenset({
+    "regex", "glob", "email", "url", "date", "phone", "number",
+    "naive_date", "match_email", "match_url", "match_glob",
+})
+
+_TASK_POOLS: dict = {}
+
+
+def _task_pool(specs, no_enclosed: bool, carry: tuple) -> MinerPool:
+    """Per-worker-process pool cache: the task-mode analogue of actor
+    ``__init__`` state (compile once per process, reuse across tasks)."""
+    key = (repr(specs), no_enclosed, carry)
+    p = _TASK_POOLS.get(key)
+    if p is None:
+        p = MinerPool(list(specs), no_enclosed=no_enclosed, carry=list(carry))
+        _TASK_POOLS[key] = p
+    return p
+
+
 def mentions_dataset(
     sf_dir: str,
     specs: Sequence = tuple(STD_MINER_SPECS),
@@ -31,17 +53,29 @@ def mentions_dataset(
     carry: Sequence[str] = (),
     replicate: int = 1,
 ):
-    std = [n for n, a, k in specs] == [n for n, a, k in STD_MINER_SPECS]
-    if std:
+    names = [n for n, a, k in specs]
+    std = names == [n for n, a, k in STD_MINER_SPECS]
+    cheap = all(isinstance(n, str) and n in CHEAP_MINERS for n in names)
+    if std or cheap:
         # cheap state → task mode, fused with the derive explode.
         # batch_size=None is LOAD-BEARING: a fused stage applies an
         # explicit batch_size to the PRE-explosion row count (4096 docs →
         # 650k-row tasks at replicate=160, collapsing to ~2 tasks); None
         # means "the upstream op's output batch", i.e. one post-explosion
         # batch per 64-doc input slice.
-        pool = MinerPool(list(specs), no_enclosed=no_enclosed, carry=tuple(carry))
         ds = transcripts_dataset(sf_dir, replicate=replicate, fuse=True)
-        return ds.map_batches(pool, batch_format="pyarrow", batch_size=None)
+        if std:
+            # std miners are picklable → ship ONE pool instance by value
+            pool = MinerPool(list(specs), no_enclosed=no_enclosed,
+                             carry=tuple(carry))
+            return ds.map_batches(pool, batch_format="pyarrow", batch_size=None)
+
+        spec_list = [tuple(s) for s in specs]
+
+        def scan(batch, _s=spec_list, _ne=no_enclosed, _ca=tuple(carry)):
+            return _task_pool(_s, _ne, _ca)(batch)
+
+        return ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
     ds = transcripts_dataset(sf_dir, replicate=replicate)
     return ds.map_batches(
         MinerPool,

@@ -161,11 +161,18 @@ class MinerPool:
 
         u0_parts, u1_parts, lab_parts, prob_parts = [], [], [], []
         for mi, miner in enumerate(self.miners):
-            spans = miner.find(joined)
-            n = len(spans)
-            u0 = np.fromiter((s[0] for s in spans), dtype=np.int64, count=n)
-            u1 = np.fromiter((s[1] for s in spans), dtype=np.int64, count=n)
-            pr = np.fromiter((s[2] for s in spans), dtype=np.float32, count=n)
+            fa = getattr(miner, "find_arrays", None)
+            if fa is not None:  # array protocol: no per-span tuples at all
+                u0, u1, pr = fa(joined)
+                u0 = np.asarray(u0, dtype=np.int64)
+                u1 = np.asarray(u1, dtype=np.int64)
+                pr = np.asarray(pr, dtype=np.float32)
+            else:
+                spans = miner.find(joined)
+                n = len(spans)
+                u0 = np.fromiter((s[0] for s in spans), dtype=np.int64, count=n)
+                u1 = np.fromiter((s[1] for s in spans), dtype=np.int64, count=n)
+                pr = np.fromiter((s[2] for s in spans), dtype=np.float32, count=n)
             if isinstance(miner, DictionaryMiner) and quirk_rows:
                 # drop any global span anchored at a quirk row's first char
                 # (untrimmed first token accepted globally — cannot happen

@@ -63,3 +63,54 @@ def test_joined_scan_safety_flags():
     assert not CompiledRegex("a\\sb").joined_scan_safe      # \s eats \n
     assert not CompiledRegex("a[^b]c").joined_scan_safe     # negated set eats \n
     assert CompiledRegex("a.c").joined_scan_safe            # '.' excludes \n
+
+
+def test_native_kernel_parity():
+    """The C table-walk (miners/dfacc.py) against the pure-Python DFA walk
+    on every PATTERN — exercised explicitly so a kernel bug can't hide
+    behind an unavailable compiler (skips when gcc is absent)."""
+    import pytest
+
+    from nativeextractor_ray.miners import dfacc
+
+    if not dfacc.available():
+        pytest.skip("no C compiler on this machine")
+    corpus = [
+        "", "a", "ab", "abcabc x 0129.34 a@b.cd\nab 12-34",
+        "aaaabbbb", "2024-01-02T00:00", "x" * 100,
+        "čaj ü@ß.de — ab", "ab " * 50,
+    ]
+    for pattern in PATTERNS:
+        m = RegexMiner(pattern)
+        for text in corpus:
+            native = m.find(text)
+            # force the pure-Python walk on a fresh automaton
+            m2 = RegexMiner(pattern)
+            cre = m2._re
+            spans, i, n = [], 0, len(text)
+            cls = cre._classes_of_text(text)
+            while i < n:
+                end = cre.run_table(cls, i, n, i == 0)
+                if end is not None and end > i:
+                    spans.append((i, end, 1.0))
+                    i = end
+                else:
+                    if i == 0:
+                        end = cre.run_table(cls, 0, n, False)
+                        if end is not None and end > 0:
+                            spans.append((0, end, 1.0))
+                            i = end
+                            continue
+                    i += 1
+            assert native == spans, (pattern, repr(text))
+
+
+def test_find_arrays_matches_find():
+    import numpy as np
+
+    m = RegexMiner("[0-9]{2,4}|ab+")
+    text = "ab 0129 abb 12 x 34567"
+    u0, u1, pr = m.find_arrays(text)
+    assert [(int(a), int(b), float(p)) for a, b, p in zip(u0, u1, pr)] == m.find(text)
+    e0, e1, ep = m.find_arrays("")
+    assert len(e0) == 0 and len(e1) == 0 and len(ep) == 0
