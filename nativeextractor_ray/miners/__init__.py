@@ -21,6 +21,7 @@ from nativeextractor_ray.miners.builtin import (
     PhoneMiner,
     UrlMiner,
 )
+from nativeextractor_ray.miners.csv_cell import CsvCellMiner
 from nativeextractor_ray.miners.glob import GlobMiner, is_glob
 from nativeextractor_ray.miners.ner import DictionaryMiner
 from nativeextractor_ray.miners.regexlang import CompiledRegex, RegexMiner
@@ -36,6 +37,7 @@ __all__ = [
     "DateMiner",
     "PhoneMiner",
     "NumberMiner",
+    "CsvCellMiner",
     "is_glob",
     "filter_enclosed",
     "make_miner",
