@@ -9,11 +9,12 @@ here (or in the library) calls ``ray.init()``/``ray.shutdown()``.
   (SURVEY.md §2 + the training-data operators); each callable takes
   ``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
 - ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible.
-  Only two queries are rows-only checked: ``ann_ivf_topk`` (the k-means
-  quantizer is trained state, not SQL-expressible; recall is pytest-
-  asserted instead) and ``mentions_spans`` (DuckDB regexp functions
-  cannot return match OFFSETS, and the span math is the point of the
-  query; surfaces/labels ARE oracle-checked via the mentions_* queries).
+  Only ONE query is rows-only checked: ``mentions_spans`` (DuckDB regexp
+  functions cannot return match OFFSETS, and the span math is the point
+  of the query; surfaces/labels ARE oracle-checked via the mentions_*
+  queries).  Approximate operators are still hard-checked: their
+  seed-fixed model state (LSH hyperplanes, IVF centroids) is embedded as
+  SQL literals and the SQL independently replays bucketing + rerank.
 """
 
 from __future__ import annotations
@@ -68,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.embedding_dup_pairs,
         "ann_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # plane-literal SQL oracle
-        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (trained quantizer)
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # centroid-literal SQL oracle
         "text_quality": textstats.text_quality,
         "documents_quality_filtered": textstats.documents_quality_filtered,
         "lang_id": textstats.lang_id,
@@ -129,6 +130,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         # seed-fixed hyperplanes as SQL literals → identical buckets+rerank
         "ann_lsh_topk": similarity.ann_lsh_sql(),
+        # deterministic trained centroids as SQL literals (same pattern);
+        # trained on $GRAFT_ORACLE_SF_DIR (default: the driver's sf0.01)
+        "ann_ivf_topk": similarity.ann_ivf_sql(),
         "text_quality": textstats.TEXT_QUALITY_SQL,
         "documents_quality_filtered": textstats.DOCUMENTS_QUALITY_FILTERED_SQL,
         "lang_id": textstats.LANG_ID_SQL,

