@@ -31,6 +31,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from nativeextractor_ray.pipelines import (
+        curation,
         dedup,
         events,
         extract,
@@ -78,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,
         "multimodal_features": multimodal.multimodal_features,
         "frame_sample": multimodal.frame_sample_features,
+        # curation operators (PII scrub / repetition gate / sampling)
+        "pii_redact": curation.pii_redact,
+        "repetition_stats": curation.repetition_stats,
+        "documents_repetition_filtered": curation.documents_repetition_filtered,
+        "sample_stratified": curation.sample_stratified,
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)  # rows-only: full
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -90,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import (
+        curation,
         dedup,
         events,
         multimodal,
@@ -141,6 +148,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_winnow": textstats.WINNOW_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
+        "pii_redact": curation.PII_REDACT_SQL,
+        "repetition_stats": curation.REPETITION_STATS_SQL,
+        "documents_repetition_filtered": curation.DOCUMENTS_REPETITION_FILTERED_SQL,
+        "sample_stratified": curation.SAMPLE_STRATIFIED_SQL,
     }
     sqls.update(o.mention_sqls())
     return sqls

@@ -1,0 +1,284 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+repetition-based quality filtering (Gopher-style signals), and
+deterministic stratified sampling.
+
+Scale shape: every operator here is a pure per-batch ``map_batches``
+transform — no shuffle, no broadcast state beyond compiled constants, no
+driver materialization.  At 100 TB each stage streams block-by-block with
+nothing global.
+
+All hot paths are Arrow/numpy-vectorized:
+- redaction = chained RE2 ``replace_substring_regex`` kernels (the same
+  regex engine DuckDB uses, so the oracle replays it verbatim);
+- repetition stats = C-level ``split_pattern_regex`` + factorize/bincount
+  (no per-row Python);
+- sampling = one int64 multiply/mod per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+# ---------------------------------------------------------------- pii redact
+
+# Redaction order is part of the spec: URL first (a URL can contain an
+# email/date-shaped substring; the reference's enclosed-span filter gives
+# the longest span priority the same way — extractor.c:145-203), then
+# email, phone, date.  The replacement tokens contain '[' / ']', which no
+# pattern below can match, so each later pass cannot match across an
+# earlier replacement — sequential replace is therefore equivalent to
+# non-overlapping span replacement with that precedence.
+def _redactions():
+    from nativeextractor_ray.pipelines.oracles import (
+        DATE_SQL_RE, EMAIL_SQL_RE, PHONE_SQL_RE, URL_SQL_RE,
+    )
+
+    return [
+        (URL_SQL_RE, "[URL]"),
+        (EMAIL_SQL_RE, "[EMAIL]"),
+        (PHONE_SQL_RE, "[PHONE]"),
+        (DATE_SQL_RE, "[DATE]"),
+    ]
+
+
+def redact_batch(txt: pa.ChunkedArray | pa.Array):
+    """(redacted_text, n_redacted) for a text column — chained RE2 global
+    replaces, counted on the progressively-redacted text (sequential
+    semantics, mirrored exactly by the nested ``regexp_replace`` oracle)."""
+    n = pa.array(np.zeros(len(txt), np.int64))
+    for pat, tok in _redactions():
+        n = pc.add(n, pc.cast(pc.count_substring_regex(txt, pat), pa.int64()))
+        txt = pc.replace_substring_regex(txt, pat, tok)
+    return txt, n
+
+
+def pii_redact(sf_dir: str, replicate: int = 1):
+    """Transcripts with URL/email/phone/date mentions replaced by typed
+    placeholder tokens — the PII-scrubbing step of a training-data
+    pipeline, built on the same patterns the mention miners prove out
+    (`mentions_*` oracles pin the match sets; a pytest pins span-based
+    miner redaction == this vectorized path)."""
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(sf_dir, replicate=replicate)
+
+    def red(t: pa.Table) -> pa.Table:
+        txt, n = redact_batch(t.column("text"))
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "text_redacted": txt,
+            "n_redacted": n,
+        })
+
+    return ds.map_batches(red, batch_format="pyarrow")
+
+
+def _pii_redact_sql() -> str:
+    steps = _redactions()
+    sql = f"WITH t AS ({TRANSCRIPTS_SQL})"
+    prev = "t"
+    n_cols = []
+    for i, (pat, tok) in enumerate(steps, start=1):
+        n_cols.append(f"n{i}")
+        carried = ", ".join(n_cols[:-1])
+        carried = carried + ", " if carried else ""
+        sql += f""",
+s{i} AS (SELECT conv_id, turn_idx, {carried}len(regexp_extract_all(text, '{pat}')) AS n{i},
+         regexp_replace(text, '{pat}', '{tok}', 'g') AS text FROM {prev})"""
+        prev = f"s{i}"
+    total = " + ".join(n_cols)
+    sql += f"""
+SELECT conv_id, turn_idx, text AS text_redacted,
+       CAST({total} AS BIGINT) AS n_redacted FROM {prev}"""
+    return sql
+
+
+PII_REDACT_SQL = _pii_redact_sql()
+
+
+# ---------------------------------------------------------------- repetition
+
+WORD_RE = r"[A-Za-z0-9]+"
+_NONWORD_SPLIT = r"[^A-Za-z0-9]+"
+
+# documents_repetition_filtered keeps docs whose most frequent word is at
+# most 1/REP_MAX_WORD_FRAC of all word tokens (Gopher-style "top word
+# fraction" gate, integer-exact on both sides)
+REP_MAX_WORD_FRAC = 8
+
+
+def _rep_stats_arrays(txt) -> dict[str, np.ndarray]:
+    """Vectorized per-doc repetition signals.
+
+    Words: C-level regex split into a ListArray, then factorize + one
+    ``np.unique`` over (doc, word-code) composite keys — n_words,
+    n_distinct_words and the max per-word multiplicity all fall out of
+    bincounts, no per-row Python.  Lines likewise (empty strings kept:
+    ``string_split`` keeps them, and duplicate empty lines ARE duplicate
+    lines)."""
+    n = len(txt)
+
+    def _explode(lst):
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        off = np.asarray(lst.offsets)
+        idx = np.repeat(np.arange(len(lst)), np.diff(off))
+        return idx, np.asarray(lst.flatten())
+
+    w_idx, words = _explode(pc.split_pattern_regex(txt, _NONWORD_SPLIT))
+    keep = words != ""
+    w_idx, words = w_idx[keep], words[keep]
+    codes, uniq = pd.factorize(words)
+    key = w_idx.astype(np.int64) * (len(uniq) + 1) + codes
+    uk, counts = np.unique(key, return_counts=True)
+    ud = (uk // (len(uniq) + 1)).astype(np.int64)
+    n_words = np.bincount(w_idx, minlength=n)
+    n_distinct = np.bincount(ud, minlength=n)
+    mx = np.zeros(n, np.int64)
+    np.maximum.at(mx, ud, counts)
+
+    l_idx, lines = _explode(pc.split_pattern(txt, "\n"))
+    lcodes, luniq = pd.factorize(lines)
+    luk = np.unique(l_idx.astype(np.int64) * (len(luniq) + 1) + lcodes)
+    n_lines = np.bincount(l_idx, minlength=n)
+    n_dlines = np.bincount((luk // (len(luniq) + 1)).astype(np.int64), minlength=n)
+
+    return {
+        "n_words": n_words.astype(np.int64),
+        "n_distinct_words": n_distinct,
+        "max_word_count": mx,
+        "n_lines": n_lines.astype(np.int64),
+        "n_distinct_lines": n_dlines.astype(np.int64),
+    }
+
+
+def _docs(sf_dir: str):
+    from nativeextractor_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"])
+
+
+def repetition_stats(sf_dir: str):
+    """Per-document repetition signals (Rae et al. 2021 "Gopher" quality
+    heuristics family): word totals/distincts, max single-word
+    multiplicity, line totals/distincts.  Integer-valued so the DuckDB
+    comparison is float-free."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        cols = _rep_stats_arrays(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         **{k: pa.array(v) for k, v in cols.items()}})
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+REPETITION_STATS_SQL = f"""WITH w AS (
+  SELECT doc_id, u.x AS w FROM documents,
+         UNNEST(regexp_extract_all(text, '{WORD_RE}')) u(x)
+),
+c AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY doc_id, w),
+wa AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         CAST(max(n) AS BIGINT) AS max_word_count
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(wa.n_words, 0) AS n_words,
+       coalesce(wa.n_distinct_words, 0) AS n_distinct_words,
+       coalesce(wa.max_word_count, 0) AS max_word_count,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(list_distinct(string_split(d.text, chr(10)))) AS BIGINT)
+         AS n_distinct_lines
+FROM documents d LEFT JOIN wa USING (doc_id)"""
+
+
+def documents_repetition_filtered(sf_dir: str):
+    """Repetition gate of the cleaning pipeline: drop documents whose most
+    frequent word exceeds 1/8 of all word tokens — streaming filter, no
+    shuffle."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        cols = _rep_stats_arrays(t.column("text"))
+        mask = pa.array(cols["max_word_count"] * REP_MAX_WORD_FRAC <= cols["n_words"])
+        out = t.filter(mask)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "n_words": pa.array(cols["n_words"][np.asarray(mask)]),
+            "max_word_count": pa.array(cols["max_word_count"][np.asarray(mask)]),
+        })
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+DOCUMENTS_REPETITION_FILTERED_SQL = f"""WITH w AS (
+  SELECT doc_id, u.x AS w FROM documents,
+         UNNEST(regexp_extract_all(text, '{WORD_RE}')) u(x)
+),
+c AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY doc_id, w),
+wa AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(max(n) AS BIGINT) AS max_word_count
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_words, max_word_count FROM wa
+WHERE max_word_count * {REP_MAX_WORD_FRAC} <= n_words"""
+
+
+# ---------------------------------------------------------------- sampling
+
+# per-stratum keep rates out of SAMPLE_MOD buckets: downsample the
+# majority language, keep the tail (the composition-rebalancing step of a
+# training-data mix)
+SAMPLE_MOD = 1000
+SAMPLE_RATES = {"en": 200, "de": 500, "es": 500, "fr": 500, "zh": 500}
+_SAMPLE_DEFAULT = 100
+# Knuth multiplicative hash; doc_id * MULT stays within int64 for
+# doc_id < 3.5e9, so the numpy wrap-around never engages and DuckDB's
+# overflow-checked BIGINT multiply computes the identical value
+_SAMPLE_MULT = 2654435761
+
+
+def sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling over ``documents``: each doc maps
+    to a stable pseudo-random bucket via a multiplicative hash of its id;
+    per-language keep rates downsample dominant strata.  Pure map — no
+    shuffle, no RNG state, resumable by construction (same doc → same
+    verdict on every run/retry)."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        bucket = (ids * _SAMPLE_MULT) % SAMPLE_MOD
+        langs = t.column("lang").to_pylist()
+        rates = np.array([SAMPLE_RATES.get(l, _SAMPLE_DEFAULT) for l in langs])
+        mask = pa.array(bucket < rates)
+        out = t.filter(mask)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "lang": out.column("lang"),
+            "bucket": pa.array(bucket[np.asarray(mask)].astype(np.int64)),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""SELECT doc_id, lang,
+       (doc_id * {_SAMPLE_MULT}) % {SAMPLE_MOD} AS bucket
+FROM documents
+WHERE (doc_id * {_SAMPLE_MULT}) % {SAMPLE_MOD} <
+      CASE lang {cases} ELSE {_SAMPLE_DEFAULT} END"""
+
+
+SAMPLE_STRATIFIED_SQL = _sample_sql()

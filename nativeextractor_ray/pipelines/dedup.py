@@ -266,11 +266,14 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     2. each candidate is verified with its exact word-n-gram Jaccard and
        kept iff ``jaccard >= threshold``.
 
-    The verify stage broadcasts only the candidate doc-ID SET (8 bytes per
-    doc) to filter the corpus, then ships each candidate doc's distinct
-    shingle-hash array through two coarse-partitioned shuffles to attach
-    both sides of every pair — pairs and shingle rows scale with the
-    near-dup population, never the corpus.
+    The verify stage pulls the candidate PAIRS to the driver (they scale
+    with the near-dup population, never the corpus — same order as the
+    candidate doc-id set), dedups them exactly, and broadcasts the doc-ID
+    set to semijoin-filter the corpus for shingle extraction.  When the
+    candidate shingle sets fit the object store they ship once via
+    ``ray.put`` and verification is a shuffle-FREE ``map_batches`` over
+    the unique pairs; otherwise the shingle arrays flow through two
+    coarse-partitioned shuffles to attach both sides of every pair.
 
     Oracle: exact verification makes the output SQL-expressible —
     ``ngram_jaccard_sql(shingle_n, threshold)`` recomputes the same pairs
@@ -279,17 +282,20 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     is ~3e-8; verified empirically at every sf)."""
     import ray
 
-    # raw candidates (band-level duplicates kept: the verify partition
-    # dedups them for free — all rows of a pair share doc_b, hence part4 —
-    # which saves _pair_dedup's two extra shuffles)
-    cand = _minhash_candidates(_docs(sf_dir), max(0.0, threshold - 0.15)).materialize()
+    # raw candidates (band-level duplicates kept; deduped below).  Pairs
+    # scale with the NEAR-DUP population, never the corpus, so pulling
+    # them to the driver costs the same order as the cand_ids set we need
+    # anyway — and lets the broadcast verify path run shuffle-free.
+    cand = _minhash_candidates(_docs(sf_dir), max(0.0, threshold - 0.15))
 
     # candidate doc-id set (ids only): semijoin filter for the corpus
     idt = [ray.get(r) for r in cand.to_arrow_refs()]
     cand_ids: set[int] = set()
+    pair_tbls = []
     for t in idt:
         if t.num_rows == 0:  # empty reducer blocks carry an empty schema
             continue
+        pair_tbls.append(t.select(["doc_a", "doc_b"]))
         cand_ids.update(t.column("doc_a").to_pylist())
         cand_ids.update(t.column("doc_b").to_pylist())
     if not cand_ids:
@@ -300,6 +306,23 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
             "doc_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
     idref = ray.put(cand_ids)
+
+    # exact pair dedup on the driver (band-level repeats collapse), then
+    # re-shard as a Dataset: verification inputs are unique pairs, so the
+    # verify leg needs NO pair-dedup shuffle at all
+    import pandas as pd_  # local alias: keep the module-level import light
+
+    pairs_df = (
+        pd_.concat([t.to_pandas() for t in pair_tbls], ignore_index=True)
+        .drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pairs_tbl = pa.Table.from_pandas(pairs_df, preserve_index=False)
+    CHUNK = 4096
+    pair_chunks = [
+        pairs_tbl.slice(i, CHUNK) for i in range(0, pairs_tbl.num_rows, CHUNK)
+    ] or [pairs_tbl]
 
     def shingle_sets(t: pa.Table) -> pa.Table:
         # task (not actor) stage: the candidate filter drops most rows, so
@@ -339,18 +362,11 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
                                   t.column("sh").to_pylist()))
         shref = ray.put(sh_map)
 
-        def add_part2(t: pa.Table) -> pa.Table:
-            a = t.column("doc_a").to_numpy()
-            b = t.column("doc_b").to_numpy()
-            return t.append_column("part2",
-                                   pa.array((a * 1_000_003 + b) % N_PARTS))
-
-        def bverify(df: pd.DataFrame) -> pd.DataFrame:
+        def bverify(t: pa.Table) -> pa.Table:
             m = ray.get(shref)
-            prs = df.drop_duplicates(["doc_a", "doc_b"])
             a_out, b_out, j_out = [], [], []
-            for a, b in zip(prs["doc_a"].astype("int64"),
-                            prs["doc_b"].astype("int64")):
+            for a, b in zip(t.column("doc_a").to_pylist(),
+                            t.column("doc_b").to_pylist()):
                 sh_a, sh_b = m.get(int(a)), m.get(int(b))
                 if sh_a is None or sh_b is None:
                     continue
@@ -361,12 +377,15 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
                 if j >= threshold:
                     a_out.append(int(a)); b_out.append(int(b))
                     j_out.append(round(j, 6))
-            return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),
-                                 "doc_b": pd.array(b_out, dtype="int64"),
-                                 "jaccard": pd.array(j_out, dtype="float64")})
+            return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                             "doc_b": pa.array(b_out, pa.int64()),
+                             "jaccard": pa.array(j_out, pa.float64())})
 
-        return (cand.map_batches(add_part2, batch_format="pyarrow")
-                .groupby("part2").map_groups(bverify, batch_format="pandas"))
+        import ray.data
+
+        return ray.data.from_arrow(pair_chunks).map_batches(
+            bverify, batch_format="pyarrow"
+        )
 
     # shuffle A: attach doc_a's shingle list to each pair
     def tag_a(t: pa.Table) -> pa.Table:
@@ -425,8 +444,10 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
                              "doc_b": pd.array(b_out, dtype="int64"),
                              "jaccard": pd.array(j_out, dtype="float64")})
 
+    import ray.data
+
     withA = (
-        cand.map_batches(tag_a, batch_format="pyarrow")
+        ray.data.from_arrow(pair_chunks).map_batches(tag_a, batch_format="pyarrow")
         .union(shingles.map_batches(tag_sh, batch_format="pyarrow"))
         .groupby("part3")
         .map_groups(attach_a, batch_format="pandas")
