@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": curation.repetition_stats,
         "documents_repetition_filtered": curation.documents_repetition_filtered,
         "sample_stratified": curation.sample_stratified,
+        "pack_sequences": curation.pack_sequences,  # distributed prefix sum
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)  # rows-only: full
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": curation.REPETITION_STATS_SQL,
         "documents_repetition_filtered": curation.DOCUMENTS_REPETITION_FILTERED_SQL,
         "sample_stratified": curation.SAMPLE_STRATIFIED_SQL,
+        "pack_sequences": curation.PACK_SEQUENCES_SQL,
     }
     sqls.update(o.mention_sqls())
     return sqls

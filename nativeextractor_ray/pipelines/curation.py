@@ -270,6 +270,106 @@ def sample_stratified(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- packing
+
+PACK_BUDGET = 512
+_TOKEN_RE = r"[^\s]+"
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
+    """Sequence packing for training: concatenate documents in doc_id
+    order and cut at fixed token budgets — each doc gets the sequence id
+    and in-sequence offset where its tokens start (offset-cut packing, the
+    shape GPT-style pipelines use to fill context windows).
+
+    This is a DISTRIBUTED PREFIX SUM (the one op family Ray Data has no
+    primitive for), done as the classic two-pass scan:
+
+    1. token counts per doc (vectorized RE2 kernel), one sort shuffle of
+       16-byte (doc_id, n_tokens) rows — text never shuffles;
+    2. per-block partial sums pulled to the driver (one tiny row per
+       block), prefix-summed there into per-block offsets;
+    3. a second block-wise pass over the SAME materialized blocks adds
+       ``block_offset + local_cumsum`` — batch/block identity is
+       guaranteed because the sorted counts are materialized once and
+       both passes map over those exact blocks.
+
+    At 10^10 docs the driver holds one row per BLOCK (~10^5), never per
+    doc."""
+    import ray
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column("text"), _TOKEN_RE), pa.int64()
+            ),
+        })
+
+    sorted_counts = (
+        ds.map_batches(counts, batch_format="pyarrow").sort("doc_id").materialize()
+    )
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"min_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        return pa.table({
+            "min_id": pa.array([pc.min(t.column("doc_id")).as_py()], pa.int64()),
+            "total": pa.array([int(pc.sum(t.column("n_tokens")).as_py())], pa.int64()),
+        })
+
+    partials = sorted(
+        (r["min_id"], r["total"])
+        for r in sorted_counts.map_batches(
+            block_partial, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    offsets, acc = {}, 0
+    for min_id, total in partials:
+        offsets[min_id] = acc
+        acc += total
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64()),
+                             "offset_in_seq": pa.array([], pa.int64())})
+        off = ray.get(off_ref)
+        n = t.column("n_tokens").to_numpy()
+        base = off[int(pc.min(t.column("doc_id")).as_py())]
+        cum_before = base + np.cumsum(n) - n
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "seq_id": pa.array(cum_before // budget),
+            "offset_in_seq": pa.array(cum_before % budget),
+        })
+
+    return sorted_counts.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+PACK_SEQUENCES_SQL = f"""WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+  FROM tok
+)
+SELECT doc_id, n_tokens, cb // {PACK_BUDGET} AS seq_id,
+       cb % {PACK_BUDGET} AS offset_in_seq
+FROM c"""
+
+
 def _sample_sql() -> str:
     cases = " ".join(
         f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())

@@ -92,6 +92,24 @@ def test_repetition_gate_consistency(sf_dir, ray_session):
     assert 0 < len(kept) < len(stats)  # the gate is non-trivial on this corpus
 
 
+def test_pack_sequences_is_exact_prefix_sum(sf_dir, ray_session):
+    """The two-pass distributed scan must equal a sequential scan: for
+    docs in doc_id order, each doc's global token offset is the sum of
+    all earlier docs' counts, and (seq_id, offset_in_seq) is that offset
+    div/mod the budget."""
+    from nativeextractor_ray.pipelines.curation import PACK_BUDGET, pack_sequences
+
+    rows = sorted(pack_sequences(sf_dir).take_all(), key=lambda r: r["doc_id"])
+    assert rows
+    acc = 0
+    for r in rows:
+        assert r["seq_id"] == acc // PACK_BUDGET
+        assert r["offset_in_seq"] == acc % PACK_BUDGET
+        assert 0 <= r["offset_in_seq"] < PACK_BUDGET
+        acc += r["n_tokens"]
+    assert acc > PACK_BUDGET  # corpus spans multiple sequences
+
+
 def test_repetition_stats_hand_checked():
     from nativeextractor_ray.pipelines.curation import _rep_stats_arrays
 
