@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash_pairs,  # md5-simhash, exact SQL
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding": dedup.embedding_dup_pairs,
+        "dedup_clusters": dedup.dedup_clusters,  # pairs -> CC -> keep/drop
         "ann_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # plane-literal SQL oracle
         "ann_ivf_topk": similarity.ann_ivf_topk,  # centroid-literal SQL oracle
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding": dedup.embedding_dup_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
         "ann_topk": similarity.ANN_TOPK_SQL,
         # seed-fixed hyperplanes as SQL literals → identical buckets+rerank
         "ann_lsh_topk": similarity.ann_lsh_sql(),

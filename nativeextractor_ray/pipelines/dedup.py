@@ -878,3 +878,99 @@ def dedup_keep_list(sf_dir: str):
 
 
 DEDUP_KEEP_LIST_SQL = """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"""
+
+
+# ---------------------------------------------------------- cluster resolution
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
+    """Near-dup CLUSTER RESOLUTION — the step that turns pairwise near-dup
+    evidence into a per-document keep/drop decision for the whole corpus
+    (the actual deliverable of corpus dedup at 100 TB: "a~b, b~c" must
+    drop BOTH b and c even though a and c never formed a pair).
+
+    Scale shape, end to end:
+
+    1. verified pairs from the MinHash/LSH + exact-verify path
+       (:func:`dedup_minhash_pairs`) — pairs scale with the near-dup
+       population, never the corpus;
+    2. distributed connected components over the pair graph
+       (``functions/unionfind.py::connected_components_ds`` — edge
+       contraction + pointer jumping, O(log diameter) rounds, int64
+       shuffle keys).  Doc ids enter as ZERO-PADDED strings so the
+       component representative (lexicographic min) is the numeric min;
+    3. the component map covers near-dup docs only — the SMALL side — so
+       it ships once via ``ray.put`` (sorted key array + ``searchsorted``
+       probe) and the full corpus is labeled map-side in one streaming
+       ``map_batches``:  ``cluster_id`` = component min doc_id (self for
+       singletons), ``keep`` = (doc_id == cluster_id).  No corpus-wide
+       shuffle and no text movement anywhere in step 3.
+
+    Oracle: recursive min-label reachability CTE over the exact-Jaccard
+    pair set (same LSH-recall argument as ``dedup_minhash``'s oracle, same
+    CTE shape as ``ENTITY_COMPONENTS_SQL``)."""
+    import ray
+
+    from nativeextractor_ray.functions.unionfind import connected_components_ds
+
+    pairs = dedup_minhash_pairs(sf_dir, threshold, shingle_n)
+
+    def edges(t: pa.Table) -> pa.Table:
+        # zero-pad so lexicographic min == numeric min inside the CC kernel
+        import pyarrow.compute as pc
+
+        def pad(col):
+            return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
+        return pa.table({"a": pad(t.column("doc_a")), "b": pad(t.column("doc_b"))})
+
+    comp = connected_components_ds(pairs.map_batches(edges, batch_format="pyarrow"))
+
+    # component map = near-dup docs only (the small side): one row per doc
+    # that appeared in any pair.  Pulling it to the driver costs the same
+    # order as the pair set dedup_minhash_pairs already held.
+    rows = comp.take_all()
+    keys = np.array(sorted(int(r["node"]) for r in rows), dtype=np.int64)
+    by_node = {int(r["node"]): int(r["component"]) for r in rows}
+    vals = np.array([by_node[int(k)] for k in keys], dtype=np.int64)
+    map_ref = ray.put((keys, vals))
+
+    ds = _docs(sf_dir, columns=("doc_id",))
+
+    def label(t: pa.Table) -> pa.Table:
+        keys_, vals_ = ray.get(map_ref)
+        ids = t.column("doc_id").to_numpy()
+        cluster = ids.copy()
+        if len(keys_):
+            pos = np.searchsorted(keys_, ids)
+            pos = np.clip(pos, 0, len(keys_) - 1)
+            hit = keys_[pos] == ids
+            cluster[hit] = vals_[pos[hit]]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "keep": pa.array(ids == cluster),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def dedup_clusters_sql(threshold: float = 0.5, shingle_n: int = 3) -> str:
+    """Recursive-CTE twin of :func:`dedup_clusters`: exact-Jaccard pairs →
+    min-label reachability closure → corpus-wide left join."""
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ngram_jaccard_sql(shingle_n, threshold)}) q
+),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT bi.v, w.label FROM walk w JOIN bi ON bi.u = w.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""

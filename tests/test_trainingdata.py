@@ -260,3 +260,37 @@ def test_connected_components_ds_scale(ray_session):
         uf.union(x, y)
     want = {m: min(ms) for _, ms in uf.components().items() for m in ms}
     assert got == want
+
+
+def test_dedup_clusters_transitive_closure(sf_dir, ray_session):
+    """Cluster resolution must equal the exact union-find transitive
+    closure of the verified pair set: a~b, b~c puts all three in one
+    cluster with the min doc_id as representative, and keep marks exactly
+    the representatives."""
+    from nativeextractor_ray.functions.unionfind import UnionFind
+    from nativeextractor_ray.pipelines.dedup import (
+        dedup_clusters, dedup_minhash_pairs,
+    )
+
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in dedup_minhash_pairs(sf_dir).take_all()]
+    assert pairs  # the corpus must exercise clustering
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(str(a), str(b))
+    # representative per component = min member id
+    comp_members: dict[str, list[int]] = {}
+    for a, b in pairs:
+        for n in (a, b):
+            comp_members.setdefault(uf.find(str(n)), []).append(n)
+    rep = {n: min(m) for root, m in comp_members.items() for n in m}
+
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup_clusters(sf_dir).take_all()}
+    n_nontrivial = 0
+    for doc_id, (cluster, keep) in got.items():
+        want = rep.get(doc_id, doc_id)
+        assert cluster == want, (doc_id, cluster, want)
+        assert keep == (doc_id == cluster)
+        n_nontrivial += doc_id != cluster
+    assert n_nontrivial > 0
