@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events.events_sliding_window,
         "orders_by_nation": relational.orders_by_nation,
         "order_priority_totals": relational.order_priority_totals,
+        "purchases_asof_clicks": relational.purchases_asof_clicks,  # as-of join
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_keep_list": dedup.dedup_keep_list,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": events.EVENTS_SLIDING_SQL,
         "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
         "order_priority_totals": relational.ORDER_PRIORITY_TOTALS_SQL,
+        "purchases_asof_clicks": relational.PURCHASES_ASOF_CLICKS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
         # LSH proposes, exact n-gram Jaccard verifies → the quadratic SQL

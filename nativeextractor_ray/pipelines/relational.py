@@ -108,3 +108,126 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name"""
+
+
+# ------------------------------------------------------------------ as-of join
+
+
+N_ASOF_PARTS = 256
+
+
+def asof_join(left, right, by: str, on: str, right_keep: list[str],
+              suffix: str = "_r", num_parts: int = N_ASOF_PARTS):
+    """Distributed AS-OF JOIN (a join family Ray Data has no primitive
+    for): for every left row, attach the LATEST right row of the same
+    ``by`` key with ``right.on <= left.on`` (backward as-of, exact
+    matches allowed; ties on ``on`` break to the largest right row in
+    ``(on, *right_keep)`` order, deterministically).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    both sides are co-located by ``hash(by) % num_parts`` — one int-key
+    sort shuffle each — and each partition is resolved with ONE
+    vectorized ``pandas.merge_asof`` pass (no per-key UDF calls, no
+    global sort: ``on`` ordering is only ever needed *within* a
+    partition).  Skewed ``by`` keys cost what they cost in any keyed
+    join; the merge itself stays O(n log n) in the partition size.
+
+    Left rows with no earlier right row keep nulls in the attached
+    columns (left-outer semantics).  The attached columns come back named
+    ``<col><suffix>``; the right side's ``on`` value itself is not
+    re-emitted (attach it via ``right_keep`` under another name upstream
+    if needed)."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    payload = [c for c in right_keep if c not in (by, on)]
+    suffixed = [c + suffix for c in payload]
+    # int columns must survive union null-filling and merge_asof's
+    # unmatched-row float widening with ONE schema across all partitions
+    int_restore = [
+        f.name for f in left.schema().base_schema
+        if pa.types.is_integer(f.type)
+    ] + [
+        c + suffix for c in payload
+        if pa.types.is_integer(right.schema().base_schema.field(c).type)
+    ]
+
+    def tag(side: int, project):
+        def fn(t: pa.Table) -> pa.Table:
+            t = project(t)
+            t = t.append_column("side", pa.array(np.full(t.num_rows, side, np.int8)))
+            return t.append_column("part", stable_part(t, [by], num_parts))
+        return fn
+
+    # right's payload columns are renamed to their suffixed OUTPUT names
+    # before the union, so the two sides can never collide inside
+    # merge_asof (union null-fills each side's missing columns)
+    def project_right(t: pa.Table) -> pa.Table:
+        t = t.select([by, on] + payload)
+        return t.rename_columns([by, on] + suffixed)
+
+    lt = left.map_batches(tag(0, lambda t: t), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, project_right), batch_format="pyarrow")
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        l = (df[df["side"] == 0]
+             .drop(columns=["side", "part"] + suffixed, errors="ignore")
+             .sort_values(on, kind="stable"))
+        r = (df[df["side"] == 1][[by, on] + suffixed]
+             .sort_values([on] + suffixed, kind="stable"))
+        out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        for c in int_restore:
+            if c in out.columns and "int" not in str(out[c].dtype).lower():
+                out[c] = out[c].astype("Int64")
+        return out
+
+    both = lt.union(rt)
+    return both.groupby("part").map_groups(resolve, batch_format="pandas")
+
+
+def purchases_asof_clicks(sf_dir: str):
+    """Per purchase event: the user's latest click at-or-before the
+    purchase timestamp (the classic event-attribution as-of join), with
+    nulls for never-clicked-before purchases."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def split(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t.filter(pc.equal(t.column("event_type"), kind))
+            return m.drop_columns(["event_type"])
+        return fn
+
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(split("click"), batch_format="pyarrow")
+
+    joined = asof_join(
+        purchases, clicks, by="user_id", on="ts",
+        right_keep=["event_id"], suffix="_click",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts": t.column("ts"),
+            "value": t.column("value"),
+            "click_event_id": pc.cast(t.column("event_id_click"), pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+PURCHASES_ASOF_CLICKS_SQL = """SELECT event_id, user_id, ts, value, click_event_id
+FROM (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.event_id AS click_event_id,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+) WHERE rn = 1"""

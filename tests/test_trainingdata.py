@@ -294,3 +294,38 @@ def test_dedup_clusters_transitive_closure(sf_dir, ray_session):
         assert keep == (doc_id == cluster)
         n_nontrivial += doc_id != cluster
     assert n_nontrivial > 0
+
+
+def test_asof_join_semantics_planted(ray_session):
+    """Backward as-of contract on a planted fixture: exact-ts matches
+    attach, ties on ts break to the largest right id, earlier-only rows
+    attach the latest prior, no-prior rows stay null — and int columns
+    stay int across partitions that do/don't have unmatched rows."""
+    import pandas as pd
+    import ray.data
+
+    from nativeextractor_ray.pipelines.relational import asof_join
+
+    left = pa.table({
+        "k": ["u1", "u1", "u1", "u2", "u3"],
+        "t": [10, 20, 5, 7, 9],
+        "lid": [1, 2, 3, 4, 5],
+    })
+    right = pa.table({
+        "k": ["u1", "u1", "u1", "u2", "u9"],
+        "t": [10, 10, 15, 99, 1],
+        "rid": [100, 101, 102, 103, 104],
+    })
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        by="k", on="t", right_keep=["rid"],
+    ).to_pandas().sort_values("lid")
+    got = {int(r.lid): (None if pd.isna(r.rid_r) else int(r.rid_r))
+           for r in out.itertuples()}
+    assert got == {
+        1: 101,   # exact ts tie: max rid among t=10
+        2: 102,   # latest at-or-before 20 is t=15
+        3: None,  # nothing at-or-before 5
+        4: None,  # u2's only click is later
+        5: None,  # u3 has no right rows at all
+    }
