@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract,
         kg,
         multimodal,
+        quantiles,
         relational,
         similarity,
         textstats,
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": relational.orders_by_nation,
         "order_priority_totals": relational.order_priority_totals,
         "purchases_asof_clicks": relational.purchases_asof_clicks,  # as-of join
+        "event_value_quantiles": quantiles.event_value_quantiles,  # exact, sortless
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_keep_list": dedup.dedup_keep_list,
@@ -103,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         events,
         multimodal,
+        quantiles,
         relational,
         similarity,
         textstats,
@@ -128,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
         "order_priority_totals": relational.ORDER_PRIORITY_TOTALS_SQL,
         "purchases_asof_clicks": relational.PURCHASES_ASOF_CLICKS_SQL,
+        "event_value_quantiles": quantiles.event_value_quantiles_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
         # LSH proposes, exact n-gram Jaccard verifies → the quadratic SQL

@@ -329,3 +329,29 @@ def test_asof_join_semantics_planted(ray_session):
         4: None,  # u2's only click is later
         5: None,  # u3 has no right rows at all
     }
+
+
+def test_exact_quantiles_adversarial(ray_session):
+    """Histogram refinement must stay exact under heavy ties, extreme
+    outliers, and tiny-sliver convergence — checked against numpy on a
+    planted distribution that exercises all three."""
+    import ray.data
+
+    from nativeextractor_ray.pipelines.quantiles import _exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        np.full(5000, 7.25),                  # heavy tie at one point
+        rng.normal(0, 1, 3000),               # continuum
+        np.full(1000, 7.25 + 1e-12),          # tie a float-ulp away
+        np.array([1e18, -1e18]),              # extreme outliers
+        rng.integers(0, 5, 1000).astype(float),
+    ])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})
+                             ).repartition(8)
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    got = _exact_quantiles(ds, "v", qs)
+    s = np.sort(vals)
+    for q in qs:
+        k = max(1, int(np.ceil(q * len(s))))
+        assert got[q] == s[k - 1], (q, got[q], s[k - 1])
