@@ -180,6 +180,10 @@ def run_suite() -> dict:
         "conv_digest_salted": ("nativeextractor_ray.pipelines.kg", "conv_digest_salted"),
         "text_quality": ("nativeextractor_ray.pipelines.textstats", "text_quality"),
         "lang_id": ("nativeextractor_ray.pipelines.textstats", "lang_id"),
+        "asof_join": ("nativeextractor_ray.pipelines.relational", "purchases_asof_clicks"),
+        "quantiles": ("nativeextractor_ray.pipelines.quantiles", "event_value_quantiles"),
+        "pack_sequences": ("nativeextractor_ray.pipelines.curation", "pack_sequences"),
+        "dedup_clusters": ("nativeextractor_ray.pipelines.dedup", "dedup_clusters"),
     }
     out = {}
     for name, (mod, fn) in queries.items():
