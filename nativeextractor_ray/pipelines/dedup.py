@@ -882,6 +882,8 @@ DEDUP_KEEP_LIST_SQL = """SELECT min(doc_id) AS doc_id FROM documents GROUP BY te
 
 # ---------------------------------------------------------- cluster resolution
 
+CC_DRIVER_MAX = 500_000  # pair-graph size under which driver union-find wins
+
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
     """Near-dup CLUSTER RESOLUTION — the step that turns pairwise near-dup
@@ -894,11 +896,16 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
     1. verified pairs from the MinHash/LSH + exact-verify path
        (:func:`dedup_minhash_pairs`) — pairs scale with the near-dup
        population, never the corpus;
-    2. distributed connected components over the pair graph
+    2. connected components over the pair graph.  The pair set is small
+       by the same argument that lets dedup_minhash_pairs dedup it on
+       the driver, so up to ``CC_DRIVER_MAX`` edges an exact driver
+       union-find resolves it in one pass with zero extra Ray stages;
+       past that the distributed kernel takes over
        (``functions/unionfind.py::connected_components_ds`` — edge
        contraction + pointer jumping, O(log diameter) rounds, int64
-       shuffle keys).  Doc ids enter as ZERO-PADDED strings so the
-       component representative (lexicographic min) is the numeric min;
+       shuffle keys; doc ids enter as ZERO-PADDED strings so the
+       component representative, the lexicographic min, is the numeric
+       min).  Both produce identical min-member labels;
     3. the component map covers near-dup docs only — the SMALL side — so
        it ships once via ``ray.put`` (sorted key array + ``searchsorted``
        probe) and the full corpus is labeled map-side in one streaming
@@ -911,27 +918,44 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
     CTE shape as ``ENTITY_COMPONENTS_SQL``)."""
     import ray
 
-    from nativeextractor_ray.functions.unionfind import connected_components_ds
+    pairs = dedup_minhash_pairs(sf_dir, threshold, shingle_n).materialize()
+    n_pairs = pairs.count()
 
-    pairs = dedup_minhash_pairs(sf_dir, threshold, shingle_n)
+    if n_pairs <= CC_DRIVER_MAX:
+        from nativeextractor_ray.functions.unionfind import UnionFind
 
-    def edges(t: pa.Table) -> pa.Table:
-        # zero-pad so lexicographic min == numeric min inside the CC kernel
-        import pyarrow.compute as pc
+        uf = UnionFind()
+        members: dict[int, int] = {}
+        for t in (ray.get(r) for r in pairs.to_arrow_refs()):
+            if not t.num_rows:
+                continue
+            for a, b in zip(t.column("doc_a").to_pylist(),
+                            t.column("doc_b").to_pylist()):
+                uf.union(str(a), str(b))
+                members[a] = members[b] = 0
+        roots: dict[str, int] = {}
+        for n in members:
+            r = uf.find(str(n))
+            roots[r] = min(roots.get(r, n), n)
+        by_node = {n: roots[uf.find(str(n))] for n in members}
+    else:
+        from nativeextractor_ray.functions.unionfind import connected_components_ds
 
-        def pad(col):
-            return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+        def edges(t: pa.Table) -> pa.Table:
+            # zero-pad: lexicographic min == numeric min inside the CC kernel
+            import pyarrow.compute as pc
 
-        return pa.table({"a": pad(t.column("doc_a")), "b": pad(t.column("doc_b"))})
+            def pad(col):
+                return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
 
-    comp = connected_components_ds(pairs.map_batches(edges, batch_format="pyarrow"))
+            return pa.table({"a": pad(t.column("doc_a")),
+                             "b": pad(t.column("doc_b"))})
 
-    # component map = near-dup docs only (the small side): one row per doc
-    # that appeared in any pair.  Pulling it to the driver costs the same
-    # order as the pair set dedup_minhash_pairs already held.
-    rows = comp.take_all()
-    keys = np.array(sorted(int(r["node"]) for r in rows), dtype=np.int64)
-    by_node = {int(r["node"]): int(r["component"]) for r in rows}
+        comp = connected_components_ds(pairs.map_batches(edges, batch_format="pyarrow"))
+        # component map = near-dup docs only (the small side)
+        by_node = {int(r["node"]): int(r["component"]) for r in comp.take_all()}
+
+    keys = np.array(sorted(by_node), dtype=np.int64)
     vals = np.array([by_node[int(k)] for k in keys], dtype=np.int64)
     map_ref = ray.put((keys, vals))
 
