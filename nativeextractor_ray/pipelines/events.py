@@ -238,3 +238,59 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(n) AS BIGINT) AS n_events,
        CAST(max(n) AS BIGINT) AS longest_session_events
 FROM per GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------- grouped top-k
+
+
+TOPK_PER_USER = 3
+
+
+def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER):
+    """Grouped top-k (each user's k highest-value events, deterministic
+    event_id tie-break) with the scale-correct two-level shape: every
+    batch REDUCES to at most k rows per user BEFORE the shuffle (top-k is
+    associative, like the pre-groupby combines elsewhere), so the
+    exchange moves O(users × k) rows instead of every event; the coarse
+    user-hash partitions then resolve exact ranks with one vectorized
+    pandas pass each — no per-user UDF calls, no global sort."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "value"])
+    order = dict(by=["user_id", "value", "event_id"],
+                 ascending=[True, False, True], kind="stable")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(**order)
+        top = df.groupby("user_id", sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("part", stable_part(t, ["user_id"], 64))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(**order)
+        out = df.groupby("user_id", sort=False).head(k).copy()
+        out["rnk"] = (out.groupby("user_id", sort=False).cumcount() + 1).astype("int64")
+        return out.drop(columns=["part"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def top_events_per_user_sql(k: int = TOPK_PER_USER) -> str:
+    return f"""SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= {k}"""
