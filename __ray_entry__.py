@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,
+        "top_terms_tfidf": textstats.top_terms_tfidf,  # vocabulary analysis
         "multimodal_features": multimodal.multimodal_features,
         "frame_sample": multimodal.frame_sample_features,
         # curation operators (PII scrub / repetition gate / sampling)
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "doc_fingerprint_winnow": textstats.WINNOW_SQL,
+        "top_terms_tfidf": textstats.top_terms_tfidf_sql(),
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "pii_redact": curation.PII_REDACT_SQL,

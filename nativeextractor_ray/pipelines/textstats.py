@@ -301,3 +301,105 @@ DOCUMENTS_QUALITY_FILTERED_SQL = f"""SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
 FROM documents
 WHERE len(regexp_extract_all(text, '{TOKEN_RE}')) >= 10"""
+
+
+# ---------------------------------------------------------------- tf-idf
+
+
+TFIDF_TOP_K = 10
+_TFIDF_PARTS = 64
+
+
+def top_terms_tfidf(sf_dir: str, k: int = TFIDF_TOP_K):
+    """Top-k terms per language by TF-IDF — the vocabulary-analysis step
+    of corpus curation (stopword discovery / domain-term surfacing).
+
+    tf(lang, term) = occurrences in that language's docs; df(term) =
+    corpus-wide distinct docs containing the term; score = round(tf ·
+    ln(N/df), 4) with rounding on BOTH sides (the repo's float-parity
+    rule) and term-lexicographic tie-break.
+
+    Scale shape: per-batch Arrow-kernel partials — split_pattern →
+    list_parent_indices → two C++ group_bys — reduce every batch to
+    (lang, term, tf, dfl) rows where dfl is exact because a document
+    never spans batches; ONE coarse hash(term) shuffle colocates each
+    term's partials; each partition vectorizes tf/df sums + scores and
+    emits only its local top-k per lang; the final per-lang resolve sees
+    k × partitions rows.  Vocabulary never sits on one node and text
+    never shuffles."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_docs = ds.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        tbl = pa.table({
+            "lang": t.column("lang").take(parent),
+            "doc_id": t.column("doc_id").take(parent),
+            "term": flat,
+        })
+        g = tbl.group_by(["lang", "term"]).aggregate(
+            [("term", "count"), ("doc_id", "count_distinct")]
+        )
+        out = pa.table({
+            "lang": g.column("lang"),
+            "term": g.column("term"),
+            "tf": pc.cast(g.column("term_count"), pa.int64()),
+            "dfl": pc.cast(g.column("doc_id_count_distinct"), pa.int64()),
+        })
+        return out.append_column("part", stable_part(out, ["term"], _TFIDF_PARTS))
+
+    def score_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        agg = (df.groupby(["lang", "term"], sort=False)
+               .agg(tf=("tf", "sum"), dfl=("dfl", "sum")).reset_index())
+        dfg = agg.groupby("term", sort=False)["dfl"].sum().rename("df")
+        agg = agg.join(dfg, on="term").drop(columns=["dfl"])
+        agg["score"] = np.round(
+            agg["tf"] * np.log(float(n_docs) / agg["df"]), 4
+        )
+        agg = agg.sort_values(["lang", "score", "term"],
+                              ascending=[True, False, True], kind="stable")
+        return agg.groupby("lang", sort=False).head(k)
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["score", "term"], ascending=[False, True],
+                            kind="stable").head(k).copy()
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(score_part, batch_format="pandas")
+        .groupby("lang")           # few languages -> per-group UDF is fine
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def top_terms_tfidf_sql(k: int = TFIDF_TOP_K) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT lang, term, tf, df, score, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY score DESC, term
+  ) AS rn FROM scored
+) WHERE rn <= {k}"""
