@@ -294,3 +294,91 @@ FROM (
          ) AS rn
   FROM events
 ) WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------- range join
+
+
+RANGE_WINDOW_H = 24
+_RANGE_PARTS = 64
+
+
+def errors_prior_window(sf_dir: str, window_hours: int = RANGE_WINDOW_H):
+    """Distributed RANGE JOIN: each error event aggregated against the
+    same user's activity in the preceding ``window_hours`` (ts in
+    ``[t - W, t)``) — the blast-radius / pre-incident-activity query.
+
+    Partitioning assumption: both roles co-locate with one
+    ``hash(user_id)`` shuffle of (id, ts, cents) rows — never a
+    time-expanded row multiplication (the naive interval join emits
+    |left| × window-occupancy rows; this emits |left|).  Each partition
+    sorts once by an encoded ``user_id << 46 | Δts_micros`` uint64 key
+    (Δts spans ≪ 2^46 µs ≈ 2.2 years — documented bound) and answers
+    every left row with two vectorized ``searchsorted`` probes against
+    that order plus a prefix-sum for the windowed value total.  Money in
+    integer cents (float-free oracle hashing)."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    win_us = np.int64(window_hours) * 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "is_err": pc.equal(t.column("event_type"), "error"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                             pa.int64()),
+        })
+        return out.append_column("part", stable_part(out, ["user_id"], _RANGE_PARTS))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        base = ts.min() if len(ts) else 0
+        # dense per-partition user index: no assumption on external id size
+        uidx = pd_.factorize(df["user_id"], sort=False)[0].astype(np.uint64)
+        enc = (uidx << np.uint64(46)) | (ts - base).astype(np.uint64)
+        order = np.argsort(enc, kind="stable")
+        enc_sorted = enc[order]
+        pref = np.concatenate(([0], np.cumsum(df["cents"].to_numpy()[order])))
+
+        em = df["is_err"].to_numpy()
+        err = df[em]
+        ets = ts[em]
+        eenc = (uidx[em] << np.uint64(46)) | (ets - base).astype(np.uint64)
+        lo_ts = np.maximum(ets - win_us, base)  # clamp: Δts stays unsigned
+        lenc = (uidx[em] << np.uint64(46)) | (lo_ts - base).astype(np.uint64)
+        hi = np.searchsorted(enc_sorted, eenc, side="left")
+        lo = np.searchsorted(enc_sorted, lenc, side="left")
+        return pd.DataFrame({
+            "event_id": err["event_id"].to_numpy(),
+            "user_id": err["user_id"].to_numpy(),
+            "ts": err["ts"].to_numpy(),
+            "n_prior": (hi - lo).astype(np.int64),
+            "prior_value_cents": (pref[hi] - pref[lo]).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def errors_prior_window_sql(window_hours: int = RANGE_WINDOW_H) -> str:
+    return f"""SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(c.event_id) AS BIGINT) AS n_prior,
+       CAST(coalesce(sum(CAST(round(c.value * 100) AS BIGINT)), 0) AS BIGINT)
+         AS prior_value_cents
+FROM (SELECT * FROM events WHERE event_type = 'error') p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL {window_hours} HOURS
+ AND c.ts < p.ts
+GROUP BY 1, 2, 3"""
