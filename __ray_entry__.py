@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_repetition_filtered": curation.documents_repetition_filtered,
         "sample_stratified": curation.sample_stratified,
         "pack_sequences": curation.pack_sequences,  # distributed prefix sum
+        "curation_e2e": curation.curation_e2e,  # gate -> dedup -> redact -> pack
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)  # rows-only: full
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_repetition_filtered": curation.DOCUMENTS_REPETITION_FILTERED_SQL,
         "sample_stratified": curation.SAMPLE_STRATIFIED_SQL,
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
+        "curation_e2e": curation.curation_e2e_sql(),
     }
     sqls.update(o.mention_sqls())
     return sqls

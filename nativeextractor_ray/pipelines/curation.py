@@ -296,7 +296,6 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
 
     At 10^10 docs the driver holds one row per BLOCK (~10^5), never per
     doc."""
-    import ray
     from nativeextractor_ray.sources.tables import read_table
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -309,9 +308,19 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
             ),
         })
 
-    sorted_counts = (
-        ds.map_batches(counts, batch_format="pyarrow").sort("doc_id").materialize()
-    )
+    return _pack_by_prefix_sum(ds.map_batches(counts, batch_format="pyarrow"),
+                               budget)
+
+
+def _pack_by_prefix_sum(counted, budget: int):
+    """Two-pass distributed prefix sum over a (doc_id, n_tokens, *carry)
+    Dataset: sort by doc_id, per-block partial sums to the driver (one
+    tiny row per block), second pass over the SAME materialized blocks
+    adds block_offset + local cumsum and emits seq_id / offset_in_seq.
+    Carry columns ride along untouched."""
+    import ray
+
+    sorted_counts = counted.sort("doc_id").materialize()
 
     def block_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -333,23 +342,20 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
         offsets[min_id] = acc
         acc += total
     off_ref = ray.put(offsets)
+    out_schema = pa.schema(
+        list(sorted_counts.schema().base_schema)
+        + [pa.field("seq_id", pa.int64()), pa.field("offset_in_seq", pa.int64())]
+    )
 
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_tokens": pa.array([], pa.int64()),
-                             "seq_id": pa.array([], pa.int64()),
-                             "offset_in_seq": pa.array([], pa.int64())})
+            return out_schema.empty_table()
         off = ray.get(off_ref)
         n = t.column("n_tokens").to_numpy()
         base = off[int(pc.min(t.column("doc_id")).as_py())]
         cum_before = base + np.cumsum(n) - n
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "n_tokens": t.column("n_tokens"),
-            "seq_id": pa.array(cum_before // budget),
-            "offset_in_seq": pa.array(cum_before % budget),
-        })
+        t = t.append_column("seq_id", pa.array(cum_before // budget))
+        return t.append_column("offset_in_seq", pa.array(cum_before % budget))
 
     return sorted_counts.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
@@ -365,8 +371,121 @@ c AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
   FROM tok
 )
-SELECT doc_id, n_tokens, cb // {PACK_BUDGET} AS seq_id,
-       cb % {PACK_BUDGET} AS offset_in_seq
+SELECT doc_id, n_tokens, CAST(cb // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(cb % {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c"""
+
+
+# ---------------------------------------------------------------- composite
+
+
+E2E_MIN_TOKENS = 10
+
+
+def curation_e2e(sf_dir: str, budget: int = PACK_BUDGET):
+    """The flagship end-to-end curation pipeline, one streaming
+    composition: quality gate → near-dup removal → PII redaction →
+    sequence packing.  A user of the pieces runs exactly this shape at
+    100 TB:
+
+    1. near-dup DROP set from :func:`~nativeextractor_ray.pipelines.dedup.
+       dedup_clusters` (docs whose cluster representative is another doc)
+       — the drop side scales with the duplicate population, so it
+       broadcasts once via ``ray.put`` while the corpus streams;
+    2. one ``map_batches`` pass applies the raw-text token gate
+       (``>= E2E_MIN_TOKENS``, same rule as documents_quality_filtered),
+       the broadcast drop filter (sorted array + searchsorted), and the
+       chained-RE2 redaction, and emits redacted text + its token count;
+    3. survivors flow into the same two-pass prefix-sum packer as
+       pack_sequences — redacted text moves through exactly ONE sort
+       shuffle (the minimum any deterministic global packing needs
+       unless the input is pre-ordered).
+
+    Oracle: the full composition in SQL — recursive-CTE cluster keep,
+    token gate, nested regexp_replace chain, window-function packing."""
+    import ray
+
+    from nativeextractor_ray.pipelines.dedup import dedup_clusters
+    from nativeextractor_ray.sources.tables import read_table
+
+    cl = dedup_clusters(sf_dir)
+
+    def drops(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("keep"))).select(["doc_id"])
+
+    drop = np.array(
+        sorted(r["doc_id"] for r in
+               cl.map_batches(drops, batch_format="pyarrow").take_all()),
+        dtype=np.int64,
+    )
+    dref = ray.put(drop)
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        dr = ray.get(dref)
+        ids = t.column("doc_id").to_numpy()
+        keep = np.ones(len(ids), dtype=bool)
+        if len(dr):
+            pos = np.clip(np.searchsorted(dr, ids), 0, len(dr) - 1)
+            keep &= dr[pos] != ids
+        n_raw = pc.cast(
+            pc.count_substring_regex(t.column("text"), _TOKEN_RE), pa.int64()
+        ).to_numpy()
+        keep &= n_raw >= E2E_MIN_TOKENS
+        t2 = t.filter(pa.array(keep))
+        red, _ = redact_batch(t2.column("text"))
+        return pa.table({
+            "doc_id": t2.column("doc_id"),
+            "text_redacted": red,
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(red, _TOKEN_RE), pa.int64()
+            ),
+        })
+
+    return _pack_by_prefix_sum(ds.map_batches(stage, batch_format="pyarrow"),
+                               budget)
+
+
+def curation_e2e_sql(budget: int = PACK_BUDGET) -> str:
+    from nativeextractor_ray.pipelines.dedup import ngram_jaccard_sql
+
+    red = "text"
+    for pat, tok in _redactions():
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ngram_jaccard_sql(3, 0.5)}) qq
+),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT bi.v, w.label FROM walk w JOIN bi ON bi.u = w.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+surv AS (
+  SELECT d.doc_id, d.text
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)
+    AND len(regexp_extract_all(d.text, '{_TOKEN_RE}')) >= {E2E_MIN_TOKENS}
+),
+red AS (SELECT doc_id, {red} AS text_redacted FROM surv),
+tok AS (
+  SELECT doc_id, text_redacted,
+         CAST(len(regexp_extract_all(text_redacted, '{_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM red
+),
+c AS (
+  SELECT doc_id, text_redacted, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+  FROM tok
+)
+SELECT doc_id, text_redacted, n_tokens, CAST(cb // {budget} AS BIGINT) AS seq_id,
+       CAST(cb % {budget} AS BIGINT) AS offset_in_seq
 FROM c"""
 
 

@@ -124,3 +124,35 @@ def test_repetition_stats_hand_checked():
     assert got["max_word_count"].tolist() == [4, 0, 1]
     assert got["n_lines"].tolist() == [2, 1, 1]
     assert got["n_distinct_lines"].tolist() == [1, 1, 1]
+
+
+def test_curation_e2e_composition(sf_dir, ray_session):
+    """The composite must equal its stages composed by hand: survivors
+    are exactly (token gate ∩ cluster keep), text is the redaction of the
+    raw text, and packing offsets are the prefix sum over survivors."""
+    from nativeextractor_ray.pipelines.curation import (
+        E2E_MIN_TOKENS, PACK_BUDGET, curation_e2e, redact_batch,
+    )
+    from nativeextractor_ray.pipelines.dedup import dedup_clusters
+    from nativeextractor_ray.sources.tables import read_table
+
+    keep = {r["doc_id"] for r in dedup_clusters(sf_dir).take_all() if r["keep"]}
+    raw = {r["doc_id"]: r["text"]
+           for r in read_table(sf_dir, "documents", ["doc_id", "text"]).take_all()}
+    got = sorted(curation_e2e(sf_dir).take_all(), key=lambda r: r["doc_id"])
+
+    expect_ids = sorted(
+        d for d, txt in raw.items()
+        if d in keep and len(txt.split()) >= E2E_MIN_TOKENS
+    )
+    assert [r["doc_id"] for r in got] == expect_ids
+    assert len(expect_ids) < len(raw)  # both gates actually fire
+
+    acc = 0
+    for r in got:
+        red = redact_batch(pa.array([raw[r["doc_id"]]]))[0].to_pylist()[0]
+        assert r["text_redacted"] == red
+        assert r["n_tokens"] == len(red.split())
+        assert r["seq_id"] == acc // PACK_BUDGET
+        assert r["offset_in_seq"] == acc % PACK_BUDGET
+        acc += r["n_tokens"]
