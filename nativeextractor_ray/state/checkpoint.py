@@ -93,6 +93,25 @@ def partition_dedup_exact(sf_dir: str, pid: int, n_partitions: int, replicate: i
     return dedup_exact_from(ds.map_batches(part_filter, batch_format="pyarrow"))
 
 
+def partition_redact(sf_dir: str, pid: int, n_partitions: int, replicate: int = 1):
+    """Per-partition PII redaction (doc_id % n_partitions slice) — slices
+    are disjoint, so finalize is a concat; manifest counters sum the
+    per-doc redaction counts."""
+    from nativeextractor_ray.pipelines.curation import redact_batch
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def red(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        t2 = t.filter(pa.array(ids % n_partitions == pid))
+        txt, n = redact_batch(t2.column("text"))
+        return pa.table({"doc_id": t2.column("doc_id"),
+                         "text_redacted": txt, "n_redacted": n})
+
+    return ds.map_batches(red, batch_format="pyarrow")
+
+
 #: checkpointable pipelines: name -> (partition factory, finalize combiner,
 #: weight column summed into the manifest counters or None)
 def _finalize_concat(ds):
@@ -110,6 +129,8 @@ def _pipelines():
         "mentions": (partition_mentions, _finalize_concat, None),
         # per-key (md5) partials -> min keep_id + summed n_dups
         "dedup_exact": (partition_dedup_exact, combine_exact_partials, "n_dups"),
+        # disjoint doc slices -> concat; counters sum redactions
+        "redact": (partition_redact, _finalize_concat, "n_redacted"),
     }
 
 

@@ -144,3 +144,33 @@ def test_run_kg_cli(sf_dir, tmp_path, ray_session):
     assert rc == 0
     assert (Path(out) / "triples").exists()
     assert len(list(Path(out).glob("parts/*"))) == 2
+
+
+def test_redact_killed_run_resumes(sf_dir, out_dir, ray_session):
+    """Checkpointed redaction: kill mid-run, resume, output equals the
+    direct per-batch redaction of the whole table."""
+    import pytest
+
+    from nativeextractor_ray.state.checkpoint import finalize, run_partitioned
+
+    with pytest.raises(RuntimeError):
+        run_partitioned(sf_dir, out_dir, n_partitions=4, pipeline="redact",
+                        fail_after=2)
+    run_partitioned(sf_dir, out_dir, n_partitions=4, pipeline="redact")
+    got = _to_df_cols(finalize(out_dir, pipeline="redact"),
+                      ["doc_id", "text_redacted", "n_redacted"])
+
+    import pyarrow as pa2
+
+    from nativeextractor_ray.pipelines.curation import redact_batch
+    from nativeextractor_ray.sources.tables import read_table
+
+    def red(t):
+        txt, n = redact_batch(t.column("text"))
+        return pa2.table({"doc_id": t.column("doc_id"),
+                          "text_redacted": txt, "n_redacted": n})
+
+    direct = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        red, batch_format="pyarrow")
+    want = _to_df_cols(direct, ["doc_id", "text_redacted", "n_redacted"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
