@@ -184,6 +184,10 @@ def run_suite() -> dict:
         "quantiles": ("nativeextractor_ray.pipelines.quantiles", "event_value_quantiles"),
         "pack_sequences": ("nativeextractor_ray.pipelines.curation", "pack_sequences"),
         "dedup_clusters": ("nativeextractor_ray.pipelines.dedup", "dedup_clusters"),
+        "grouped_topk": ("nativeextractor_ray.pipelines.events", "top_events_per_user"),
+        "range_join": ("nativeextractor_ray.pipelines.events", "errors_prior_window"),
+        "tfidf": ("nativeextractor_ray.pipelines.textstats", "top_terms_tfidf"),
+        "curation_e2e": ("nativeextractor_ray.pipelines.curation", "curation_e2e"),
     }
     out = {}
     for name, (mod, fn) in queries.items():
