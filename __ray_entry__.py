@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_totals": relational.order_priority_totals,
         "purchases_asof_clicks": relational.purchases_asof_clicks,  # as-of join
         "event_value_quantiles": quantiles.event_value_quantiles,  # exact, sortless
+        "token_quantiles_by_lang": quantiles.token_quantiles_by_lang,  # grouped
         # training-data operators (documents / embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_keep_list": dedup.dedup_keep_list,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_totals": relational.ORDER_PRIORITY_TOTALS_SQL,
         "purchases_asof_clicks": relational.PURCHASES_ASOF_CLICKS_SQL,
         "event_value_quantiles": quantiles.event_value_quantiles_sql(),
+        "token_quantiles_by_lang": quantiles.token_quantiles_by_lang_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
         # LSH proposes, exact n-gram Jaccard verifies → the quadratic SQL

@@ -1,15 +1,18 @@
 """Exact distributed order statistics — quantiles WITHOUT a global sort.
 
 Ray Data's ``sort`` is an all-to-all shuffle of every row; selecting a
-handful of order statistics does not need one.  ``value_quantiles``
+handful of order statistics does not need one.  ``_exact_quantiles``
 computes EXACT quantile values by iterative histogram refinement (the
-classic distributed selection shape):
+classic distributed selection shape), optionally PER GROUP for a bounded
+group column — the scale-correct alternative to ``groupby(g).map_groups``
+holding an entire group's values on one node:
 
-1. one streaming pass → global ``(count, min, max)``;
+1. one streaming pass → per-group ``(count, min, max)``;
 2. per round, ONE streaming ``map_batches`` pass histograms the values
-   of every still-active search interval (a few hundred buckets × a few
-   targets — partials are tiny rows, the data never moves); the driver
-   narrows each target's interval to the bucket containing its rank;
+   of every still-active (group, q) search interval (a few hundred
+   buckets × groups × targets — partials are tiny rows, the data never
+   moves); the driver narrows each target's interval to the bucket
+   containing its rank;
 3. when an interval's candidate population is small (or the interval has
    collapsed to a point), a final filtered pass collects per-batch
    ``(value, count)`` partials for just that sliver and the driver reads
@@ -17,7 +20,7 @@ classic distributed selection shape):
 
 Every pass streams the full column but moves only O(buckets × targets)
 bytes to the driver, so at 100 TB the cost is R+1 column scans (R ≈ 2-3:
-each round narrows the interval by ~B×), not a 100 TB shuffle.  The
+each round narrows every interval by ~B×), not a 100 TB shuffle.  The
 selected value is an actual data value — no interpolation arithmetic —
 so the DuckDB oracle (row_number over a window) matches hash-exactly.
 """
@@ -35,61 +38,76 @@ MAX_ROUNDS = 40
 QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
-def _exact_quantiles(ds, col: str, qs):
+def _exact_quantiles(ds, col: str, qs, group_col: str | None = None):
     """Exact q-quantiles of ``ds[col]`` (value at 1-indexed rank
-    ``ceil(q*n)`` of the sorted column) via histogram refinement."""
+    ``ceil(q*n)`` of the sorted column), per group of ``group_col`` when
+    given (group cardinality must be bounded — driver state is one
+    interval per (group, q)).  Returns ``{(group, q): value}``; the
+    group key is ``""`` when ungrouped."""
     import ray
 
-    # pass 0: count / min / max (one streaming aggregate)
+    def _groups(t: pa.Table):
+        if group_col is None:
+            return np.full(t.num_rows, "", dtype=object)
+        return t.column(group_col).to_numpy(zero_copy_only=False)
+
+    # pass 0: per-group count / min / max (one streaming aggregate)
     def minmax(t: pa.Table) -> pa.Table:
-        v = t.column(col)
-        n = len(v) - v.null_count
-        if n == 0:
-            return pa.table({"n": pa.array([], pa.int64()),
-                             "lo": pa.array([], pa.float64()),
-                             "hi": pa.array([], pa.float64())})
-        return pa.table({
-            "n": pa.array([n], pa.int64()),
-            "lo": pa.array([pc.min(v).as_py()], pa.float64()),
-            "hi": pa.array([pc.max(v).as_py()], pa.float64()),
-        })
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        g = _groups(t)
+        ok = ~np.isnan(v)
+        v, g = v[ok], g[ok]
+        gs, ns, los, his = [], [], [], []
+        for key in np.unique(g):
+            m = v[g == key]
+            gs.append(str(key))
+            ns.append(len(m))
+            los.append(float(m.min()))
+            his.append(float(m.max()))
+        return pa.table({"g": pa.array(gs, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "lo": pa.array(los, pa.float64()),
+                         "hi": pa.array(his, pa.float64())})
 
-    base = ds.map_batches(minmax, batch_format="pyarrow").materialize()
-    parts = [r for r in base.take_all()]
-    n_total = sum(r["n"] for r in parts)
-    if n_total == 0:
+    stats: dict = {}
+    for r in ds.map_batches(minmax, batch_format="pyarrow").take_all():
+        s = stats.setdefault(r["g"], [0, np.inf, -np.inf])
+        s[0] += r["n"]
+        s[1] = min(s[1], r["lo"])
+        s[2] = max(s[2], r["hi"])
+    if not stats:
         return {}
-    glo = min(r["lo"] for r in parts)
-    ghi = max(r["hi"] for r in parts)
 
-    # one search state per target rank: interval [lo, hi] known to hold
-    # the k-th value, plus how many values sit strictly below lo
+    # one search state per (group, q): interval [lo, hi] known to hold
+    # the k-th value, plus how many group values sit strictly below lo
     targets = {}
-    for q in qs:
-        k = max(1, int(np.ceil(q * n_total)))
-        targets[q] = {"k": k, "lo": glo, "hi": ghi, "below": 0,
-                      "in_range": n_total, "value": None}
+    for gkey, (n, glo, ghi) in stats.items():
+        for q in qs:
+            k = max(1, int(np.ceil(q * n)))
+            targets[(gkey, q)] = {"k": k, "lo": glo, "hi": ghi, "below": 0,
+                                  "in_range": n, "value": None}
 
     def active():
-        return {q: t for q, t in targets.items() if t["value"] is None}
+        return {t: s for t, s in targets.items() if s["value"] is None}
 
     for _ in range(MAX_ROUNDS):
-        act = {q: t for q, t in active().items()
-               if t["in_range"] > FINAL_N and t["hi"] > t["lo"]}
+        act = {t: s for t, s in active().items()
+               if s["in_range"] > FINAL_N and s["hi"] > s["lo"]}
         if not act:
             break
-        # edges per active target, broadcast once for the round
-        edges = {q: np.linspace(t["lo"], t["hi"], N_BUCKETS + 1)
-                 for q, t in act.items()}
+        edges = {t: np.linspace(s["lo"], s["hi"], N_BUCKETS + 1)
+                 for t, s in act.items()}
         eref = ray.put(edges)
 
         def hist(t: pa.Table) -> pa.Table:
             ed = ray.get(eref)
-            v = t.column(col).to_numpy(zero_copy_only=False)
-            v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            g = _groups(t)
+            ok = ~np.isnan(v)
+            v, g = v[ok], g[ok]
             tids, buckets, cnts = [], [], []
-            for i, (q, e) in enumerate(sorted(ed.items())):
-                m = v[(v >= e[0]) & (v <= e[-1])]
+            for i, (tk, e) in enumerate(sorted(ed.items())):
+                m = v[(g == tk[0]) & (v >= e[0]) & (v <= e[-1])]
                 if not len(m):
                     continue
                 idx = np.clip(np.searchsorted(e, m, side="right") - 1,
@@ -105,36 +123,37 @@ def _exact_quantiles(ds, col: str, qs):
 
         partial = ds.map_batches(hist, batch_format="pyarrow").take_all()
         order = sorted(act)
-        hists = {q: np.zeros(N_BUCKETS, dtype=np.int64) for q in order}
+        hists = {t: np.zeros(N_BUCKETS, dtype=np.int64) for t in order}
         for r in partial:
             hists[order[r["tid"]]][r["bucket"]] += r["cnt"]
-        for q in order:
-            t = targets[q]
-            cum = np.cumsum(hists[q])
-            # rank within this interval (1-indexed)
-            rk = t["k"] - t["below"]
+        for tk in order:
+            s = targets[tk]
+            cum = np.cumsum(hists[tk])
+            rk = s["k"] - s["below"]  # rank within this interval (1-indexed)
             j = int(np.searchsorted(cum, rk, side="left"))
-            e = edges[q]
-            t["below"] += int(cum[j - 1]) if j > 0 else 0
-            t["lo"], t["hi"] = float(e[j]), float(e[j + 1])
-            t["in_range"] = int(hists[q][j])
-            if t["lo"] == t["hi"] or t["in_range"] == 0:
-                t["value"] = t["lo"]
+            e = edges[tk]
+            s["below"] += int(cum[j - 1]) if j > 0 else 0
+            s["lo"], s["hi"] = float(e[j]), float(e[j + 1])
+            s["in_range"] = int(hists[tk][j])
+            if s["lo"] == s["hi"] or s["in_range"] == 0:
+                s["value"] = s["lo"]
 
     rest = active()
     if rest:
         # final pass: per-batch (value, count) partials for the slivers —
         # bounded by FINAL_N distinct values per target per batch
-        ivs = {q: (t["lo"], t["hi"]) for q, t in rest.items()}
+        ivs = {t: (s["lo"], s["hi"]) for t, s in rest.items()}
         iref = ray.put(ivs)
 
         def collect(t: pa.Table) -> pa.Table:
             iv = ray.get(iref)
-            v = t.column(col).to_numpy(zero_copy_only=False)
-            v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            g = _groups(t)
+            ok = ~np.isnan(v)
+            v, g = v[ok], g[ok]
             tids, vals, cnts = [], [], []
-            for i, (q, (lo, hi)) in enumerate(sorted(iv.items())):
-                m = v[(v >= lo) & (v <= hi)]
+            for i, (tk, (lo, hi)) in enumerate(sorted(iv.items())):
+                m = v[(g == tk[0]) & (v >= lo) & (v <= hi)]
                 if not len(m):
                     continue
                 u, c = np.unique(m, return_counts=True)
@@ -147,21 +166,21 @@ def _exact_quantiles(ds, col: str, qs):
 
         partial = ds.map_batches(collect, batch_format="pyarrow").take_all()
         order = sorted(rest)
-        byq: dict = {q: {} for q in order}
+        byt: dict = {t: {} for t in order}
         for r in partial:
-            d = byq[order[r["tid"]]]
+            d = byt[order[r["tid"]]]
             d[r["val"]] = d.get(r["val"], 0) + r["cnt"]
-        for q in order:
-            t = targets[q]
-            rk = t["k"] - t["below"]
+        for tk in order:
+            s = targets[tk]
+            rk = s["k"] - s["below"]
             acc = 0
-            for val in sorted(byq[q]):
-                acc += byq[q][val]
+            for val in sorted(byt[tk]):
+                acc += byt[tk][val]
                 if acc >= rk:
-                    t["value"] = float(val)
+                    s["value"] = float(val)
                     break
 
-    return {q: t["value"] for q, t in targets.items()}
+    return {t: s["value"] for t, s in targets.items()}
 
 
 def event_value_quantiles(sf_dir: str, qs=QS):
@@ -172,10 +191,10 @@ def event_value_quantiles(sf_dir: str, qs=QS):
 
     ds = read_table(sf_dir, "events", ["value"])
     got = _exact_quantiles(ds, "value", qs)
-    qs_sorted = sorted(got)
+    qs_sorted = sorted(q for _, q in got)
     return ray.data.from_arrow(pa.table({
         "q": pa.array(qs_sorted, pa.float64()),
-        "value": pa.array([got[q] for q in qs_sorted], pa.float64()),
+        "value": pa.array([got[("", q)] for q in qs_sorted], pa.float64()),
     }))
 
 
@@ -187,5 +206,59 @@ def event_value_quantiles_sql(qs=QS) -> str:
   FROM events WHERE value IS NOT NULL
 )
 SELECT CAST(q AS DOUBLE) AS q, value
+FROM (VALUES {vals}) AS qs(q)
+JOIN s ON s.r = CAST(ceil(q * n) AS BIGINT)"""
+
+
+# ---------------------------------------------------------- grouped quantiles
+
+
+GROUP_QS = (0.5, 0.9)
+
+
+def token_quantiles_by_lang(sf_dir: str, qs=GROUP_QS):
+    """Exact per-language quantiles of the whitespace token count — the
+    grouped order statistic, via the SAME refinement kernel with one
+    (group, q) interval per target.  No group ever materializes on one
+    node (contrast ``groupby(lang).map_groups``, which would hold a whole
+    language's counts in a single partition)."""
+    import ray.data
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column("text"), r"[^\s]+"), pa.int64()
+            ),
+        })
+
+    counted = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    got = _exact_quantiles(counted, "n_tokens", qs, group_col="lang")
+    rows = sorted(got.items())
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array([g for (g, _), _ in rows], pa.string()),
+        "q": pa.array([q for (_, q), _ in rows], pa.float64()),
+        "n_tokens": pa.array([int(v) for _, v in rows], pa.int64()),
+    }))
+
+
+def token_quantiles_by_lang_sql(qs=GROUP_QS) -> str:
+    vals = ", ".join(f"({q})" for q in sorted(qs))
+    return f"""WITH tok AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM tok
+)
+SELECT lang, CAST(q AS DOUBLE) AS q, n_tokens
 FROM (VALUES {vals}) AS qs(q)
 JOIN s ON s.r = CAST(ceil(q * n) AS BIGINT)"""

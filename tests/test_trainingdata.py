@@ -354,4 +354,4 @@ def test_exact_quantiles_adversarial(ray_session):
     s = np.sort(vals)
     for q in qs:
         k = max(1, int(np.ceil(q * len(s))))
-        assert got[q] == s[k - 1], (q, got[q], s[k - 1])
+        assert got[("", q)] == s[k - 1], (q, got[("", q)], s[k - 1])
