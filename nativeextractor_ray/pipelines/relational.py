@@ -171,6 +171,12 @@ def asof_join(left, right, by: str, on: str, right_keep: list[str],
     rt = right.map_batches(tag(1, project_right), batch_format="pyarrow")
 
     def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        # an EMPTY right dataset contributes zero blocks, so the union
+        # schema never materializes the suffixed columns — create them
+        # (int_restore re-types the integer ones below)
+        for c in suffixed:
+            if c not in df.columns:
+                df[c] = np.nan
         l = (df[df["side"] == 0]
              .drop(columns=["side", "part"] + suffixed, errors="ignore")
              .sort_values(on, kind="stable"))

@@ -355,3 +355,41 @@ def test_exact_quantiles_adversarial(ray_session):
     for q in qs:
         k = max(1, int(np.ceil(q * len(s))))
         assert got[("", q)] == s[k - 1], (q, got[("", q)], s[k - 1])
+
+
+def test_asof_join_randomized_vs_bruteforce(ray_session):
+    """Seeded-random as-of joins vs an O(n^2) brute-force reference —
+    aggressive tie density (times drawn from 0..12) exercises the
+    exact-match and tie-break paths the planted fixture can't cover."""
+    import random
+
+    import pandas as pd
+    import ray.data
+
+    from nativeextractor_ray.pipelines.relational import asof_join
+
+    rng = random.Random(11)
+    for trial in range(6):
+        keys = ["a", "b", "c"]
+        nl, nr = rng.randint(1, 25), rng.randint(0, 25)
+        left = pa.table({
+            "k": [rng.choice(keys) for _ in range(nl)],
+            "t": [rng.randint(0, 12) for _ in range(nl)],
+            "lid": list(range(nl)),
+        })
+        right = pa.table({
+            "k": [rng.choice(keys) for _ in range(nr)],
+            "t": [rng.randint(0, 12) for _ in range(nr)],
+            "rid": list(range(100, 100 + nr)),
+        })
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="k", on="t", right_keep=["rid"],
+        ).to_pandas()
+        got = {int(r.lid): (None if pd.isna(r.rid_r) else int(r.rid_r))
+               for r in out.itertuples()}
+        rr = right.to_pylist()
+        for l in left.to_pylist():
+            cand = [r for r in rr if r["k"] == l["k"] and r["t"] <= l["t"]]
+            want = max(cand, key=lambda r: (r["t"], r["rid"]))["rid"] if cand else None
+            assert got[l["lid"]] == want, (trial, l, got[l["lid"]], want)
