@@ -393,3 +393,76 @@ def test_asof_join_randomized_vs_bruteforce(ray_session):
             cand = [r for r in rr if r["k"] == l["k"] and r["t"] <= l["t"]]
             want = max(cand, key=lambda r: (r["t"], r["rid"]))["rid"] if cand else None
             assert got[l["lid"]] == want, (trial, l, got[l["lid"]], want)
+
+
+def test_range_join_randomized_vs_bruteforce(ray_session):
+    """Seeded-random windowed prior-activity vs an O(n^2) reference —
+    dense integer timestamps force window-boundary and same-instant
+    collisions across users."""
+    import random
+
+    import pandas as pd
+    import ray.data
+
+    from nativeextractor_ray.pipelines.events import errors_prior_window
+    from nativeextractor_ray.sources import tables as tables_mod
+
+    rng = random.Random(23)
+    n = 400
+    base = pd.Timestamp("2024-03-01")
+    rows = {
+        "event_id": list(range(n)),
+        "ts": [base + pd.Timedelta(hours=rng.randint(0, 200)) for _ in range(n)],
+        "user_id": [rng.randint(1, 8) for _ in range(n)],
+        "event_type": [rng.choice(["error", "click", "view"]) for _ in range(n)],
+        "value": [round(rng.uniform(0, 50), 2) for _ in range(n)],
+        "props": ["{}"] * n,
+    }
+    tbl = pa.Table.from_pydict(rows)
+
+    real_read = tables_mod.read_table
+    try:
+        tables_mod.read_table = (
+            lambda sf, name, cols: ray.data.from_arrow(tbl.select(cols))
+        )
+        got = {r["event_id"]: (r["n_prior"], r["prior_value_cents"])
+               for r in errors_prior_window("ignored", window_hours=24).take_all()}
+    finally:
+        tables_mod.read_table = real_read
+
+    df = tbl.to_pandas()
+    err = df[df["event_type"] == "error"]
+    assert len(err) and any(v[0] > 0 for v in got.values())
+    for e in err.itertuples():
+        w = df[(df["user_id"] == e.user_id)
+               & (df["ts"] >= e.ts - pd.Timedelta(hours=24))
+               & (df["ts"] < e.ts)]
+        cents = int(np.round(w["value"].to_numpy() * 100).sum())
+        assert got[e.event_id] == (len(w), cents), e.event_id
+
+
+def test_grouped_quantiles_randomized(ray_session):
+    """Grouped refinement vs numpy per-group sort on skewed group sizes
+    with heavy ties."""
+    import ray.data
+
+    from nativeextractor_ray.pipelines.quantiles import _exact_quantiles
+
+    rng = np.random.default_rng(5)
+    groups = np.repeat(["g0", "g1", "g2"], [3000, 40, 1])
+    vals = np.concatenate([
+        rng.integers(0, 7, 3000).astype(float),   # heavy ties
+        rng.normal(100, 5, 40),
+        [42.0],
+    ])
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(groups.tolist(), pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    })).repartition(7)
+    qs = (0.1, 0.5, 1.0)
+    got = _exact_quantiles(ds, "v", qs, group_col="g")
+    for gk in ("g0", "g1", "g2"):
+        s = np.sort(vals[groups == gk])
+        for q in qs:
+            k = max(1, int(np.ceil(q * len(s))))
+            assert got[(gk, q)] == s[k - 1], (gk, q)
