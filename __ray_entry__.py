@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_tfidf": textstats.top_terms_tfidf,  # vocabulary analysis
         "multimodal_features": multimodal.multimodal_features,
         "frame_sample": multimodal.frame_sample_features,
+        "media_resize": multimodal.media_resize_features,  # binary->binary stage
         # curation operators (PII scrub / repetition gate / sampling)
         "pii_redact": curation.pii_redact,
         "repetition_stats": curation.repetition_stats,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_tfidf": textstats.top_terms_tfidf_sql(),
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
+        "media_resize": multimodal.media_resize_sql(),
         "pii_redact": curation.PII_REDACT_SQL,
         "repetition_stats": curation.REPETITION_STATS_SQL,
         "documents_repetition_filtered": curation.DOCUMENTS_REPETITION_FILTERED_SQL,

@@ -142,3 +142,81 @@ FROM (
     coalesce(list_sum(list_transform(
       generate_series(1, length(text), 16), i -> ascii(substr(text, i, 1)))), 0) AS s
   FROM documents)"""
+
+
+class MediaResizer:
+    """Actor-pool binary→binary transform: the resize/downsample pattern.
+    ``factor=f`` halves each header dimension (floor, min 1) and strides
+    the pixel bytes f:1, emitting a NEW payload column — the shape a real
+    thumbnail/re-encode stage has (PIL/ffmpeg would replace the kernel,
+    loaded once per actor in ``__init__``)."""
+
+    def __init__(self, factor: int = 2, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: real resizers are not available here"
+            )
+        self.f = int(factor)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        f = self.f
+        out = []
+        for p in t.column("payload").to_pylist():
+            if p[:4] != MAGIC:
+                raise ValueError("bad magic in media payload")
+            w, h = struct.unpack("<HH", p[4:8])
+            out.append(
+                MAGIC + struct.pack("<HH", max(1, w // f), max(1, h // f))
+                + p[8:][::f]
+            )
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "payload": pa.array(out, pa.binary())})
+
+
+def media_resize_features(sf_dir: str, factor: int = 2):
+    """pack → actor-pool resize (binary→binary) → feature readout OF THE
+    RESIZED payload (dims, byte count, byte sum) — the oracle recomputes
+    the same features analytically, so a wrong byte in the transformed
+    binary column shows up as a byte-sum mismatch."""
+    import numpy as np
+
+    ds = fake_media_dataset(sf_dir).map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        w_out, h_out, n_out, s_out = [], [], [], []
+        for p in t.column("payload").to_pylist():
+            w, h = struct.unpack("<HH", p[4:8])
+            body = np.frombuffer(p[8:], dtype=np.uint8)
+            w_out.append(w)
+            h_out.append(h)
+            n_out.append(int(body.size))
+            s_out.append(int(body.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(w_out, pa.int64()),
+            "height": pa.array(h_out, pa.int64()),
+            "n_payload_bytes": pa.array(n_out, pa.int64()),
+            "byte_sum": pa.array(s_out, pa.int64()),
+        })
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=256)
+
+
+def media_resize_sql(factor: int = 2) -> str:
+    f = int(factor)
+    return f"""SELECT doc_id,
+  CAST(greatest(1, (32 + doc_id % 608) // {f}) AS BIGINT) AS width,
+  CAST(greatest(1, (32 + (doc_id * 7) % 608) // {f}) AS BIGINT) AS height,
+  CAST(CASE WHEN length(text) = 0 THEN 0
+       ELSE (length(text) - 1) // {f} + 1 END AS BIGINT) AS n_payload_bytes,
+  CAST(coalesce(list_sum(list_transform(
+    generate_series(1, length(text), {f}), i -> ascii(substr(text, i, 1)))), 0)
+    AS BIGINT) AS byte_sum
+FROM documents"""
