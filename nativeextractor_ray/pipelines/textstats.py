@@ -403,3 +403,85 @@ SELECT lang, term, tf, df, score, CAST(rn AS BIGINT) AS rnk FROM (
     PARTITION BY lang ORDER BY score DESC, term
   ) AS rn FROM scored
 ) WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------- inverted index
+
+
+POSTINGS_CAP = 64
+_IDX_PARTS = 64
+
+
+def inverted_index(sf_dir: str, cap: int = POSTINGS_CAP):
+    """Build the retrieval-side inverted index: one row per term with its
+    document frequency and a deterministic posting list (doc_ids
+    ascending, capped at ``cap`` — the cap bounds row size under Zipfian
+    head terms; ``df`` still reports the TRUE frequency).
+
+    Scale shape: per-batch Arrow kernels reduce each batch to DISTINCT
+    (term, doc_id) pairs (a doc never spans batches, so batch-distinct is
+    globally distinct); ONE coarse hash(term) shuffle colocates each
+    term's pairs; each partition sorts once and builds every posting
+    ListArray straight from numpy offset arithmetic — zero per-term
+    Python."""
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        tbl = pa.table({
+            "term": flat,
+            "doc_id": t.column("doc_id").take(parent),
+        })
+        g = tbl.group_by(["term", "doc_id"]).aggregate([])  # distinct pairs
+        return g.append_column("part", stable_part(g, ["term"], _IDX_PARTS))
+
+    def build(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(order)
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy()
+        new = np.r_[True, terms[1:] != terms[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(terms)])
+        lengths = np.minimum(counts, cap)
+        off = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths, out=off[1:])
+        idx = (np.arange(off[-1]) - np.repeat(off[:-1], lengths)
+               + np.repeat(starts, lengths))
+        # postings serialize as a comma-joined string: the driver's
+        # correctness gate row-sorts every column, and list columns are
+        # unsortable/unhashable there (array_to_string on the SQL side)
+        id_str = pc.cast(pa.array(ids[idx], pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), id_str)
+        return pa.table({
+            "term": pa.array(terms[starts].tolist(), pa.string()),
+            "df": pa.array(counts.astype(np.int64)),
+            "postings": pc.binary_join(lists, ","),
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(build, batch_format="pyarrow")
+    )
+
+
+def inverted_index_sql(cap: int = POSTINGS_CAP) -> str:
+    return f"""WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {cap}), ',')
+         AS postings
+FROM pairs GROUP BY term"""
