@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events.events_sliding_window,
         "top_events_per_user": events.top_events_per_user,  # grouped top-k
         "errors_prior_window": events.errors_prior_window,  # range join
+        "funnel_counts": events.funnel_counts,  # ordered conversion funnel
         "orders_by_nation": relational.orders_by_nation,
         "order_priority_totals": relational.order_priority_totals,
         "purchases_asof_clicks": relational.purchases_asof_clicks,  # as-of join
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": events.EVENTS_SLIDING_SQL,
         "top_events_per_user": events.top_events_per_user_sql(),
         "errors_prior_window": events.errors_prior_window_sql(),
+        "funnel_counts": events.funnel_counts_sql(),
         "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
         "order_priority_totals": relational.ORDER_PRIORITY_TOTALS_SQL,
         "purchases_asof_clicks": relational.PURCHASES_ASOF_CLICKS_SQL,

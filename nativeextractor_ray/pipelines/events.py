@@ -382,3 +382,96 @@ LEFT JOIN events c
  AND c.ts >= p.ts - INTERVAL {window_hours} HOURS
  AND c.ts < p.ts
 GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------- funnel
+
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, stages=FUNNEL_STAGES):
+    """Ordered funnel analysis: how many users performed stage 1, then
+    stage 2 AT OR AFTER their first stage-1 event, then stage 3 at or
+    after that, ... — the event-analytics conversion query.
+
+    Scale shape: users co-locate with one hash(user_id) shuffle of
+    (user_id, event_type, ts) rows; each partition resolves its users'
+    whole funnel with S vectorized merge+groupby passes (no per-user
+    Python) and emits ONE partial row per stage; the driver sums a
+    stages × partitions table."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(t.column("event_type"),
+                              value_set=pa.array(list(stages))))
+        return m.append_column("part", stable_part(m, ["user_id"], 64))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        cur = (df[df["event_type"] == stages[0]]
+               .groupby("user_id", sort=False)["ts"].min())
+        out = [(0, stages[0], len(cur))]
+        for i, st in enumerate(stages[1:], start=1):
+            prev = cur.rename("t_prev").reset_index()
+            prev.columns = ["user_id", "t_prev"]
+            nxt = df[df["event_type"] == st].merge(prev, on="user_id")
+            cur = (nxt[nxt["ts"] >= nxt["t_prev"]]
+                   .groupby("user_id", sort=False)["ts"].min())
+            out.append((i, st, len(cur)))
+        # emit arrow so every block downstream of the aggregate is arrow
+        # (mixed pandas/arrow partials confuse consumers of arrow refs)
+        return pa.table({
+            "stage_idx": pa.array([r[0] for r in out], pa.int64()),
+            "stage": pa.array([r[1] for r in out], pa.string()),
+            "n_users": pa.array([r[2] for r in out], pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["stage_idx", "stage"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "stage_idx": pc.cast(t.column("stage_idx"), pa.int64()),
+            "stage": t.column("stage"),
+            "n_users": pc.cast(t.column("n_users"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def funnel_counts_sql(stages=FUNNEL_STAGES) -> str:
+    ctes, prev = [], None
+    for i, st in enumerate(stages, start=1):
+        if prev is None:
+            ctes.append(
+                f"t{i} AS (SELECT user_id, min(ts) AS ts FROM events "
+                f"WHERE event_type = '{st}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"t{i} AS (SELECT e.user_id, min(e.ts) AS ts FROM events e "
+                f"JOIN {prev} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{st}' AND e.ts >= p.ts GROUP BY 1)"
+            )
+        prev = f"t{i}"
+    rows = ", ".join(
+        f"({i}, '{st}', (SELECT count(*) FROM t{i + 1}))"
+        for i, st in enumerate(stages)
+    )
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, "
+            f"CAST(n_users AS BIGINT) AS n_users\n"
+            f"FROM (VALUES {rows}) v(stage_idx, stage, n_users)")

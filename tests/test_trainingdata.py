@@ -466,3 +466,45 @@ def test_grouped_quantiles_randomized(ray_session):
         for q in qs:
             k = max(1, int(np.ceil(q * len(s))))
             assert got[(gk, q)] == s[k - 1], (gk, q)
+
+
+def test_funnel_counts_planted_dropouts(ray_session):
+    """Planted funnel with real dropouts: a user who clicks BEFORE
+    signing up must not count as converted (order matters), a user who
+    never purchases stops at stage 2."""
+    import pandas as pd
+    import ray.data
+
+    from nativeextractor_ray.pipelines.events import funnel_counts
+    from nativeextractor_ray.sources import tables as tables_mod
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # u1: full ordered funnel
+    rows += [(1, "signup", 0), (1, "click", 5), (1, "purchase", 9)]
+    # u2: clicked before signup only -> counts for signup, NOT click
+    rows += [(2, "click", 1), (2, "signup", 3)]
+    # u3: signup + click, never purchases
+    rows += [(3, "signup", 0), (3, "click", 2), (3, "click", 8)]
+    # u4: purchase only -> no stages (never signed up)
+    rows += [(4, "purchase", 7)]
+    # u5: click at the exact signup instant -> >= lets it convert
+    rows += [(5, "signup", 4), (5, "click", 4), (5, "purchase", 4)]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([t0 + pd.Timedelta(hours=r[2]) for r in rows],
+                       pa.timestamp("us")),
+    })
+
+    real_read = tables_mod.read_table
+    try:
+        tables_mod.read_table = (
+            lambda sf, name, cols: ray.data.from_arrow(tbl.select(cols))
+        )
+        got = {r["stage"]: r["n_users"]
+               for r in funnel_counts("ignored").take_all()}
+    finally:
+        tables_mod.read_table = real_read
+
+    assert got == {"signup": 4, "click": 3, "purchase": 2}
