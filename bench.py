@@ -188,6 +188,10 @@ def run_suite() -> dict:
         "range_join": ("nativeextractor_ray.pipelines.events", "errors_prior_window"),
         "tfidf": ("nativeextractor_ray.pipelines.textstats", "top_terms_tfidf"),
         "curation_e2e": ("nativeextractor_ray.pipelines.curation", "curation_e2e"),
+        "grouped_quantiles": ("nativeextractor_ray.pipelines.quantiles", "token_quantiles_by_lang"),
+        "inverted_index": ("nativeextractor_ray.pipelines.textstats", "inverted_index"),
+        "funnel": ("nativeextractor_ray.pipelines.events", "funnel_counts"),
+        "media_resize": ("nativeextractor_ray.pipelines.multimodal", "media_resize_features"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -508,3 +508,35 @@ def test_funnel_counts_planted_dropouts(ray_session):
         tables_mod.read_table = real_read
 
     assert got == {"signup": 4, "click": 3, "purchase": 2}
+
+
+def test_minhash_skew_cap_degenerate_corpus(ray_session):
+    """SURVEY §4.3.2 skew rule: an everything-identical corpus must not go
+    quadratic — buckets above MAX_BUCKET are dropped wholesale (their
+    members are exact dups anyway, dedup_exact's job), while normal
+    near-dup pairs in the same corpus still surface."""
+    import time
+
+    import ray.data
+
+    from nativeextractor_ray.pipelines.dedup import MAX_BUCKET, minhash_pairs
+
+    n = MAX_BUCKET * 2
+    texts = ["the same degenerate document body repeated everywhere " * 4] * n
+    # plus one normal near-dup pair with many distinct shingles (one word
+    # of ~60 changed -> Jaccard ~0.95)
+    base_words = [f"w{i}" for i in range(60)]
+    near_words = base_words[:]
+    near_words[30] = "CHANGED"
+    texts += [" ".join(base_words), " ".join(near_words)]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    t0 = time.perf_counter()
+    pairs = minhash_pairs(ray.data.from_arrow(tbl), threshold=0.5).take_all()
+    dt = time.perf_counter() - t0
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (n, n + 1) in got              # the real near-dup still surfaces
+    assert all(a >= n for a, _ in got)    # degenerate bucket emitted nothing
+    assert dt < 60, f"skew cap failed to bound work: {dt:.1f}s"
