@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,
         "top_terms_tfidf": textstats.top_terms_tfidf,  # vocabulary analysis
         "inverted_index": textstats.inverted_index,  # term -> capped postings
+        "tokenize_ids": textstats.tokenize_ids,  # bounded vocab + id sequences
         "multimodal_features": multimodal.multimodal_features,
         "frame_sample": multimodal.frame_sample_features,
         "media_resize": multimodal.media_resize_features,  # binary->binary stage
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_winnow": textstats.WINNOW_SQL,
         "top_terms_tfidf": textstats.top_terms_tfidf_sql(),
         "inverted_index": textstats.inverted_index_sql(),
+        "tokenize_ids": textstats.tokenize_ids_sql(),
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "media_resize": multimodal.media_resize_sql(),

@@ -485,3 +485,113 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
        array_to_string(list_slice(list_sort(list(doc_id)), 1, {cap}), ',')
          AS postings
 FROM pairs GROUP BY term"""
+
+
+# ---------------------------------------------------------------- tokenize-ids
+
+
+VOCAB_V = 25  # bounded vocabulary; chosen < corpus vocab so OOV=0 is exercised
+
+
+def tokenize_ids(sf_dir: str, v: int = VOCAB_V):
+    """Vocabulary build + tokenize-to-ids — the tokenization step of a
+    training pipeline: the top-``v`` terms by (count desc, term asc) get
+    ids 1..v, everything else maps to 0 (UNK), and each document becomes
+    its id sequence.
+
+    Scale shape: the vocab is BOUNDED by construction (real tokenizers
+    are), so it broadcasts.  Term counts reduce per batch (Arrow C++
+    group_by), one coarse hash(term) shuffle sums them; each partition
+    emits only its LOCAL top-v (global top-v ⊆ union of per-partition
+    top-v under term-hash partitioning), and the driver merges v×P tiny
+    rows.  The map stage is one searchsorted lookup per token against
+    the broadcast sorted vocab — no joins, no second shuffle; ids emit
+    as a comma-joined string (the gate row-sorts columns)."""
+    import ray
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by("term").aggregate([("term", "count")])
+        out = pa.table({"term": g.column("term"),
+                        "cnt": pc.cast(g.column("term_count"), pa.int64())})
+        return out.append_column("part", stable_part(out, ["term"], 64))
+
+    def local_top(df):
+        agg = df.groupby("term", sort=False)["cnt"].sum().reset_index()
+        agg = agg.sort_values(["cnt", "term"], ascending=[False, True],
+                              kind="stable")
+        return agg.head(v)
+
+    cand = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(local_top, batch_format="pandas")
+        .take_all()
+    )
+    cand.sort(key=lambda r: (-r["cnt"], r["term"]))
+    vocab = cand[:v]
+    terms = np.array([r["term"] for r in vocab], dtype=object)
+    order = np.argsort(terms)
+    sorted_terms = terms[order]
+    # id = 1-based rank in (cnt desc, term asc) order
+    sorted_ids = (np.arange(1, len(vocab) + 1))[order]
+    vref = ray.put((sorted_terms, sorted_ids))
+
+    def encode(t: pa.Table) -> pa.Table:
+        st, si = ray.get(vref)
+        toks = pc.split_pattern(t.column("text"), " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        words = flat.to_numpy(zero_copy_only=False)
+        par = parent.to_numpy()
+        if len(st):
+            pos = np.clip(np.searchsorted(st, words), 0, len(st) - 1)
+            ids = np.where(st[pos] == words, si[pos], 0).astype(np.int64)
+        else:
+            ids = np.zeros(len(words), np.int64)
+        # per-doc joined id strings via offset arithmetic (docs are
+        # contiguous in parent order)
+        n = t.num_rows
+        cnts = np.bincount(par, minlength=n)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(cnts, out=off[1:])
+        id_str = pc.cast(pa.array(ids), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), id_str)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(cnts.astype(np.int64)),
+            "ids": pc.binary_join(lists, ","),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def tokenize_ids_sql(v: int = VOCAB_V) -> str:
+    return f"""WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i, w[i] AS term
+  FROM w, UNNEST(generate_series(1, len(w))) t(i)
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS id
+  FROM toks GROUP BY term
+  ORDER BY count(*) DESC, term LIMIT {v}
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(w.w), 0) AS BIGINT) AS n_tokens,
+       coalesce((SELECT array_to_string(list(coalesce(vb.id, 0) ORDER BY tk.i), ',')
+                 FROM toks tk LEFT JOIN vocab vb ON vb.term = tk.term
+                 WHERE tk.doc_id = d.doc_id), '') AS ids
+FROM documents d JOIN w ON w.doc_id = d.doc_id"""
