@@ -3,10 +3,11 @@
     ray job submit -- python -m nativeextractor_ray.run_kg \
         --sf-dir /root/testdata/sf0.01 --out /tmp/kg_out --partitions 8
 
-Runs the transcripts → triples pipeline with per-partition checkpointing
+Runs a registered checkpointable pipeline (``--pipeline`` triples /
+mentions / dedup_exact / redact) with per-partition checkpointing
 (``--resume`` is the default: a killed run picks up where it left off,
 skipping every partition whose manifest + input fingerprint check out),
-then merges partials into ``<out>/triples/``.
+then merges partials into ``<out>/<pipeline>/``.
 
 This module owns its Ray session (guarded — it attaches to the job's
 cluster when one exists).
@@ -25,6 +26,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--pipeline", default="triples",
+                    choices=["triples", "mentions", "dedup_exact", "redact"])
     ap.add_argument("--no-resume", action="store_true",
                     help="recompute every partition even if checkpointed")
     ap.add_argument("--skip-finalize", action="store_true",
@@ -45,13 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         args.sf_dir,
         args.out,
         n_partitions=args.partitions,
+        pipeline=args.pipeline,
         resume=not args.no_resume,
         replicate=args.replicate,
     )
     if not args.skip_finalize:
-        triples = finalize(args.out)
-        triples.write_parquet(f"{args.out}/triples")
-        summary["final_triples"] = triples.count()
+        final = finalize(args.out, pipeline=args.pipeline)
+        final.write_parquet(f"{args.out}/{args.pipeline}")
+        summary["final_rows"] = final.count()
     print(json.dumps(summary))
     return 0
 

@@ -174,3 +174,14 @@ def test_redact_killed_run_resumes(sf_dir, out_dir, ray_session):
         red, batch_format="pyarrow")
     want = _to_df_cols(direct, ["doc_id", "text_redacted", "n_redacted"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_run_kg_cli_pipeline_flag(sf_dir, tmp_path, ray_session):
+    """--pipeline selects any registry entry (redact here) end-to-end."""
+    from nativeextractor_ray.run_kg import main
+
+    out = str(tmp_path / "cli_redact")
+    rc = main(["--sf-dir", sf_dir, "--out", out, "--partitions", "2",
+               "--pipeline", "redact"])
+    assert rc == 0
+    assert (Path(out) / "redact").exists()
