@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": curation.sample_stratified,
         "pack_sequences": curation.pack_sequences,  # distributed prefix sum
         "curation_e2e": curation.curation_e2e,  # gate -> dedup -> redact -> pack
+        "training_batches": curation.training_batches,  # + vocab + ids (capstone)
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)  # rows-only: full
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": curation.SAMPLE_STRATIFIED_SQL,
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "curation_e2e": curation.curation_e2e_sql(),
+        "training_batches": curation.training_batches_sql(),
     }
     sqls.update(o.mention_sqls())
     return sqls

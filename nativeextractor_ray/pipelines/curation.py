@@ -403,6 +403,14 @@ def curation_e2e(sf_dir: str, budget: int = PACK_BUDGET):
 
     Oracle: the full composition in SQL — recursive-CTE cluster keep,
     token gate, nested regexp_replace chain, window-function packing."""
+    return _pack_by_prefix_sum(curated_docs(sf_dir), budget)
+
+
+def curated_docs(sf_dir: str):
+    """Gate + near-dup drop + redact as a reusable streaming stage:
+    (doc_id, text_redacted, n_tokens) for every surviving document.  The
+    near-dup DROP set broadcasts (it scales with the duplicate
+    population); everything else is one map_batches pass."""
     import ray
 
     from nativeextractor_ray.pipelines.dedup import dedup_clusters
@@ -443,8 +451,7 @@ def curation_e2e(sf_dir: str, budget: int = PACK_BUDGET):
             ),
         })
 
-    return _pack_by_prefix_sum(ds.map_batches(stage, batch_format="pyarrow"),
-                               budget)
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 def curation_e2e_sql(budget: int = PACK_BUDGET) -> str:
@@ -501,3 +508,88 @@ WHERE (doc_id * {_SAMPLE_MULT}) % {SAMPLE_MOD} <
 
 
 SAMPLE_STRATIFIED_SQL = _sample_sql()
+
+
+TRAIN_VOCAB_V = 25
+
+
+def training_batches(sf_dir: str, budget: int = PACK_BUDGET,
+                     v: int = TRAIN_VOCAB_V):
+    """The full training-prep deliverable in one call: quality gate →
+    near-dup removal → PII redaction → vocabulary build → tokenize to
+    ids → pack into fixed token-budget sequences.  Output rows are what
+    a data loader consumes: ``(doc_id, n_tokens, ids, seq_id,
+    offset_in_seq)`` with ids drawn from a bounded vocab built on the
+    CURATED corpus (ids 1..v by frequency, OOV → 0).
+
+    The curated stage is materialized once (redacted text in the object
+    store, spillable) because three passes need it: vocab counts, id
+    encoding, and the packing prefix-sum — recomputing would repeat the
+    dedup leg.  Everything downstream reuses the shared kernels:
+    ``_top_v_vocab`` / ``_encode_ids`` (textstats) and
+    ``_pack_by_prefix_sum``."""
+    from nativeextractor_ray.pipelines.textstats import _encode_ids, _top_v_vocab
+
+    cur = curated_docs(sf_dir).materialize()
+    vocab = _top_v_vocab(cur, "text_redacted", v)
+    enc = _encode_ids(cur, vocab, "text_redacted")
+    return _pack_by_prefix_sum(enc, budget)
+
+
+def training_batches_sql(budget: int = PACK_BUDGET,
+                         v: int = TRAIN_VOCAB_V) -> str:
+    from nativeextractor_ray.pipelines.dedup import ngram_jaccard_sql
+
+    red = "text"
+    for pat, tok in _redactions():
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ngram_jaccard_sql(3, 0.5)}) qq
+),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT bi.v, w.label FROM walk w JOIN bi ON bi.u = w.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+surv AS (
+  SELECT d.doc_id, d.text
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)
+    AND len(regexp_extract_all(d.text, '{_TOKEN_RE}')) >= {E2E_MIN_TOKENS}
+),
+red AS (SELECT doc_id, {red} AS text FROM surv),
+w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM red
+),
+toks AS (
+  SELECT doc_id, i, w[i] AS term
+  FROM w, UNNEST(generate_series(1, len(w))) t(i)
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS id
+  FROM toks GROUP BY term
+  ORDER BY count(*) DESC, term LIMIT {v}
+),
+enc AS (
+  SELECT w.doc_id,
+         CAST(coalesce(len(w.w), 0) AS BIGINT) AS n_tokens,
+         coalesce((SELECT array_to_string(
+                     list(coalesce(vb.id, 0) ORDER BY tk.i), ',')
+                   FROM toks tk LEFT JOIN vocab vb ON vb.term = tk.term
+                   WHERE tk.doc_id = w.doc_id), '') AS ids
+  FROM w
+),
+c AS (
+  SELECT doc_id, n_tokens, ids,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+  FROM enc
+)
+SELECT doc_id, n_tokens, ids, CAST(cb // {budget} AS BIGINT) AS seq_id,
+       CAST(cb % {budget} AS BIGINT) AS offset_in_seq
+FROM c"""

@@ -507,15 +507,22 @@ def tokenize_ids(sf_dir: str, v: int = VOCAB_V):
     rows.  The map stage is one searchsorted lookup per token against
     the broadcast sorted vocab — no joins, no second shuffle; ids emit
     as a comma-joined string (the gate row-sorts columns)."""
-    import ray
-
-    from nativeextractor_ray.functions.hashing import stable_part
     from nativeextractor_ray.sources.tables import read_table
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return _encode_ids(ds, _top_v_vocab(ds, "text", v), "text")
+
+
+def _top_v_vocab(ds, text_col: str, v: int):
+    """Bounded top-v vocabulary of a text column → broadcastable
+    ``(sorted_terms, sorted_ids)`` arrays (id = 1-based rank in
+    (count desc, term asc) order)."""
+    import ray
+
+    from nativeextractor_ray.functions.hashing import stable_part
 
     def counts(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t.column("text"), " ")
+        toks = pc.split_pattern(t.column(text_col), " ")
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
         g = pa.table({"term": flat}).group_by("term").aggregate([("term", "count")])
@@ -542,11 +549,19 @@ def tokenize_ids(sf_dir: str, v: int = VOCAB_V):
     sorted_terms = terms[order]
     # id = 1-based rank in (cnt desc, term asc) order
     sorted_ids = (np.arange(1, len(vocab) + 1))[order]
-    vref = ray.put((sorted_terms, sorted_ids))
+    return sorted_terms, sorted_ids
+
+
+def _encode_ids(ds, vocab, text_col: str):
+    """Map a (doc_id, <text_col>, ...) Dataset to (doc_id, n_tokens, ids)
+    via one broadcast searchsorted lookup per token."""
+    import ray
+
+    vref = ray.put(vocab)
 
     def encode(t: pa.Table) -> pa.Table:
         st, si = ray.get(vref)
-        toks = pc.split_pattern(t.column("text"), " ")
+        toks = pc.split_pattern(t.column(text_col), " ")
         parent = pc.list_parent_indices(toks)
         flat = pc.list_flatten(toks)
         keep = pc.not_equal(flat, "")
