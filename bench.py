@@ -192,6 +192,8 @@ def run_suite() -> dict:
         "inverted_index": ("nativeextractor_ray.pipelines.textstats", "inverted_index"),
         "funnel": ("nativeextractor_ray.pipelines.events", "funnel_counts"),
         "media_resize": ("nativeextractor_ray.pipelines.multimodal", "media_resize_features"),
+        "tokenize_ids": ("nativeextractor_ray.pipelines.textstats", "tokenize_ids"),
+        "training_batches": ("nativeextractor_ray.pipelines.curation", "training_batches"),
     }
     out = {}
     for name, (mod, fn) in queries.items():
