@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_tfidf": textstats.top_terms_tfidf,  # vocabulary analysis
         "inverted_index": textstats.inverted_index,  # term -> capped postings
         "tokenize_ids": textstats.tokenize_ids,  # bounded vocab + id sequences
+        "source_report": textstats.source_report,  # per-source report card
         "multimodal_features": multimodal.multimodal_features,
         "frame_sample": multimodal.frame_sample_features,
         "media_resize": multimodal.media_resize_features,  # binary->binary stage
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_tfidf": textstats.top_terms_tfidf_sql(),
         "inverted_index": textstats.inverted_index_sql(),
         "tokenize_ids": textstats.tokenize_ids_sql(),
+        "source_report": textstats.source_report_sql(),
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "media_resize": multimodal.media_resize_sql(),

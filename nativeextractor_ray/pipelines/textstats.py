@@ -610,3 +610,100 @@ SELECT d.doc_id,
                  FROM toks tk LEFT JOIN vocab vb ON vb.term = tk.term
                  WHERE tk.doc_id = d.doc_id), '') AS ids
 FROM documents d JOIN w ON w.doc_id = d.doc_id"""
+
+
+# ---------------------------------------------------------------- source report
+
+
+def source_report(sf_dir: str, min_tokens: int = 10):
+    """Per-source corpus report card — the triage table a curation run
+    starts from: document count, distinct-content count (exact-dup
+    signal), total whitespace tokens, and how many docs pass the token
+    gate.
+
+    Scale shape: token/gate sums reduce per batch to one row per source
+    (sources are bounded).  Distinct-content counts need the md5 keys
+    co-located: per-batch distinct (source, key) pairs → ONE coarse
+    hash(key) shuffle (16-byte keys + a source tag, never text) →
+    per-partition distinct → per-source partial counts → tiny final
+    groupby.  A key seen in two sources counts once per source
+    (count(DISTINCT text) semantics per source)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(s.encode()).hexdigest()
+                for s in t.column("text").to_pylist()]
+        out = pa.table({
+            "source": t.column("source"),
+            "key": pa.array(keys, pa.string()),
+        }).group_by(["source", "key"]).aggregate([])
+        return out.append_column("part", stable_part(out, ["key"], 64))
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        g = (t.select(["source", "key"])
+             .group_by(["source", "key"]).aggregate([])
+             .group_by("source").aggregate([("key", "count")]))
+        return pa.table({
+            "source": g.column("source"),
+            "n_distinct_texts": pc.cast(g.column("key_count"), pa.int64()),
+        })
+
+    distinct = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_distinct_texts", alias_name="n_distinct_texts"))
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        ntok = _count(t.column("text"), TOKEN_RE)
+        g = pa.table({
+            "source": t.column("source"),
+            "n_tokens": ntok,
+            "gate": pc.cast(pc.greater_equal(ntok, min_tokens), pa.int64()),
+        }).group_by("source").aggregate(
+            [("n_tokens", "count"), ("n_tokens", "sum"), ("gate", "sum")]
+        )
+        return pa.table({
+            "source": g.column("source"),
+            "n_docs": pc.cast(g.column("n_tokens_count"), pa.int64()),
+            "sum_tokens": pc.cast(g.column("n_tokens_sum"), pa.int64()),
+            "n_gate_pass": pc.cast(g.column("gate_sum"), pa.int64()),
+        })
+
+    totals = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_tokens", alias_name="sum_tokens"),
+                   Sum("n_gate_pass", alias_name="n_gate_pass"))
+    )
+
+    # bounded join: sources are a handful of rows on each side
+    joined = totals.join(distinct, join_type="inner", num_partitions=2,
+                         on=("source",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ["source", "n_docs", "n_distinct_texts", "sum_tokens",
+                "n_gate_pass"]
+        return t.select(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def source_report_sql(min_tokens: int = 10) -> str:
+    return f"""SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+  CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS sum_tokens,
+  CAST(sum(CASE WHEN len(regexp_extract_all(text, '{TOKEN_RE}')) >= {min_tokens}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass
+FROM documents GROUP BY source"""
