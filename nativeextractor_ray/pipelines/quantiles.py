@@ -107,7 +107,8 @@ def _exact_quantiles(ds, col: str, qs, group_col: str | None = None):
             v, g = v[ok], g[ok]
             tids, buckets, cnts = [], [], []
             for i, (tk, e) in enumerate(sorted(ed.items())):
-                m = v[(g == tk[0]) & (v >= e[0]) & (v <= e[-1])]
+                sel = v if group_col is None else v[g == tk[0]]
+                m = sel[(sel >= e[0]) & (sel <= e[-1])]
                 if not len(m):
                     continue
                 idx = np.clip(np.searchsorted(e, m, side="right") - 1,
@@ -153,7 +154,8 @@ def _exact_quantiles(ds, col: str, qs, group_col: str | None = None):
             v, g = v[ok], g[ok]
             tids, vals, cnts = [], [], []
             for i, (tk, (lo, hi)) in enumerate(sorted(iv.items())):
-                m = v[(g == tk[0]) & (v >= lo) & (v <= hi)]
+                sel = v if group_col is None else v[g == tk[0]]
+                m = sel[(sel >= lo) & (sel <= hi)]
                 if not len(m):
                     continue
                 u, c = np.unique(m, return_counts=True)

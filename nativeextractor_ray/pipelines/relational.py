@@ -145,12 +145,12 @@ def asof_join(left, right, by: str, on: str, right_keep: list[str],
     suffixed = [c + suffix for c in payload]
     # int columns must survive union null-filling and merge_asof's
     # unmatched-row float widening with ONE schema across all partitions
+    lschema, rschema = left.schema().base_schema, right.schema().base_schema
     int_restore = [
-        f.name for f in left.schema().base_schema
-        if pa.types.is_integer(f.type)
+        f.name for f in lschema if pa.types.is_integer(f.type)
     ] + [
         c + suffix for c in payload
-        if pa.types.is_integer(right.schema().base_schema.field(c).type)
+        if pa.types.is_integer(rschema.field(c).type)
     ]
 
     def tag(side: int, project):
