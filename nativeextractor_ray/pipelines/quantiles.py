@@ -42,9 +42,20 @@ def _exact_quantiles(ds, col: str, qs, group_col: str | None = None):
     """Exact q-quantiles of ``ds[col]`` (value at 1-indexed rank
     ``ceil(q*n)`` of the sorted column), per group of ``group_col`` when
     given (group cardinality must be bounded — driver state is one
-    interval per (group, q)).  Returns ``{(group, q): value}``; the
-    group key is ``""`` when ungrouped."""
+    interval per (group, q); the group column must be STRING-typed —
+    target keys compare raw column values against driver-side str keys).
+    Returns ``{(group, q): value}``; the group key is ``""`` when
+    ungrouped."""
     import ray
+
+    if group_col is not None:
+        gt = ds.schema().base_schema.field(group_col).type
+        if not (pa.types.is_string(gt) or pa.types.is_large_string(gt)):
+            raise TypeError(
+                f"group_col {group_col!r} must be string-typed, got {gt} "
+                "(cast upstream; non-string keys would silently mismatch "
+                "the driver's str-keyed targets)"
+            )
 
     def _groups(t: pa.Table):
         if group_col is None:
