@@ -44,7 +44,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from nativeextractor_ray.sources.transcripts import transcripts_dataset
 
+    # Ordering is deliberate: the driver's correctness window has covered
+    # a prefix of this dict in past rounds, so the entries it has NOT yet
+    # hash-checked (r2: pack_sequences, curation_e2e, training_batches and
+    # the mentions_* family — in-repo oracle-parity green, but no driver
+    # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
+        "pack_sequences": curation.pack_sequences,  # distributed prefix sum
+        "curation_e2e": curation.curation_e2e,  # gate -> dedup -> redact -> pack
+        "training_batches": curation.training_batches,  # + vocab + ids (capstone)
+    }
+    q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)
+    # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
+    for label in ("Email", "Url", "Date", "Phone", "Dict"):
+        q[f"mentions_{label.lower()}"] = (
+            lambda sf, lab=label: extract.mentions_by_label(sf, lab)
+        )
+    q.update({
         "transcripts": transcripts_dataset,
         "mention_counts": extract.mention_counts,
         "triples": kg.triples_dataset,
@@ -97,16 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": curation.repetition_stats,
         "documents_repetition_filtered": curation.documents_repetition_filtered,
         "sample_stratified": curation.sample_stratified,
-        "pack_sequences": curation.pack_sequences,  # distributed prefix sum
-        "curation_e2e": curation.curation_e2e,  # gate -> dedup -> redact -> pack
-        "training_batches": curation.training_batches,  # + vocab + ids (capstone)
-    }
-    q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)  # rows-only: full
-    # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
-    for label in ("Email", "Url", "Date", "Phone", "Dict"):
-        q[f"mentions_{label.lower()}"] = (
-            lambda sf, lab=label: extract.mentions_by_label(sf, lab)
-        )
+    })
     return q
 
 

@@ -93,6 +93,71 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+class ExactIdFilter:
+    """Membership filter over an int64 id set as a SORTED numpy array:
+    8 bytes/id (vs ~60 for a Python set) and a vectorized ``searchsorted``
+    probe per batch.  Broadcast once via ``ray.put``; used when the
+    candidate-id population fits the driver bound."""
+
+    def __init__(self, ids: np.ndarray):
+        self.ids = np.unique(np.asarray(ids, dtype=np.int64))
+
+    def contains(self, x: np.ndarray) -> np.ndarray:
+        ids = self.ids
+        if ids.size == 0:
+            return np.zeros(len(x), dtype=bool)
+        x = np.asarray(x, dtype=np.int64)
+        pos = np.searchsorted(ids, x).clip(0, ids.size - 1)
+        return ids[pos] == x
+
+
+_BLOOM_SALTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+class BloomIdFilter:
+    """Constant-memory membership filter over int64 ids — the scale path
+    when the candidate population is too large to broadcast exactly.
+    ``2**nbits_log2`` bits, 4 multiply-xorshift hashes; at 16 bits/element
+    the false-positive rate is ~0.2%.  False positives are BENIGN here:
+    they only admit extra docs into shingle extraction, and the downstream
+    verification is exact, so the emitted pairs are unchanged."""
+
+    def __init__(self, nbits_log2: int):
+        self.log2 = int(nbits_log2)
+        self.bits = np.zeros(1 << (self.log2 - 6), dtype=np.uint64)
+
+    def _positions(self, x: np.ndarray):
+        x = np.asarray(x).astype(np.uint64)
+        sh = np.uint64(64 - self.log2)
+        with np.errstate(over="ignore"):
+            for salt in _BLOOM_SALTS:
+                h = (x ^ (x >> np.uint64(33))) * salt
+                h ^= h >> np.uint64(29)
+                yield (h >> sh).astype(np.int64)
+
+    def add(self, x: np.ndarray) -> None:
+        one = np.uint64(1)
+        for pos in self._positions(x):
+            np.bitwise_or.at(
+                self.bits, pos >> 6,
+                np.left_shift(one, (pos & 63).astype(np.uint64)),
+            )
+
+    def contains(self, x: np.ndarray) -> np.ndarray:
+        out = np.ones(len(x), dtype=bool)
+        for pos in self._positions(x):
+            word = self.bits[pos >> 6]
+            out &= (
+                np.right_shift(word, (pos & 63).astype(np.uint64))
+                & np.uint64(1)
+            ).astype(bool)
+        return out
+
+
 def word_shingles(text: str, n: int) -> list[str]:
     """Distinct word n-grams; tokens = space-split, empties dropped (kept in
     lockstep with the SQL ``list_filter(string_split(text,' '), x -> x<>'')``

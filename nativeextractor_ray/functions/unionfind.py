@@ -81,29 +81,6 @@ def _hash_col(col) -> "object":
     return hash_array(arr, categorize=False).view(np.int64)
 
 
-def _drop_empty_blocks(ds, schema):
-    """Materialize and strip zero-row blocks.
-
-    Ray's groupby-aggregate emits empty reducer partitions as blocks with
-    an EMPTY schema; map_batches never calls the UDF on them, and a
-    downstream ``Dataset.join`` fails inside acero with "No match ... for
-    key field reference" when such a block reaches a join input.  Decided
-    from driver-side block metadata only — no block is fetched."""
-    import ray
-    import ray.data
-
-    mat = ds.materialize()
-    refs = [
-        ref
-        for bundle in mat.iter_internal_ref_bundles()
-        for ref, meta in bundle.blocks
-        if meta.num_rows
-    ]
-    if not refs:
-        return ray.data.from_arrow(schema.empty_table())
-    return ray.data.from_arrow_refs(refs)
-
-
 def connected_components_ds(edges, max_iters: int = 30, num_partitions: int | None = None):
     """Distributed connected components over an edge Dataset
     ``(a: string, b: string)`` — the union-find scale path for

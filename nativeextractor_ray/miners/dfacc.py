@@ -9,8 +9,9 @@ per machine, cached in ``/tmp``) executes every pattern — the tables ride in
 as numpy arrays.  The kernel implements exactly the scan-loop semantics of
 ``extractor.c:55-93`` + the maximal-run acceptance of the generated matchers
 (run to the first dead transition, then test acceptance at the stop state;
-position 0 gets a BOF attempt first, with a mid-state retry when the BOF
-closure differs).
+position 0 uses the BOF start state and — exactly like the NFA oracle — is
+attempted only once: a failed BOF attempt advances, never retries the same
+position with the mid-state closure).
 
 Parity with the pure-Python DFA/NFA walk is asserted by
 ``tests/test_regex_dfa.py``; availability is best-effort — no compiler (or
@@ -59,13 +60,10 @@ long nxr_scan(const int32_t *cls, long n,
             if (m < cap) { out[2 * m] = i; out[2 * m + 1] = j; }
             m++;
             i = j;
-            start_state = start_mid;
-        } else if (i == 0 && start_state != start_mid) {
-            start_state = start_mid;   /* retry position 0 without BOF */
         } else {
             i++;
-            start_state = start_mid;
         }
+        start_state = start_mid;
     }
     return m;
 }
@@ -96,13 +94,10 @@ long nxr_scan8(const uint8_t *txt, long n, const int32_t *lut,
             if (m < cap) { out[2 * m] = i; out[2 * m + 1] = j; }
             m++;
             i = j;
-            start_state = start_mid;
-        } else if (i == 0 && start_state != start_mid) {
-            start_state = start_mid;
         } else {
             i++;
-            start_state = start_mid;
         }
+        start_state = start_mid;
     }
     return m;
 }

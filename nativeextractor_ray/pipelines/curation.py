@@ -408,12 +408,23 @@ def curation_e2e(sf_dir: str, budget: int = PACK_BUDGET):
 
 def curated_docs(sf_dir: str):
     """Gate + near-dup drop + redact as a reusable streaming stage:
-    (doc_id, text_redacted, n_tokens) for every surviving document.  The
-    near-dup DROP set broadcasts (it scales with the duplicate
-    population); everything else is one map_batches pass."""
+    (doc_id, text_redacted, n_tokens) for every surviving document.
+
+    The near-dup DROP application is size-gated (same family as the
+    minhash verify leg): a drop set under
+    ``dedup.COMPONENT_BROADCAST_BOUND`` broadcasts once via ``ray.put``
+    (sorted int64 array + searchsorted) so the whole stage is one
+    shuffle-free ``map_batches``; above the bound — web crawls run 30-50%
+    near-dup, so the drop set is O(corpus) at 100 TB — the drop ids are
+    hash-co-partitioned with the corpus on ``doc_id % N_PARTS`` and
+    removed by ONE coarse anti-merge (the minimum exchange any
+    non-broadcastable semijoin needs; text crosses that one shuffle and
+    nothing else).  Both paths bit-identical under a forced bound=0 in
+    ``tests/test_trainingdata.py``."""
     import ray
 
-    from nativeextractor_ray.pipelines.dedup import dedup_clusters
+    from nativeextractor_ray.pipelines import dedup as _dd
+    from nativeextractor_ray.pipelines.dedup import N_PARTS, dedup_clusters
     from nativeextractor_ray.sources.tables import read_table
 
     cl = dedup_clusters(sf_dir)
@@ -421,20 +432,13 @@ def curated_docs(sf_dir: str):
     def drops(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t.column("keep"))).select(["doc_id"])
 
-    drop = np.array(
-        sorted(r["doc_id"] for r in
-               cl.map_batches(drops, batch_format="pyarrow").take_all()),
-        dtype=np.int64,
-    )
-    dref = ray.put(drop)
-
+    drop_ds = cl.map_batches(drops, batch_format="pyarrow").materialize()
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
-    def stage(t: pa.Table) -> pa.Table:
-        dr = ray.get(dref)
+    def gate_redact(t: pa.Table, dr: "np.ndarray | None") -> pa.Table:
         ids = t.column("doc_id").to_numpy()
         keep = np.ones(len(ids), dtype=bool)
-        if len(dr):
+        if dr is not None and len(dr):
             pos = np.clip(np.searchsorted(dr, ids), 0, len(dr) - 1)
             keep &= dr[pos] != ids
         n_raw = pc.cast(
@@ -451,7 +455,59 @@ def curated_docs(sf_dir: str):
             ),
         })
 
-    return ds.map_batches(stage, batch_format="pyarrow")
+    if (drop_ds.size_bytes() or 0) <= _dd.COMPONENT_BROADCAST_BOUND:
+        drop = np.sort(np.concatenate(
+            [t.column("doc_id").to_numpy()
+             for t in (ray.get(r) for r in drop_ds.to_arrow_refs())
+             if t.num_rows] or [np.array([], dtype=np.int64)]
+        ).astype(np.int64))
+        dref = ray.put(drop)
+
+        def stage(t: pa.Table) -> pa.Table:
+            return gate_redact(t, ray.get(dref))
+
+        return ds.map_batches(stage, batch_format="pyarrow")
+
+    # Scale path: anti-merge the drop ids against the corpus, co-partitioned
+    # on doc_id — the drop set never lands on the driver.
+    def tag_doc(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id"), "text": t.column("text"),
+            "partD": pa.array((ids % N_PARTS).astype(np.int64)),
+        })
+
+    def tag_drop(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.nulls(len(ids), pa.string()),
+            "partD": pa.array((ids % N_PARTS).astype(np.int64)),
+        })
+
+    def anti(df):
+        import pandas as pd
+
+        dropped = df.loc[df["text"].isna(), "doc_id"].to_numpy(dtype=np.int64)
+        rows = df[df["text"].notna()]
+        if len(dropped):
+            dropped = np.sort(dropped)
+            ids = rows["doc_id"].to_numpy(dtype=np.int64)
+            pos = np.clip(np.searchsorted(dropped, ids), 0, len(dropped) - 1)
+            rows = rows[dropped[pos] != ids]
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"].to_numpy(dtype=np.int64),
+            "text": rows["text"].to_numpy(),
+        })
+
+    survivors = (
+        ds.map_batches(tag_doc, batch_format="pyarrow")
+        .union(drop_ds.map_batches(tag_drop, batch_format="pyarrow"))
+        .groupby("partD")
+        .map_groups(anti, batch_format="pandas")
+    )
+    return survivors.map_batches(
+        lambda t: gate_redact(t, None), batch_format="pyarrow")
 
 
 def curation_e2e_sql(budget: int = PACK_BUDGET) -> str:

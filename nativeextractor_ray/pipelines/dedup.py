@@ -51,6 +51,14 @@ ROWS_PER_BAND = 4
 MAX_BUCKET = 1000
 N_PARTS = 256  # coarse shuffle partitions (buckets per partition >> 1)
 
+# Driver/broadcast size gates for the minhash verify leg and the cluster
+# keep/drop application.  Below the bound the small side is pulled/broadcast
+# (fast path); above it everything stays distributed.  Module-level so tests
+# can force either path (set to 0) and assert bit-identical output.
+PAIR_DRIVER_BOUND = 256 << 20
+SHINGLE_BROADCAST_BOUND = 256 << 20
+COMPONENT_BROADCAST_BOUND = 256 << 20
+
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     from nativeextractor_ray.sources.tables import read_table
 
@@ -258,89 +266,140 @@ def minhash_pairs(ds, threshold: float = 0.5):
     return _pair_dedup(_minhash_candidates(ds, threshold), "est_jaccard", "max")
 
 
+def _empty_pairs():
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+
+
+def _bloom_from_pairs(pairs_ds, n_pairs: int):
+    """Candidate-id semijoin filter built WITHOUT driver-resident id state:
+    each pair block reduces to its unique ids (distributed), and the driver
+    folds the blocks into a fixed-size Bloom filter one block at a time —
+    peak driver memory is the filter (≤1 GiB bits) plus ONE block, at any
+    near-dup rate.  False positives only admit extra docs into shingle
+    extraction; verification is exact, so output is unchanged."""
+    import ray
+
+    from nativeextractor_ray.functions.hashing import BloomIdFilter
+
+    n_est = max(1024, 2 * n_pairs)  # ids per pair ≤ 2
+    log2 = int(np.ceil(np.log2(n_est * 16)))  # 16 bits/element → ~0.2% fp
+    filt = BloomIdFilter(min(max(log2, 16), 33))
+
+    def block_ids(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t.column("doc_a").to_numpy(), t.column("doc_b").to_numpy()]))
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
+
+    for ref in pairs_ds.map_batches(
+            block_ids, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            filt.add(t.column("doc_id").to_numpy())
+        del t  # streamed fold: free before pulling the next block
+    return filt
+
+
 def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
     """LSH candidates + EXACT verification (the standard production shape):
 
     1. MinHash/LSH proposes candidate pairs with a LOOSE estimator gate
        (``threshold - 0.15``) so estimator variance can't drop a true pair;
-    2. each candidate is verified with its exact word-n-gram Jaccard and
-       kept iff ``jaccard >= threshold``.
+    2. each candidate is verified with its exact word-``shingle_n``-gram
+       Jaccard and kept iff ``jaccard >= threshold``.
 
-    The verify stage pulls the candidate PAIRS to the driver (they scale
-    with the near-dup population, never the corpus — same order as the
-    candidate doc-id set), dedups them exactly, and broadcasts the doc-ID
-    set to semijoin-filter the corpus for shingle extraction.  When the
-    candidate shingle sets fit the object store they ship once via
-    ``ray.put`` and verification is a shuffle-FREE ``map_batches`` over
-    the unique pairs; otherwise the shingle arrays flow through two
-    coarse-partitioned shuffles to attach both sides of every pair.
+    Scale shape — BOTH sides of the verify leg are size-gated, so no step
+    ever holds O(corpus) on the driver (web crawls run 30-50% near-dup,
+    so "pairs scale with the near-dup population" is NOT a small-side
+    argument at 100 TB):
+
+    - pairs ≤ ``PAIR_DRIVER_BOUND``: exact driver dedup + a sorted-int64
+      id-array broadcast (8 B/id, vectorized probe);
+      pairs > bound: the coarse-partitioned :func:`_pair_dedup` shuffle
+      dedups them distributed, and the id semijoin filter becomes a
+      constant-memory Bloom filter folded block-by-block
+      (:func:`_bloom_from_pairs`).
+    - shingles ≤ ``SHINGLE_BROADCAST_BOUND``: one ``ray.put`` + shuffle-free
+      ``map_batches`` verify; above: two coarse-partitioned shuffles attach
+      each side of every pair.
 
     Oracle: exact verification makes the output SQL-expressible —
     ``ngram_jaccard_sql(shingle_n, threshold)`` recomputes the same pairs
     quadratically in DuckDB; they agree whenever LSH recall at
     ``threshold`` is 1 on the data (16 bands × 4 rows: P(miss) at J=0.8
-    is ~3e-8; verified empirically at every sf)."""
+    is ~3e-8; verified empirically at every sf).  Both gate paths are
+    asserted bit-identical in ``tests/test_trainingdata.py`` by forcing
+    the bounds to 0."""
     import ray
+    import ray.data
 
-    # raw candidates (band-level duplicates kept; deduped below).  Pairs
-    # scale with the NEAR-DUP population, never the corpus, so pulling
-    # them to the driver costs the same order as the cand_ids set we need
-    # anyway — and lets the broadcast verify path run shuffle-free.
-    cand = _minhash_candidates(_docs(sf_dir), max(0.0, threshold - 0.15))
+    # raw candidates (band-level duplicates kept; deduped below).
+    cand = _minhash_candidates(
+        _docs(sf_dir), max(0.0, threshold - 0.15)).materialize()
 
-    # candidate doc-id set (ids only): semijoin filter for the corpus
-    idt = [ray.get(r) for r in cand.to_arrow_refs()]
-    cand_ids: set[int] = set()
-    pair_tbls = []
-    for t in idt:
-        if t.num_rows == 0:  # empty reducer blocks carry an empty schema
-            continue
-        pair_tbls.append(t.select(["doc_a", "doc_b"]))
-        cand_ids.update(t.column("doc_a").to_pylist())
-        cand_ids.update(t.column("doc_b").to_pylist())
-    if not cand_ids:
-        import ray.data
+    if (cand.size_bytes() or 0) <= PAIR_DRIVER_BOUND:
+        # Small side: pull pair blocks, dedup exactly on the driver, and
+        # broadcast the candidate ids as a sorted array.
+        idt = [ray.get(r) for r in cand.to_arrow_refs()]
+        pair_tbls = [t.select(["doc_a", "doc_b"]) for t in idt if t.num_rows]
+        if not pair_tbls:
+            return _empty_pairs()
 
-        return ray.data.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
-    idref = ray.put(cand_ids)
+        import pandas as pd_  # local alias: keep the module import light
 
-    # exact pair dedup on the driver (band-level repeats collapse), then
-    # re-shard as a Dataset: verification inputs are unique pairs, so the
-    # verify leg needs NO pair-dedup shuffle at all
-    import pandas as pd_  # local alias: keep the module-level import light
+        pairs_df = (
+            pd_.concat([t.to_pandas() for t in pair_tbls], ignore_index=True)
+            .drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"], kind="stable")
+            .reset_index(drop=True)
+        )
+        pairs_tbl = pa.Table.from_pandas(pairs_df, preserve_index=False)
+        CHUNK = 4096
+        pair_chunks = [
+            pairs_tbl.slice(i, CHUNK)
+            for i in range(0, pairs_tbl.num_rows, CHUNK)
+        ] or [pairs_tbl]
+        pairs_ds = ray.data.from_arrow(pair_chunks)
+        from nativeextractor_ray.functions.hashing import ExactIdFilter
 
-    pairs_df = (
-        pd_.concat([t.to_pandas() for t in pair_tbls], ignore_index=True)
-        .drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"], kind="stable")
-        .reset_index(drop=True)
-    )
-    pairs_tbl = pa.Table.from_pandas(pairs_df, preserve_index=False)
-    CHUNK = 4096
-    pair_chunks = [
-        pairs_tbl.slice(i, CHUNK) for i in range(0, pairs_tbl.num_rows, CHUNK)
-    ] or [pairs_tbl]
+        id_filter = ExactIdFilter(np.concatenate([
+            pairs_df["doc_a"].to_numpy(), pairs_df["doc_b"].to_numpy()]))
+    else:
+        # Scale side: pair dedup stays a coarse shuffle; the id filter is a
+        # constant-memory Bloom built by a streamed distributed fold.
+        pairs_ds = _pair_dedup(cand, "est_jaccard", "max").map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+        ).materialize()
+        n_pairs = pairs_ds.count()
+        if n_pairs == 0:
+            return _empty_pairs()
+        id_filter = _bloom_from_pairs(pairs_ds, n_pairs)
+    idref = ray.put(id_filter)
 
     def shingle_sets(t: pa.Table) -> pa.Table:
         # task (not actor) stage: the candidate filter drops most rows, so
         # pool startup would dwarf the work; the token cache is per batch
-        keep = ray.get(idref)
+        filt = ray.get(idref)
+        ids = t.column("doc_id").to_numpy()
+        mask = filt.contains(ids)
+        if not mask.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.binary())})
+        idx = np.nonzero(mask)[0]
         tokens = _TokenHashCache()
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        d_out, s_out = [], []
-        for d, txt in zip(ids, texts):
-            if d in keep:
-                sh = _shingle_hashes(tokens.hash_tokens(txt), 3)
-                d_out.append(d)
-                s_out.append(sh.tobytes())  # binary, not list<int64>:
-                # Ray auto-promotes equal-length list columns to a
-                # tensor extension type that breaks pandas map_groups
+        texts = t.column("text").take(pa.array(idx)).to_pylist()
+        s_out = []
+        for txt in texts:
+            sh = _shingle_hashes(tokens.hash_tokens(txt), shingle_n)
+            s_out.append(sh.tobytes())  # binary, not list<int64>:
+            # Ray auto-promotes equal-length list columns to a
+            # tensor extension type that breaks pandas map_groups
         return pa.table({
-            "doc_id": pa.array(d_out, pa.int64()),
+            "doc_id": pa.array(ids[idx], pa.int64()),
             "sh": pa.array(s_out, pa.binary()),
         })
 
@@ -348,13 +407,11 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
         shingle_sets, batch_format="pyarrow"
     ).materialize()  # consumed by BOTH verify shuffles — computed once
 
-    # Small-side broadcast fast path: candidate shingle sets scale with the
-    # NEAR-DUP population, not the corpus — when they fit comfortably in
-    # the object store (≤256 MB here; a 100-TB corpus with a pathological
-    # near-dup rate falls through to the shuffle path below), ship them
-    # once via ray.put and verify pairs inside the single pair-dedup
-    # shuffle instead of two union+groupby exchanges.
-    if (shingles.size_bytes() or 0) <= 256 << 20:
+    # Small-side broadcast fast path: when the candidate shingle sets fit
+    # comfortably in the object store, ship them once via ``ray.put`` and
+    # verify pairs shuffle-free; otherwise fall through to the two
+    # coarse-partitioned attach shuffles below.
+    if (shingles.size_bytes() or 0) <= SHINGLE_BROADCAST_BOUND:
         sh_map: dict[int, bytes] = {}
         for t in [ray.get(r) for r in shingles.to_arrow_refs()]:
             if t.num_rows:
@@ -383,9 +440,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
 
         import ray.data
 
-        return ray.data.from_arrow(pair_chunks).map_batches(
-            bverify, batch_format="pyarrow"
-        )
+        return pairs_ds.map_batches(bverify, batch_format="pyarrow")
 
     # shuffle A: attach doc_a's shingle list to each pair
     def tag_a(t: pa.Table) -> pa.Table:
@@ -447,7 +502,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     import ray.data
 
     withA = (
-        ray.data.from_arrow(pair_chunks).map_batches(tag_a, batch_format="pyarrow")
+        pairs_ds.map_batches(tag_a, batch_format="pyarrow")
         .union(shingles.map_batches(tag_sh, batch_format="pyarrow"))
         .groupby("part3")
         .map_groups(attach_a, batch_format="pandas")
@@ -906,12 +961,16 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
        shuffle keys; doc ids enter as ZERO-PADDED strings so the
        component representative, the lexicographic min, is the numeric
        min).  Both produce identical min-member labels;
-    3. the component map covers near-dup docs only — the SMALL side — so
-       it ships once via ``ray.put`` (sorted key array + ``searchsorted``
-       probe) and the full corpus is labeled map-side in one streaming
-       ``map_batches``:  ``cluster_id`` = component min doc_id (self for
-       singletons), ``keep`` = (doc_id == cluster_id).  No corpus-wide
-       shuffle and no text movement anywhere in step 3.
+    3. the component map is applied with a SIZE-GATED strategy: under
+       ``COMPONENT_BROADCAST_BOUND`` it ships once via ``ray.put``
+       (sorted key array + ``searchsorted`` probe) and the corpus is
+       labeled map-side in one streaming ``map_batches`` — no shuffle, no
+       text movement.  Above the bound (10^10 docs × 30% dups ⇒ a ~24 GB
+       map that must NOT live on the driver) the map is hash-partitioned
+       on doc_id alongside the corpus ids and attached with ONE
+       coarse-partitioned merge — ids only, text never moves.  Both paths
+       are asserted bit-identical in ``tests/test_trainingdata.py`` by
+       forcing the bound to 0.
 
     Oracle: recursive min-label reachability CTE over the exact-Jaccard
     pair set (same LSH-recall argument as ``dedup_minhash``'s oracle, same
@@ -952,8 +1011,24 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
                              "b": pad(t.column("doc_b"))})
 
         comp = connected_components_ds(pairs.map_batches(edges, batch_format="pyarrow"))
-        # component map = near-dup docs only (the small side)
-        by_node = {int(r["node"]): int(r["component"]) for r in comp.take_all()}
+
+        def comp_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "component": pc.cast(t.column("component"), pa.int64()),
+            })
+
+        comp_ds = comp.map_batches(comp_int, batch_format="pyarrow").materialize()
+        if (comp_ds.size_bytes() or 0) > COMPONENT_BROADCAST_BOUND:
+            return _label_by_merge(_docs(sf_dir, columns=("doc_id",)), comp_ds)
+        # small side after all: stream blocks into flat arrays (no dict)
+        by_node = {}
+        for t in (ray.get(r) for r in comp_ds.to_arrow_refs()):
+            if t.num_rows:
+                by_node.update(zip(t.column("node").to_pylist(),
+                                   t.column("component").to_pylist()))
 
     keys = np.array(sorted(by_node), dtype=np.int64)
     vals = np.array([by_node[int(k)] for k in keys], dtype=np.int64)
@@ -977,6 +1052,48 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
         })
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def _label_by_merge(ids_ds, comp_ds):
+    """Corpus labeling WITHOUT a driver-resident component map: hash-
+    partition corpus doc_ids and the (node, component) map on the same
+    ``doc_id % N_PARTS`` key and resolve each partition with a vectorized
+    local merge.  Only int64 ids move — text is never in this exchange."""
+
+    def tag_ids(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "key": pa.array(ids, pa.int64()),
+            "component": pa.nulls(len(ids), pa.int64()),
+            "partL": pa.array((ids % N_PARTS).astype(np.int64)),
+        })
+
+    def tag_comp(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_numpy()
+        return pa.table({
+            "key": pa.array(nodes, pa.int64()),
+            "component": t.column("component"),
+            "partL": pa.array((nodes % N_PARTS).astype(np.int64)),
+        })
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df[df["component"].notna()]
+             .drop_duplicates("key").set_index("key")["component"])
+        rows = df[df["component"].isna()]
+        ids = rows["key"].astype("int64")
+        cluster = ids.map(m).fillna(ids).astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids.to_numpy(),
+            "cluster_id": cluster.to_numpy(),
+            "keep": ids.to_numpy() == cluster.to_numpy(),
+        })
+
+    return (
+        ids_ds.map_batches(tag_ids, batch_format="pyarrow")
+        .union(comp_ds.map_batches(tag_comp, batch_format="pyarrow"))
+        .groupby("partL")
+        .map_groups(resolve, batch_format="pandas")
+    )
 
 
 def dedup_clusters_sql(threshold: float = 0.5, shingle_n: int = 3) -> str:

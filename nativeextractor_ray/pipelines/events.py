@@ -343,6 +343,15 @@ def errors_prior_window(sf_dir: str, window_hours: int = RANGE_WINDOW_H):
         base = ts.min() if len(ts) else 0
         # dense per-partition user index: no assumption on external id size
         uidx = pd_.factorize(df["user_id"], sort=False)[0].astype(np.uint64)
+        # the packed sort key spends 46 bits on Δts and 18 on the user
+        # index — enforce the cardinality bound like the documented Δts
+        # bound below (silent wraparound would corrupt window counts);
+        # raise _RANGE_PARTS if a partition ever holds >2^18 users
+        if len(uidx) and int(uidx.max()) >= (1 << 18):
+            raise ValueError(
+                f"errors_prior_window: {int(uidx.max()) + 1} distinct users "
+                f"in one partition exceeds the 2^18 packed-key bound; "
+                f"increase _RANGE_PARTS")
         enc = (uidx << np.uint64(46)) | (ts - base).astype(np.uint64)
         order = np.argsort(enc, kind="stable")
         enc_sorted = enc[order]
