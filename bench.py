@@ -163,6 +163,56 @@ def run_regex_scan() -> dict:
     return {"sec": round(time.perf_counter() - t0, 3), "matches": n}
 
 
+def run_chunked_file_scan() -> dict:
+    """ONE giant plaintext file through the chunked source + miner scan —
+    the reference's flagship input shape (stream.c mmap paging).  The file
+    (default 1 GiB, override GRAFT_CHUNK_FILE_MB) is synthesized once and
+    cached in /tmp; the scan fans out one Ray task per 64 MB chunk."""
+    from nativeextractor_ray.sources.textcorpus import text_corpus_dataset
+    from nativeextractor_ray.stages.miner_pool import MinerPool
+
+    mb = int(os.environ.get("GRAFT_CHUNK_FILE_MB", "1024"))
+    path = f"/tmp/nxr_bench_corpus_{mb}mb.txt"
+    if not os.path.exists(path):
+        import random
+
+        rng = random.Random(9)
+        words = ("alpha beta gamma delta kontakt praha server tensor "
+                 "novak invoice procurement lambda sigma").split()
+        lines = []
+        for i in range(12_000):
+            parts = [rng.choice(words) for _ in range(rng.randrange(3, 12))]
+            if i % 9 == 0:
+                parts.append(f"user{i}@example.com 2024-0{1 + i % 9}-17")
+            lines.append(" ".join(parts))
+        seed = ("\n".join(lines) + "\n").encode()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            written = 0
+            while written < mb << 20:
+                f.write(seed)
+                written += len(seed)
+        os.replace(tmp, path)
+
+    size_mb = os.path.getsize(path) / (1 << 20)
+    t0 = time.perf_counter()
+    ds = text_corpus_dataset(path)  # default 64 MB chunks
+    n = ds.map_batches(
+        MinerPool,
+        fn_constructor_args=([
+            ("regex", ("[0-9]{4}-[0-9]{2}-[0-9]{2}",), {"label": "Iso"}),
+            ("regex", ("\\w+@\\w+\\.\\w+",), {"label": "At"}),
+        ],),
+        fn_constructor_kwargs={"no_enclosed": True},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, NUM_CPUS),
+    ).count()
+    sec = time.perf_counter() - t0
+    return {"sec": round(sec, 3), "matches": n,
+            "mb_per_sec": round(size_mb / sec, 1)}
+
+
 def run_suite() -> dict:
     """Secondary pipelines (smaller, one pass each)."""
     import importlib
@@ -222,11 +272,13 @@ def main() -> None:
     ment = _best_of(run_mentions_throughput)
     gaz = _best_of(run_gazetteer)
     rx = _best_of(run_regex_scan)
+    chunk = run_chunked_file_scan()  # single trial: 1 GiB scan, low variance
     qs = run_suite()
     qs = {"triples_e2e": round(head["sec"], 3),
           "mentions_e2e": round(ment["sec"], 3),
           "gazetteer_100k": gaz["sec"],
-          "regex_scan_100mb": rx["sec"], **qs}
+          "regex_scan_100mb": rx["sec"],
+          "chunked_file_scan_1gb": chunk["sec"], **qs}
     total = round(sum(qs.values()), 3)
     print(json.dumps({
         "metric": "e2e turns/sec triple extraction (headline) + suite wall sec",
@@ -239,6 +291,7 @@ def main() -> None:
         "triples": head["triples"],
         "turns_per_sec": round(head["turns_per_sec"], 1),
         "scan_mb_per_sec": round(ment["mb_per_sec"], 1),
+        "chunked_scan_mb_per_sec": chunk["mb_per_sec"],
         "mentions": ment["mentions"],
     }))
     ray.shutdown()

@@ -23,10 +23,17 @@ _K_DEFAULT = 64
 
 def stable_part(t, keys: list[str], n: int):
     """Vectorized process-stable partition key over table columns:
-    element-wise join → ``pandas.util.hash_array`` (siphash with a fixed
-    key — stable across processes and nodes, unlike builtin ``hash``) →
-    mod ``n``.  Replaces per-row Python crc32 loops on 10^12-row paths
-    (VERDICT r1 item 5).  Returns an int64 pyarrow Array.
+    per-column ``pandas.util.hash_array`` (siphash with a fixed key —
+    stable across processes and nodes, unlike builtin ``hash``) mixed
+    with a golden-ratio multiply-xor chain → mod ``n``.  Replaces per-row
+    Python crc32 loops on 10^12-row paths (VERDICT r1 item 5).  Returns
+    an int64 pyarrow Array.
+
+    Numeric / temporal / boolean columns hash their raw int64/float64
+    view directly — no string cast, no element-wise join (the string
+    render was the dominant cost of the two conv_digest_salted shuffles,
+    VERDICT r2 item 5); only genuinely string-ish columns pay the object
+    hash.
 
     ``categorize=False`` is load-bearing: with the default categorize=True,
     pandas 2.2's object-array path returns values that depend on the
@@ -37,12 +44,23 @@ def stable_part(t, keys: list[str], n: int):
     import pyarrow.compute as pc
     from pandas.util import hash_array
 
-    cols = [pc.cast(t.column(k), pa.string()).combine_chunks() for k in keys]
-    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x00")
-    if isinstance(joined, pa.ChunkedArray):
-        joined = joined.combine_chunks()
-    h = hash_array(joined.to_numpy(zero_copy_only=False), categorize=False)
-    return pa.array((h % np.uint64(n)).astype(np.int64))
+    acc = None
+    for k in keys:
+        col = t.column(k)
+        typ = col.type
+        if (pa.types.is_integer(typ) or pa.types.is_temporal(typ)
+                or pa.types.is_boolean(typ)):
+            arr = pc.cast(col, pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False)
+        elif pa.types.is_floating(typ):
+            arr = col.combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            arr = pc.cast(col, pa.string()).combine_chunks().to_numpy(
+                zero_copy_only=False)
+        h = hash_array(arr, categorize=False)
+        with np.errstate(over="ignore"):
+            acc = h if acc is None else (acc * GOLDEN) ^ h
+    return pa.array((acc % np.uint64(n)).astype(np.int64))
 
 
 def h64(s: str) -> int:

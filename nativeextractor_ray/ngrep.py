@@ -65,7 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     mentions = ds.map_batches(
         MinerPool,
         fn_constructor_args=(specs,),
-        fn_constructor_kwargs={"no_enclosed": args.no_enclosed},
+        fn_constructor_kwargs={"no_enclosed": args.no_enclosed,
+                               "carry": ("chunk_offset",)},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 4),
@@ -78,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     for batch in mentions.iter_batches(batch_size=4096, batch_format="pyarrow"):
         rows = batch.to_pylist()
         for r in rows:
+            # file-global byte position for chunked giant files (upos stays
+            # chunk-local: a global codepoint offset would need a prefix sum
+            # over chunk codepoint counts, which grep-style output doesn't)
+            r["pos"] = r["pos"] + r.get("chunk_offset", 0)
             if args.format == "json":
                 print(json.dumps({
                     "file": r["conv_id"], "pos": r["pos"], "upos": r["upos"],

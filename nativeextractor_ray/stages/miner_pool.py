@@ -330,6 +330,6 @@ class MinerPool:
         ]
         names = list(MENTIONS_SCHEMA.names)
         for c in self.carry:
-            arrays.append(pa.array(carried_out[c], pa.string()))
+            arrays.append(pa.array(carried_out[c], batch.schema.field(c).type))
             names.append(c)
         return pa.table(dict(zip(names, arrays)))
