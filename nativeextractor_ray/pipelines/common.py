@@ -26,3 +26,22 @@ def pool_concurrency() -> int:
     stage — leaves headroom for the read/derive tasks and the shuffle so
     no stage starves."""
     return max(2, min(16, _cpus() // 2))
+
+
+def adaptive_parts(sf_dir: str, table: str = "documents",
+                   replicate: int = 1, per_part: int = 8 << 20,
+                   lo: int = 16, hi: int = 4096) -> int:
+    """Coarse-shuffle partition count scaled to the INPUT size (parquet
+    file bytes × replication), clamped to [lo, hi].  A fixed 256 is right
+    at 10^12-turn scale but pure scheduling overhead at bench scale —
+    measured: conv_digest_salted's two 256-way groupby shuffles spent
+    ~5 s sorting 1.5 MB at sf0.1 (VERDICT r2 item 5).  Uses file METADATA
+    only; falls back to ``hi`` when the size is unknowable so the scale
+    path is never accidentally under-partitioned."""
+    import os
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return hi
+    return max(lo, min(hi, (size * max(1, replicate)) // per_part + 1))

@@ -387,10 +387,14 @@ def conv_digest_salted(sf_dir: str, replicate: int = 1):
         out["n_turns"] = out["n_turns"].astype("int64")
         return out[["conv_id", "digest", "n_turns"]]
 
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+
+    n_parts = adaptive_parts(sf_dir, replicate=replicate)
+
     def add_part(t: pa.Table, keys) -> pa.Table:
         from nativeextractor_ray.functions.hashing import stable_part
 
-        return t.append_column("gpart", stable_part(t, keys, 256))
+        return t.append_column("gpart", stable_part(t, keys, n_parts))
 
     chunks = (
         ds.map_batches(with_salt, batch_format="pyarrow")
