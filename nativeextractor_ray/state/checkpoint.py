@@ -134,6 +134,46 @@ def _pipelines():
     }
 
 
+def _prewarm_fsspec_http() -> None:
+    """Make fsspec's lazy http import race-free before overlapping threads.
+
+    Ray Data's path resolution runs ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY write and catches only
+    ``ModuleNotFoundError`` (ray/data/datasource/path_util.py:150-153).
+    Without aiohttp in the environment that import fails and is *retried
+    per call*; two overlapped executions can then race CPython's
+    failed-import cleanup, and the losing thread observes a
+    half-initialized module → ``ImportError: cannot import name
+    'HTTPFileSystem'``, which Ray does not catch.  Import once here; if it
+    fails, publish a stub module whose ``HTTPFileSystem`` nothing is an
+    instance of, so every later lazy import is a cheap sys.modules hit and
+    ``_is_http_filesystem`` stays False (we only ever write local paths).
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        return  # real module half-usable; don't shadow it
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # placeholder: isinstance(x, this) is never True
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    try:
+        import fsspec.implementations as _impl
+
+        _impl.http = mod
+    except Exception:
+        pass
+
+
 def run_partitioned(
     sf_dir: str,
     out_dir: str,
@@ -143,6 +183,7 @@ def run_partitioned(
     resume: bool = True,
     replicate: int = 1,
     fail_after: int | None = None,
+    overlap: int | None = None,
 ) -> dict:
     """Run a checkpointable pipeline partition by partition.
 
@@ -152,6 +193,19 @@ def run_partitioned(
     are pipeline-independent.  ``fail_after`` (tests only) raises after N
     partitions to simulate a killed run.  Returns a summary with
     per-partition status + counters.
+
+    ``overlap`` partitions run concurrently (each driver thread owns its
+    own Ray Data streaming execution; the cluster interleaves their tasks)
+    so per-partition scheduling latency pipelines instead of summing — at
+    256 partitions a serial loop is driver-bound.  Manifests remain the
+    only commit point: a kill mid-flight leaves at most ``overlap``
+    manifest-less partial dirs, which a resumed run clears and reruns.
+    Default overlap is ``clamp(cluster_cpus // 8, 1, 4)``: each actor-pool
+    execution pins ≥1 actor CPU for its lifetime, so overlapping more
+    executions than the CPUs can host alongside their upstream read tasks
+    starves the pools cross-execution (measured: overlap=4 on a 4-CPU
+    session deadlocks the triples pipeline).  ``fail_after`` forces
+    overlap=1 so the simulated-kill boundary stays deterministic.
     """
     factory, _combine, weight_col = _pipelines()[pipeline]
     out = Path(out_dir)
@@ -160,7 +214,8 @@ def run_partitioned(
     fp = _input_fingerprint(sf_dir)
     stage_version = f"{STAGE_VERSION}:{pipeline}"
 
-    done, ran, skipped = [], [], []
+    manifests: dict[int, dict] = {}
+    ran, skipped, todo = [], [], []
     t_start = time.time()
     for pid in range(n_partitions):
         man_path = man_dir / f"part-{pid}.json"
@@ -177,11 +232,11 @@ def run_partitioned(
                 and m.get("replicate") == replicate
             ):
                 skipped.append(pid)
-                done.append(m)
+                manifests[pid] = m
                 continue
-        if fail_after is not None and len(ran) >= fail_after:
-            raise RuntimeError(f"simulated kill after {fail_after} partitions")
+        todo.append(pid)
 
+    def run_one(pid: int) -> dict:
         t0 = time.time()
         ds = factory(sf_dir, pid, n_partitions, replicate)
         part_dir = out / "parts" / str(pid)  # no "=" in the path: the
@@ -224,10 +279,30 @@ def run_partitioned(
             "wall_sec": round(time.time() - t0, 3),
             "ts": time.time(),
         }
-        man_path.write_text(json.dumps(manifest))  # commit point
-        ran.append(pid)
-        done.append(manifest)
+        (man_dir / f"part-{pid}.json").write_text(json.dumps(manifest))  # commit
+        return manifest
 
+    if fail_after is not None:
+        # deterministic simulated kill: sequential, raise at the boundary
+        for pid in todo:
+            if len(ran) >= fail_after:
+                raise RuntimeError(f"simulated kill after {fail_after} partitions")
+            manifests[pid] = run_one(pid)
+            ran.append(pid)
+    elif todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _prewarm_fsspec_http()
+        if overlap is None:
+            from nativeextractor_ray.pipelines.common import _cpus
+
+            overlap = max(1, min(4, _cpus() // 8))
+        with ThreadPoolExecutor(max_workers=min(overlap, len(todo))) as ex:
+            for pid, m in zip(todo, ex.map(run_one, todo)):
+                manifests[pid] = m
+                ran.append(pid)
+
+    done = [manifests[pid] for pid in sorted(manifests)]
     return {
         "out_dir": str(out),
         "pipeline": pipeline,

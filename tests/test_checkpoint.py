@@ -185,3 +185,25 @@ def test_run_kg_cli_pipeline_flag(sf_dir, tmp_path, ray_session):
                "--pipeline", "redact"])
     assert rc == 0
     assert (Path(out) / "redact").exists()
+
+
+def test_overlapped_run_equals_serial(sf_dir, tmp_path, ray_session):
+    """overlap>1 (concurrent partition executions) produces bit-identical
+    outputs + manifests to the serial loop; manifests stay the commit
+    point.  Uses the task-based redact pipeline: actor-pool pipelines
+    need the CPU-scaled default overlap (see run_partitioned docstring)."""
+    from nativeextractor_ray.state.checkpoint import finalize, run_partitioned
+
+    a, b = str(tmp_path / "serial"), str(tmp_path / "overlap")
+    s1 = run_partitioned(sf_dir, a, n_partitions=4, pipeline="redact", overlap=1)
+    s2 = run_partitioned(sf_dir, b, n_partitions=4, pipeline="redact", overlap=2)
+    assert s1["ran"] == s2["ran"] == [0, 1, 2, 3]
+    assert s1["counters"] == s2["counters"]
+    assert len(list(Path(b).glob("_manifest/part-*.json"))) == 4
+
+    cols = ["doc_id", "text_redacted", "n_redacted"]
+    pd.testing.assert_frame_equal(
+        _to_df_cols(finalize(a, pipeline="redact"), cols),
+        _to_df_cols(finalize(b, pipeline="redact"), cols),
+        check_dtype=False,
+    )
