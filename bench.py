@@ -163,6 +163,29 @@ def run_regex_scan() -> dict:
     return {"sec": round(time.perf_counter() - t0, 3), "matches": n}
 
 
+def run_glob_scan() -> dict:
+    """Glob scan (the reference's signature matcher) over ~100 MB of text.
+    Joined-scan-safe globs ride the batch fast path + the native glob
+    kernel (miners/globcc.py); a mid-``*`` glob forces the per-row engine,
+    which now also runs the C kernel per row (VERDICT r2 item 7)."""
+    from nativeextractor_ray.pipelines.extract import mentions_dataset
+
+    rep = max(1, REPLICATE // 2)
+    t0 = time.perf_counter()
+    n = mentions_dataset(SF_DIR, specs=[
+        ("glob", ("kontakt*",), {"label": "Kon"}),
+        ("glob", ("[0-9][0-9]*",), {"label": "Num"}),
+    ], replicate=rep).count()
+    fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n2 = mentions_dataset(SF_DIR, specs=[
+        ("glob", ("*o*a*",), {"label": "Oa"}),  # mid-*: per-row C engine
+    ], replicate=rep).count()
+    perrow = time.perf_counter() - t0
+    return {"sec": round(fast, 3), "sec_per_row": round(perrow, 3),
+            "matches": n, "matches_per_row": n2}
+
+
 def run_chunked_file_scan() -> dict:
     """ONE giant plaintext file through the chunked source + miner scan —
     the reference's flagship input shape (stream.c mmap paging).  The file
@@ -272,12 +295,15 @@ def main() -> None:
     ment = _best_of(run_mentions_throughput)
     gaz = _best_of(run_gazetteer)
     rx = _best_of(run_regex_scan)
+    gl = _best_of(run_glob_scan)
     chunk = run_chunked_file_scan()  # single trial: 1 GiB scan, low variance
     qs = run_suite()
     qs = {"triples_e2e": round(head["sec"], 3),
           "mentions_e2e": round(ment["sec"], 3),
           "gazetteer_100k": gaz["sec"],
           "regex_scan_100mb": rx["sec"],
+          "glob_scan_100mb": gl["sec"],
+          "glob_scan_100mb_per_row": gl["sec_per_row"],
           "chunked_file_scan_1gb": chunk["sec"], **qs}
     total = round(sum(qs.values()), 3)
     print(json.dumps({

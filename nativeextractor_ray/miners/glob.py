@@ -231,9 +231,36 @@ def _run_seq(text: str, i: int, seq: _Seq):
     return (True, start, end_mark, i)
 
 
+def _seq_joined_scan_safe(seq: _Seq) -> bool:
+    """True iff a batch-joined global scan is row-equivalent to per-row
+    scans for this glob (the regex-family analogue is
+    ``CompiledRegex.joined_scan_safe``).
+
+    A match can cross the "\\n" row separator only through (a) an accept
+    set containing "\\n" itself, or (b) a mid-pattern ``*`` — its tail
+    re-enters the matcher *including the token skip*, so ``a*b`` on the
+    joined text can start in one row and finish in the next (the per-row
+    engine would instead match only inside the second row).  ``?`` /
+    trailing ``*`` never consume a delimiter, and the initial token skip /
+    ``retnul`` crossing a row boundary lands exactly where the per-row
+    scan of the next row would start."""
+    for op in seq.ops:
+        kind = op[0]
+        if kind == "star":
+            return False
+        if kind in ("lit", "set") and "\n" in op[1]:
+            return False
+    return True
+
+
 class GlobMiner(Miner):
     """``match_glob(pattern)`` → miner labeled "Glob"
-    (glob_entities.c:311-317)."""
+    (glob_entities.c:311-317).
+
+    Execution prefers the native kernel (``miners/globcc.py`` — the
+    compiled ``_Seq`` tree flattened to tables for one generic C scan),
+    falling back to the pure-Python interpreter below; both engines are
+    parity-tested against each other and the reference's glob.c cases."""
 
     def __init__(self, glob: str, label: str = "Glob"):
         if not is_glob(glob):
@@ -241,6 +268,9 @@ class GlobMiner(Miner):
         self.glob = glob
         self.label = label
         self._seq = _compile(glob)
+        #: row-equivalence of the joined-batch scan (see _seq_joined_scan_safe)
+        self.joined_scan_safe = _seq_joined_scan_safe(self._seq)
+        self._prog = None  # lazy native tables (picklable numpy arrays)
 
     def _matcher_at(self, text: str, i: int):
         ok, start, end_mark, cursor = _run_seq(text, i, self._seq)
@@ -248,10 +278,39 @@ class GlobMiner(Miner):
             return ((start, end_mark, 1.0), cursor, end_mark)
         return (None, cursor, end_mark)
 
-    def find(self, text: str):
+    def find_python(self, text: str):
+        """Pure-Python engine (kept as the no-compiler fallback and the
+        parity oracle for the native kernel)."""
         from nativeextractor_ray.miners.base import scan
 
         return scan(text, self._matcher_at)
+
+    def find_arrays(self, text: str):
+        """(u0, u1, prob) numpy arrays — the protocol the joined-batch
+        scan prefers.  Uses the native glob kernel when the host can
+        compile it, else the Python interpreter."""
+        import numpy as np
+
+        from nativeextractor_ray.miners import globcc
+
+        if globcc.available():
+            if self._prog is None:
+                self._prog = globcc.compile_program(self._seq)
+            u0, u1 = globcc.scan(text, self._prog)
+            return u0, u1, np.ones(len(u0), dtype=np.float32)
+        spans = self.find_python(text)
+        n = len(spans)
+        u0 = np.fromiter((s[0] for s in spans), dtype=np.int64, count=n)
+        u1 = np.fromiter((s[1] for s in spans), dtype=np.int64, count=n)
+        return u0, u1, np.ones(n, dtype=np.float32)
+
+    def find(self, text: str):
+        from nativeextractor_ray.miners import globcc
+
+        if not globcc.available():
+            return self.find_python(text)
+        u0, u1, pr = self.find_arrays(text)
+        return list(zip(u0.tolist(), u1.tolist(), pr.tolist()))
 
 
 register_miner("glob", GlobMiner)

@@ -39,15 +39,21 @@ def _fast_scan_safe(miners: Sequence[Miner]) -> bool:
     (so the BOF-quirk skip guard in _find_batch is airtight); a
     reference-dialect regex qualifies when its compiled automaton proves
     no consuming edge accepts a newline and no BOF/EOF anchor is present
-    (CompiledRegex.joined_scan_safe).  Glob and custom miners fall back
-    to the per-row engine."""
+    (CompiledRegex.joined_scan_safe); a glob qualifies when it has no
+    mid-pattern ``*`` (whose tail token-skip can cross the row separator)
+    and no accept set containing "\\n" (GlobMiner.joined_scan_safe).
+    Custom miners fall back to the per-row engine."""
     from nativeextractor_ray.miners.builtin import EmailMiner, _ReMiner
+    from nativeextractor_ray.miners.glob import GlobMiner
     from nativeextractor_ray.miners.ner import DictionaryMiner
     from nativeextractor_ray.miners.regexlang import RegexMiner
     from nativeextractor_ray.unicode import is_delimiter
 
     for m in miners:
-        if isinstance(m, DictionaryMiner):
+        if isinstance(m, GlobMiner):
+            if not m.joined_scan_safe:
+                return False
+        elif isinstance(m, DictionaryMiner):
             if hasattr(m.trie, "first_bytes"):
                 # flat gazetteer artifact: decide from the first-byte set
                 # (O(256)) instead of materializing a million words; a

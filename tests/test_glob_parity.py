@@ -95,3 +95,74 @@ def test_is_glob_validation():
 def test_invalid_glob_raises():
     with pytest.raises(ValueError):
         GlobMiner("[abc")
+
+
+# -- native kernel parity (miners/globcc.py) --------------------------------
+
+DUAL_PATTERNS = [
+    "abc", "[bclm]at", "l?t", "?a?", "????", "*", "*kle", "T*kle", "*i*k*",
+    r"\a\d\e", r"[\[\]\*\?]", "[pqrstabc]?*l", "*[abc]*[a-f]*[1-9]*",
+    "a*b", "*kontakt*", "[0-9]*", "x*", "*x", "[a-c][d-f]*", "a?c*d",
+]
+
+
+def test_native_kernel_matches_python_engine():
+    """The C scan (globcc.nxr_glob_scan) is span-identical to the Python
+    interpreter over seeded random texts covering delimiters, escapes,
+    newlines and non-ASCII codepoints — the same dual-engine gate the
+    regex DFA kernel has (tests/test_regex_dfa.py)."""
+    import random
+
+    from nativeextractor_ray.miners import globcc
+
+    if not globcc.available():
+        pytest.skip("no C compiler on host")
+    alpha = "ab cdx. [*?-]\\ \n\t7 é中"
+    rng = random.Random(42)
+    progs = [(p, GlobMiner(p)) for p in DUAL_PATTERNS]
+    for _ in range(120):
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        for pat, m in progs:
+            py = [(a, b) for a, b, _ in m.find_python(text)]
+            u0, u1 = globcc.scan(text, globcc.compile_program(m._seq))
+            assert py == list(zip(u0.tolist(), u1.tolist())), (pat, text)
+
+
+def test_joined_scan_safety_classification():
+    # no mid-'*' and no '\n' in any accept set -> joined-safe
+    for p in ("abc", "[bclm]at", "l?t", "?a?", "*", "kont*", "[0-9][0-9]*"):
+        assert GlobMiner(p).joined_scan_safe, p
+    # mid-'*' tail can token-skip across the row separator
+    for p in ("a*b", "*kontakt*", "*i*k*"):
+        assert not GlobMiner(p).joined_scan_safe, p
+    # an accept set containing '\n' is never joined-safe
+    assert not GlobMiner("a\nb").joined_scan_safe
+
+
+def test_glob_pool_fast_path_equals_per_row():
+    """A pool of joined-scan-safe globs takes the batch fast path and is
+    mention-identical to the per-row engine (the glob analogue of
+    tests/test_miner_pool_fastpath.py)."""
+    import random
+
+    import pyarrow as pa
+
+    from nativeextractor_ray.stages.miner_pool import MinerPool
+
+    pats = ["abc", "[bclm]at", "l?t", "?a?", "kont*", "[0-9][0-9]*"]
+    specs = [("glob", (p,), {"label": f"G{i}"}) for i, p in enumerate(pats)]
+    fast = MinerPool(specs)
+    assert fast._fast_ok, "joined-safe glob pool must take the fast path"
+    slow = MinerPool(specs)
+    slow._fast_ok = False
+    assert not MinerPool([("glob", ("*i*k*",), {})])._fast_ok
+
+    rng = random.Random(7)
+    alpha = "ab cdx.\n kon takt 01 9é"
+    for trial in range(20):
+        n = rng.randint(1, 16)
+        texts = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+                 for _ in range(n)]
+        batch = pa.table({"conv_id": ["c"] * n, "turn_idx": list(range(n)),
+                          "speaker": ["s"] * n, "text": texts})
+        assert fast(batch).to_pydict() == slow(batch).to_pydict(), trial
