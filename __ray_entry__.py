@@ -8,13 +8,13 @@ here (or in the library) calls ``ray.init()``/``ray.shutdown()``.
 - ``queries()`` — one entry per implemented pipeline/operator
   (SURVEY.md §2 + the training-data operators); each callable takes
   ``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible.
-  Only ONE query is rows-only checked: ``mentions_spans`` (DuckDB regexp
-  functions cannot return match OFFSETS, and the span math is the point
-  of the query; surfaces/labels ARE oracle-checked via the mentions_*
-  queries).  Approximate operators are still hard-checked: their
-  seed-fixed model state (LSH hyperplanes, IVF centroids) is embedded as
-  SQL literals and the SQL independently replays bucketing + rerank.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query; EVERY query has
+  one.  Approximate operators are hard-checked: their seed-fixed model
+  state (LSH hyperplanes, IVF centroids) is embedded as SQL literals and
+  the SQL independently replays bucketing + rerank.  ``mentions_spans``
+  (DuckDB regexp functions cannot return match OFFSETS) uses the same
+  replay pattern: expected spans computed by the independent per-row
+  engine, embedded as VALUES literals (oracles.mentions_spans_sql).
 """
 
 from __future__ import annotations
@@ -193,4 +193,5 @@ def oracle_sql() -> dict[str, str]:
         "training_batches": curation.training_batches_sql(),
     }
     sqls.update(o.mention_sqls())
+    sqls["mentions_spans"] = o.mentions_spans_sql()
     return sqls
