@@ -96,6 +96,26 @@ def run_headline() -> dict:
             "turns_per_sec": n_turns / dt}
 
 
+def run_headline_sf1() -> dict:
+    """Headline at 10x the suite size (~8M turns at sf0.1) — long enough
+    that sub-second host noise cannot mask a regression (VERDICT r2 item
+    10).  Same deterministic replicate mechanism as the suite headline;
+    scripts/make_sf1.py builds the equivalent on-disk sf1 for full-suite
+    runs (recorded once in BASELINE.md)."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.kg import triples_dataset
+
+    factor = int(os.environ.get("GRAFT_SF1_FACTOR", "10"))
+    rep = REPLICATE * factor
+    n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    t0 = time.perf_counter()
+    n_triples = triples_dataset(SF_DIR, replicate=rep).count()
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "turns": n_docs * rep, "triples": n_triples,
+            "turns_per_sec": n_docs * rep / dt}
+
+
 def run_mentions_throughput() -> dict:
     """Mention-detection (the reference's core competency) in bytes/sec —
     the closest apples-to-apples throughput framing vs a text-scanning
@@ -297,6 +317,7 @@ def main() -> None:
     rx = _best_of(run_regex_scan)
     gl = _best_of(run_glob_scan)
     chunk = run_chunked_file_scan()  # single trial: 1 GiB scan, low variance
+    sf1 = run_headline_sf1()  # single trial: 8M turns, noise-immune
     qs = run_suite()
     qs = {"triples_e2e": round(head["sec"], 3),
           "mentions_e2e": round(ment["sec"], 3),
@@ -304,7 +325,8 @@ def main() -> None:
           "regex_scan_100mb": rx["sec"],
           "glob_scan_100mb": gl["sec"],
           "glob_scan_100mb_per_row": gl["sec_per_row"],
-          "chunked_file_scan_1gb": chunk["sec"], **qs}
+          "chunked_file_scan_1gb": chunk["sec"],
+          "triples_e2e_sf1": round(sf1["sec"], 3), **qs}
     total = round(sum(qs.values()), 3)
     print(json.dumps({
         "metric": "e2e turns/sec triple extraction (headline) + suite wall sec",
@@ -316,6 +338,8 @@ def main() -> None:
         "turns": head["turns"],
         "triples": head["triples"],
         "turns_per_sec": round(head["turns_per_sec"], 1),
+        "sf1_turns": sf1["turns"],
+        "sf1_turns_per_sec": round(sf1["turns_per_sec"], 1),
         "scan_mb_per_sec": round(ment["mb_per_sec"], 1),
         "chunked_scan_mb_per_sec": chunk["mb_per_sec"],
         "mentions": ment["mentions"],
@@ -323,14 +347,26 @@ def main() -> None:
     ray.shutdown()
 
 
-def main_scaling() -> None:
-    """Run the headline job at two parallelism levels in fresh processes.
+#: --scaling jobs beyond the headline: shuffle-heavy document pipelines
+#: (VERDICT r2 item 9 — show ≥0.8 efficiency holds off the map-only path).
+_SCALING_JOBS = {
+    "headline": None,
+    "curation_e2e": ("nativeextractor_ray.pipelines.curation", "curation_e2e"),
+    "dedup_minhash": ("nativeextractor_ray.pipelines.dedup", "dedup_minhash_pairs"),
+}
 
-    Uses a larger replicate than the suite bench: the scaling criterion
-    measures how *compute* scales, so the job must be compute-bound — at
-    the suite size (200k turns ≈ 20 core-seconds) fixed costs (actor pool
-    spin-up, read, shuffle barriers) dominate and every parallelism level
-    reads the same ~8s wall.
+
+def main_scaling() -> None:
+    """Run each scaling job at two parallelism levels in fresh processes.
+
+    The headline uses a larger replicate than the suite bench: the scaling
+    criterion measures how *compute* scales, so the job must be
+    compute-bound — at the suite size (200k turns ≈ 20 core-seconds) fixed
+    costs (actor pool spin-up, read, shuffle barriers) dominate and every
+    parallelism level reads the same ~8s wall.  The document jobs
+    (curation_e2e, dedup_minhash — shuffle-heavy) run over
+    ``$GRAFT_SCALING_SF_DIR`` (default: $GRAFT_SF_DIR); point it at the
+    scripts/make_sf1.py output for a compute-bound measurement.
 
     Levels are 4 and 16 CPUs (N and 4N), each measured on a FULLY LOADED
     socket (Ray pinned to the first N cores, pinned busy-loop spinners on
@@ -340,39 +376,56 @@ def main_scaling() -> None:
     higher and understate efficiency by exactly that clock ratio."""
     replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "1280"))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-    results = {}
-    for cpus in (4, 16):
-        best = None
-        for _ in range(trials):
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            env["GRAFT_BENCH_HEADLINE_ONLY"] = "1"
-            env["GRAFT_REPLICATE"] = str(replicate)
-            env.setdefault("GRAFT_SCALING_LOADED", "1")
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3600,
-            )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            # best-of-N: peak sustained throughput estimates capacity;
-            # shared-host noise only ever subtracts
-            if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
-                best = r
-        results[cpus] = best
-    lo, hi = results[4], results[16]
-    eff = (hi["turns_per_sec"] / 16) / (lo["turns_per_sec"] / 4)
+    jobs = [
+        j for j in os.environ.get(
+            "GRAFT_SCALING_JOBS", "headline,curation_e2e,dedup_minhash"
+        ).split(",") if j in _SCALING_JOBS
+    ]
+    queries: dict[str, float] = {}
+    effs: dict[str, float] = {}
+    hi_turns = None
+    for job in jobs:
+        results = {}
+        for cpus in (4, 16):
+            best = None
+            for _ in range(trials):
+                env = dict(os.environ)
+                env["RAY_GRAFT_CPUS"] = str(cpus)
+                env["GRAFT_BENCH_HEADLINE_ONLY"] = "1"
+                env["GRAFT_BENCH_SCALING_JOB"] = job
+                env["GRAFT_REPLICATE"] = str(replicate)
+                env.setdefault("GRAFT_SCALING_LOADED", "1")
+                if job != "headline" and os.environ.get("GRAFT_SCALING_SF_DIR"):
+                    env["GRAFT_SF_DIR"] = os.environ["GRAFT_SCALING_SF_DIR"]
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=3600,
+                )
+                line = [l for l in p.stdout.strip().splitlines()
+                        if l.startswith("{")][-1]
+                r = json.loads(line)
+                # best-of-N: peak sustained throughput estimates capacity;
+                # shared-host noise only ever subtracts
+                if best is None or r["rate"] > best["rate"]:
+                    best = r
+            results[cpus] = best
+        lo, hi = results[4], results[16]
+        eff = (hi["rate"] / 16) / (lo["rate"] / 4)
+        effs[job] = round(eff, 3)
+        queries[f"{job}_rate@4"] = round(lo["rate"], 2)
+        queries[f"{job}_rate@16"] = round(hi["rate"], 2)
+        queries[f"{job}_efficiency"] = round(eff, 3)
+        if job == "headline":
+            hi_turns = hi.get("turns")
+    headline_eff = effs.get("headline", next(iter(effs.values())))
     print(json.dumps({
         "metric": "scaling efficiency (4 -> 16 CPUs, fresh sessions)",
-        "value": round(eff, 3),
+        "value": headline_eff,
         "unit": "efficiency",
-        "queries": {
-            "turns_per_sec@4": lo["turns_per_sec"],
-            "turns_per_sec@16": hi["turns_per_sec"],
-        },
+        "queries": queries,
         "sf": SF_DIR,
         "num_cpus": 32,
-        "turns": hi.get("turns"),
+        "turns": hi_turns,
     }))
 
 
@@ -405,8 +458,13 @@ def _loaded_socket_fixture() -> list:
 
 
 def main_headline_only() -> None:
+    """One scaling leg in a fresh process: run $GRAFT_BENCH_SCALING_JOB
+    once (after a warm-up pass) and print its throughput as ``rate``."""
+    import importlib
+
     import ray
 
+    job = os.environ.get("GRAFT_BENCH_SCALING_JOB", "headline")
     spinners = (
         _loaded_socket_fixture()
         if os.environ.get("GRAFT_SCALING_LOADED") == "1"
@@ -415,18 +473,40 @@ def main_headline_only() -> None:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     # warm-up: fill worker-process import caches so the measured run sees
     # steady-state workers, not cold python startup
-    from nativeextractor_ray.pipelines.kg import triples_dataset
+    if job == "headline":
+        from nativeextractor_ray.pipelines.kg import triples_dataset
 
-    _consume(triples_dataset(SF_DIR, replicate=32))
-    head = run_headline()
+        _consume(triples_dataset(SF_DIR, replicate=32))
+        head = run_headline()
+        out = {
+            "metric": "turns/sec", "value": round(head["sec"], 3),
+            "unit": "sec", "queries": {"triples_e2e": round(head["sec"], 3)},
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "turns": head["turns"],
+            "turns_per_sec": round(head["turns_per_sec"], 1),
+            "rate": round(head["turns_per_sec"], 1),
+        }
+    else:
+        import pyarrow.parquet as pq
+
+        mod, fn = _SCALING_JOBS[job]
+        f = getattr(importlib.import_module(mod), fn)
+        n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+        # warm-up on the tiny sf: fills worker import caches without paying
+        # a full-size extra pass (the measured run owns its own actors)
+        warm_dir = os.environ.get("GRAFT_SCALING_WARM_DIR",
+                                  "/root/testdata/sf0.001")
+        _consume(f(warm_dir))
+        t0 = time.perf_counter()
+        _consume(f(SF_DIR))
+        dt = time.perf_counter() - t0
+        out = {
+            "metric": f"{job} docs/sec", "value": round(dt, 3), "unit": "sec",
+            "queries": {job: round(dt, 3)}, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "rate": round(n_docs / dt, 2),
+        }
     for p in spinners:
         p.kill()
-    print(json.dumps({
-        "metric": "turns/sec", "value": round(head["sec"], 3), "unit": "sec",
-        "queries": {"triples_e2e": round(head["sec"], 3)},
-        "sf": SF_DIR, "num_cpus": NUM_CPUS, "turns": head["turns"],
-        "turns_per_sec": round(head["turns_per_sec"], 1),
-    }))
+    print(json.dumps(out))
     ray.shutdown()
 
 

@@ -198,35 +198,85 @@ def _minhash_batch(t: pa.Table) -> pa.Table:
     return _MINHASHER(t)
 
 
-def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """One shuffle partition = many buckets; vectorized inner groupby.
+_EMPTY_PAIRS_DF_COLS = ("doc_a", "doc_b", "est_jaccard")
 
-    Buckets are mostly singletons (LSH is sparse by design), so the Python
-    group loop is gated behind a vectorized duplicated() prefilter — the
-    loop only ever sees buckets that can emit a pair."""
+
+def _empty_pairs_df() -> pd.DataFrame:
+    return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                         "doc_b": pd.array([], dtype="int64"),
+                         "est_jaccard": pd.array([], dtype="float64")})
+
+
+def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One shuffle partition = many buckets; fully vectorized.
+
+    On replica-heavy corpora (the adversarial 30-50%-near-dup case) the
+    in-bucket cliques emit millions of raw pairs per run; the previous
+    per-bucket Python loop spent ~50 core-seconds appending them one at a
+    time at sf1 — now every step (bucket grouping, doc dedup, i<j pair
+    enumeration, signature-equality estimation) is a numpy kernel.  Pair
+    enumeration batches buckets by SIZE: all buckets of size s share one
+    ``triu_indices(s, 1)`` template, broadcast over their start offsets —
+    distinct sizes are few, so the Python loop runs O(#distinct sizes),
+    never O(#buckets).  Bit-identical output (up to row order, which every
+    consumer ignores) to the scalar reference kept in
+    tests/test_trainingdata.py::test_minhash_partition_pairs_vectorized."""
     g = g[g.duplicated("bucket", keep=False)]
-    a_out, b_out, j_out = [], [], []
-    for _, grp in g.groupby("bucket", sort=False):
-        n = len(grp)
-        if n < 2 or n > MAX_BUCKET:
-            continue
-        grp = grp.drop_duplicates(subset="doc_id")
-        n = len(grp)
-        if n < 2:
-            continue
-        ids = grp["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in grp["sig"]])
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        for i in range(n - 1):
-            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            for h in np.nonzero(eq >= threshold)[0]:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[i + 1 + h]))
-                j_out.append(round(float(eq[h]), 6))
-    return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),
-                         "doc_b": pd.array(b_out, dtype="int64"),
-                         "est_jaccard": pd.array(j_out, dtype="float64")})
+    if not len(g):
+        return _empty_pairs_df()
+    codes, _ = pd.factorize(g["bucket"].to_numpy(), sort=False)
+    ids = g["doc_id"].to_numpy()
+    n_buckets = int(codes.max()) + 1
+    raw_sizes = np.bincount(codes, minlength=n_buckets)
+    # stable (bucket, doc_id) order: within a bucket ids ascend, so pair
+    # emission below always has doc_a < doc_b (ties removed next)
+    order = np.lexsort((ids, codes))
+    codes_s, ids_s = codes[order], ids[order]
+    first = np.ones(len(codes_s), dtype=bool)  # first occurrence per (b, id)
+    first[1:] = (codes_s[1:] != codes_s[:-1]) | (ids_s[1:] != ids_s[:-1])
+    # MAX_BUCKET skew gate applies to the RAW bucket size (pre-dedup),
+    # exactly like the scalar loop did
+    keep = (raw_sizes[codes_s] <= MAX_BUCKET) & first
+    codes_k, ids_k, rows_k = codes_s[keep], ids_s[keep], order[keep]
+    sizes = np.bincount(codes_k, minlength=n_buckets)
+    emit = sizes >= 2
+    if not emit.any():
+        return _empty_pairs_df()
+    # drop rows of non-emitting buckets, then recompute contiguous starts
+    row_keep = emit[codes_k]
+    codes_k, ids_k, rows_k = codes_k[row_keep], ids_k[row_keep], rows_k[row_keep]
+    s = sizes[emit]
+    starts = np.concatenate(([0], np.cumsum(s)[:-1]))
+    ia_parts, ib_parts = [], []
+    for size in np.unique(s):
+        sel = np.nonzero(s == size)[0]
+        ti, tj = np.triu_indices(int(size), 1)
+        ia_parts.append((starts[sel][:, None] + ti[None, :]).ravel())
+        ib_parts.append((starts[sel][:, None] + tj[None, :]).ravel())
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    # one contiguous signature matrix for the kept rows (bytes join is a
+    # single C-level copy; no per-row frombuffer)
+    sig_col = g["sig"].to_numpy()
+    sigs = np.frombuffer(
+        b"".join(sig_col[rows_k]), dtype=np.uint64
+    ).reshape(len(rows_k), -1)
+    # chunk the pair gather: sigs[ia] materializes pairs x K u64, so cap
+    # transient memory at ~128 MiB regardless of clique skew
+    chunk = max(1, (128 << 20) // (sigs.shape[1] * 16))
+    a_parts, b_parts, j_parts = [], [], []
+    for lo in range(0, len(ia), chunk):
+        ca, cb = ia[lo:lo + chunk], ib[lo:lo + chunk]
+        est = (sigs[ca] == sigs[cb]).mean(axis=1)
+        hit = est >= threshold
+        a_parts.append(ids_k[ca[hit]])
+        b_parts.append(ids_k[cb[hit]])
+        j_parts.append(np.round(est[hit], 6))
+    return pd.DataFrame({
+        "doc_a": pd.array(np.concatenate(a_parts), dtype="int64"),
+        "doc_b": pd.array(np.concatenate(b_parts), dtype="int64"),
+        "est_jaccard": pd.array(np.concatenate(j_parts), dtype="float64"),
+    })
 
 
 

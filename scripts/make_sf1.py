@@ -1,0 +1,109 @@
+"""Synthesize a deterministic sf1 test-data directory from sf0.1.
+
+The driver ships sf{0.001,0.01,0.1}; several suite rows at sf0.1 finish in
+under a second and are noise-bound (VERDICT r2 item 10), so BASELINE.md
+records one full-suite run at sf1 = 10x sf0.1 (~8M transcript turns).
+This script builds it: each table is replicated ``FACTOR`` times with every
+key column shifted by ``replica * (max(key in its home table) + 1)``, so
+referential integrity (orders->customer, lineitem->orders/part/supplier)
+is preserved exactly and the derived transcripts/conv distributions keep
+their shape.  No RNG anywhere — byte-identical output on every run.
+
+Usage:  python scripts/make_sf1.py [SRC_DIR] [DST_DIR] [FACTOR] [TABLES]
+Defaults: /root/testdata/sf0.1 -> /tmp/nxr_sf1, factor 10, all tables.
+TABLES (comma-separated) restricts output — e.g. ``documents`` builds a
+documents-only corpus for the dedup/curation scaling legs without paying
+for a 60M-row lineitem at factor 100.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# key column -> (home table, home column) used to compute the shift stride
+KEY_HOME = {
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+}
+
+# tables copied as-is (dimension tables every replica shares)
+COPY = ("region", "nation")
+REPLICATE = (
+    "documents", "embeddings", "events", "customer", "orders", "lineitem",
+    "part", "supplier",
+)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nxr_sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    os.makedirs(dst, exist_ok=True)
+
+    strides: dict[tuple[str, str], int] = {}
+
+    def stride(col: str) -> int:
+        home_tbl, home_col = KEY_HOME[col]
+        key = (home_tbl, home_col)
+        if key not in strides:
+            t = pq.read_table(f"{src}/{home_tbl}.parquet", columns=[home_col])
+            strides[key] = int(pc.max(t.column(home_col)).as_py()) + 1
+        return strides[key]
+
+    for name in COPY:
+        if only is not None and name not in only:
+            continue
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t, f"{dst}/{name}.parquet")
+        print(f"{name}: copied {t.num_rows} rows")
+
+    for name in REPLICATE:
+        if only is not None and name not in only:
+            continue
+        t = pq.read_table(f"{src}/{name}.parquet")
+        replicas = [t]
+        for k in range(1, factor):
+            cols = []
+            for field in t.schema:
+                col = t.column(field.name)
+                if field.name in KEY_HOME:
+                    shifted = pc.add(col, k * stride(field.name))
+                    cols.append(shifted.cast(field.type))
+                elif name == "documents" and field.name == "text":
+                    # Deterministic per-replica salt token: WITHOUT it every
+                    # replica group is a factor-member EXACT-dup clique and
+                    # in-bucket LSH pair counts grow quadratically with the
+                    # factor (396M raw pairs at factor 100) — a degenerate
+                    # corpus, not a scaled one.  One prefixed token makes
+                    # replicas distinct while keeping the SOURCE corpus's
+                    # near-dup density constant per replica, which is the
+                    # property a scaling measurement needs.
+                    cols.append(pc.binary_join_element_wise(
+                        pa.scalar(f"r{k}"), col, " "))
+                else:
+                    cols.append(col)
+            replicas.append(pa.table(dict(zip(t.schema.names, cols))))
+        big = pa.concat_tables(replicas)
+        pq.write_table(big, f"{dst}/{name}.parquet",
+                       row_group_size=1 << 20)
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

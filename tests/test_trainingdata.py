@@ -540,3 +540,76 @@ def test_minhash_skew_cap_degenerate_corpus(ray_session):
     assert (n, n + 1) in got              # the real near-dup still surfaces
     assert all(a >= n for a, _ in got)    # degenerate bucket emitted nothing
     assert dt < 60, f"skew cap failed to bound work: {dt:.1f}s"
+
+
+def test_minhash_partition_pairs_vectorized(ray_session):
+    """The vectorized in-bucket pair enumeration is row-set identical to
+    the straightforward per-bucket scalar loop (the pre-r3 implementation,
+    kept here as the reference), including the MAX_BUCKET raw-size gate,
+    within-bucket doc_id dedup, ascending doc_a < doc_b emission and the
+    6-decimal estimator rounding."""
+    import numpy as np
+    import pandas as pd
+
+    from nativeextractor_ray.pipelines import dedup as dd
+
+    def scalar_ref(g, threshold):
+        g = g[g.duplicated("bucket", keep=False)]
+        a_out, b_out, j_out = [], [], []
+        for _, grp in g.groupby("bucket", sort=False):
+            n = len(grp)
+            if n < 2 or n > dd.MAX_BUCKET:
+                continue
+            grp = grp.drop_duplicates(subset="doc_id")
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            sigs = np.stack(
+                [np.frombuffer(s, dtype=np.uint64) for s in grp["sig"]])
+            order = np.argsort(ids, kind="stable")
+            ids, sigs = ids[order], sigs[order]
+            for i in range(n - 1):
+                eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                for h in np.nonzero(eq >= threshold)[0]:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[i + 1 + h]))
+                    j_out.append(round(float(eq[h]), 6))
+        return pd.DataFrame({
+            "doc_a": pd.array(a_out, dtype="int64"),
+            "doc_b": pd.array(b_out, dtype="int64"),
+            "est_jaccard": pd.array(j_out, dtype="float64")})
+
+    def norm(df):
+        return (df.sort_values(["doc_a", "doc_b", "est_jaccard"])
+                .reset_index(drop=True))
+
+    rng = np.random.default_rng(11)
+    K = 8
+    for trial in range(25):
+        n = int(rng.integers(0, 300))
+        n_buckets = max(1, int(rng.integers(1, 20)))
+        n_docs = max(2, int(rng.integers(2, 40)))
+        sig_pool = rng.integers(0, 4, size=(6, K)).astype(np.uint64)
+        doc_sig = {d: sig_pool[rng.integers(0, len(sig_pool))]
+                   for d in range(n_docs)}
+        docs = rng.integers(0, n_docs, size=n)
+        g = pd.DataFrame({
+            "bucket": rng.integers(0, n_buckets, size=n).astype(np.int64),
+            "part": np.zeros(n, dtype=np.int64),
+            "doc_id": docs.astype(np.int64),
+            "sig": [doc_sig[d].tobytes() for d in docs],
+        })
+        got = norm(dd._minhash_partition_pairs(g, 0.5))
+        want = norm(scalar_ref(g, 0.5))
+        pd.testing.assert_frame_equal(got, want), trial
+
+    # degenerate clique: one bucket over MAX_BUCKET raw rows emits nothing
+    big = pd.DataFrame({
+        "bucket": np.zeros(dd.MAX_BUCKET + 1, dtype=np.int64),
+        "part": np.zeros(dd.MAX_BUCKET + 1, dtype=np.int64),
+        "doc_id": np.arange(dd.MAX_BUCKET + 1, dtype=np.int64),
+        "sig": [np.zeros(K, np.uint64).tobytes()] * (dd.MAX_BUCKET + 1),
+    })
+    assert len(dd._minhash_partition_pairs(big, 0.5)) == 0
+    assert len(scalar_ref(big, 0.5)) == 0
