@@ -32,6 +32,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from nativeextractor_ray.pipelines import (
         curation,
+        decontam,
         dedup,
         events,
         extract,
@@ -53,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": curation.pack_sequences,  # distributed prefix sum
         "curation_e2e": curation.curation_e2e,  # gate -> dedup -> redact -> pack
         "training_batches": curation.training_batches,  # + vocab + ids (capstone)
+        # round-3 additions — never driver-checked before, so first:
+        "decontaminate": decontam.decontaminate,  # benchmark n-gram overlap
+        "boilerplate_ngrams": decontam.boilerplate_ngrams,  # df>=K gram profile
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -120,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import (
         curation,
+        decontam,
         dedup,
         events,
         multimodal,
@@ -188,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": curation.REPETITION_STATS_SQL,
         "documents_repetition_filtered": curation.DOCUMENTS_REPETITION_FILTERED_SQL,
         "sample_stratified": curation.SAMPLE_STRATIFIED_SQL,
+        "decontaminate": decontam.decontaminate_sql(),
+        "boilerplate_ngrams": decontam.boilerplate_sql(),
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "curation_e2e": curation.curation_e2e_sql(),
         "training_batches": curation.training_batches_sql(),

@@ -1,0 +1,306 @@
+"""Benchmark decontamination + boilerplate n-gram analysis over
+``documents`` — two training-data curation operators the reference's
+extraction engine feeds into downstream (occurrence streams become corpus
+rows; a corpus pipeline must strip eval contamination and boilerplate
+before training, cf. the n-gram-overlap decontamination procedure of
+GPT-3 appendix C / PaLM and the C4 boilerplate filters).
+
+Scale shapes
+------------
+``decontaminate``: the benchmark n-gram set is FIXED-SIZE in the corpus
+size (an eval suite is a few thousand documents no matter how big the
+training corpus is), so one distributed distinct-aggregate + one
+``ray.put`` broadcast is the correct 100-TB shape — every corpus batch
+probes a read-only sorted array, no shuffle touches the corpus.  The
+broadcast is still size-gated (``BENCH_BROADCAST_BOUND``) so a
+misconfigured "benchmark" that is actually corpus-sized fails loudly
+instead of silently OOMing the driver.
+
+``boilerplate_ngrams``: gram document-frequencies come from per-batch
+partial counts (each doc lives in exactly one batch, so per-batch
+distinct (doc, gram) pairs are globally distinct — the partial sum is
+exact, no pair-level shuffle).  The ≥``min_df`` survivor set is
+Zipf-bounded (at most ``total_grams / min_df`` grams), broadcast when
+under ``BOILER_BROADCAST_BOUND``, else attached to the gram stream by one
+coarse ``gram % N_PARTS`` partitioned union+map_groups (the same attach
+shape as ``dedup.py``'s scale-side verify) — no O(corpus) driver state on
+either path.  Both paths are asserted bit-identical in
+``tests/test_decontam.py`` by forcing the bound to 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from nativeextractor_ray.functions.hashing import h64, word_shingles
+
+#: every doc_id divisible by this is the deterministic stand-in for "a
+#: benchmark/eval document" (no external data in this sandbox); the
+#: remaining docs are the training corpus being decontaminated.
+BENCH_MOD = 97
+
+#: default n-gram orders.  Real decontamination uses 13-grams; the
+#: synthetic docs are 10–95 tokens, so 4 keeps the overlap population
+#: non-trivial at every sf while preserving the exact pipeline shape.
+DECONTAM_N = 4
+BOILER_N = 3
+BOILER_MIN_DF = 4
+
+BENCH_BROADCAST_BOUND = 256 << 20
+BOILER_BROADCAST_BOUND = 256 << 20
+N_PARTS = 256  # coarse shuffle partitions, matches dedup.py
+
+
+def _docs(sf_dir: str):
+    from nativeextractor_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"])
+
+
+def _gram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct word-n-gram hashes (int64, sign bit cleared so the value
+    survives pandas/Arrow int64 round-trips)."""
+    g = word_shingles(text, n)
+    return np.array([h64(s) & 0x7FFFFFFFFFFFFFFF for s in g], dtype=np.int64)
+
+
+# ---------------------------------------------------------------- decontaminate
+
+
+def decontaminate(sf_dir: str, n: int = DECONTAM_N):
+    """Corpus docs sharing ≥1 word-``n``-gram with the benchmark subset
+    (``doc_id % BENCH_MOD == 0``): ``(doc_id, n_hits)`` with ``n_hits`` =
+    the count of the doc's distinct grams that appear anywhere in the
+    benchmark.  A real pipeline drops these rows before training; the
+    operator reports them so the drop is auditable."""
+    import ray
+
+    # distributed distinct-aggregate of benchmark grams: per-batch unique
+    # hash arrays, folded block-by-block on the driver (the benchmark is
+    # fixed-size by construction — see module docstring).
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = np.nonzero(ids % BENCH_MOD == 0)[0]
+        out: list[np.ndarray] = []
+        if keep.size:
+            for txt in t.column("text").take(pa.array(keep)).to_pylist():
+                out.append(_gram_hashes(txt, n))
+        g = (np.unique(np.concatenate(out)) if out
+             else np.array([], dtype=np.int64))
+        return pa.table({"g": pa.array(g, pa.int64())})
+
+    bench = _docs(sf_dir).map_batches(
+        bench_grams, batch_format="pyarrow").materialize()
+    if (bench.size_bytes() or 0) > BENCH_BROADCAST_BOUND:
+        raise ValueError(
+            "decontaminate: benchmark gram set exceeds the broadcast bound "
+            f"({bench.size_bytes()} B) — the benchmark subset is supposed "
+            "to be fixed-size; check BENCH_MOD / the benchmark predicate")
+    parts = [ray.get(r) for r in bench.to_arrow_refs()]
+    bset = np.unique(np.concatenate(
+        [t.column("g").to_numpy() for t in parts if t.num_rows]
+        or [np.array([], dtype=np.int64)]))
+    bref = ray.put(bset)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        ids = t.column("doc_id").to_numpy()
+        keep = np.nonzero(ids % BENCH_MOD != 0)[0]
+        i_out, h_out = [], []
+        if bs.size and keep.size:
+            for i in keep:
+                g = _gram_hashes(t.column("text")[int(i)].as_py(), n)
+                if g.size == 0:
+                    continue
+                pos = np.searchsorted(bs, g).clip(0, bs.size - 1)
+                hits = int((bs[pos] == g).sum())
+                if hits:
+                    i_out.append(int(ids[i]))
+                    h_out.append(hits)
+        return pa.table({"doc_id": pa.array(i_out, pa.int64()),
+                         "n_hits": pa.array(h_out, pa.int64())})
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pyarrow")
+
+
+def decontaminate_sql(n: int = DECONTAM_N) -> str:
+    """Quadratic DuckDB replay with *string* grams (hash-free: the 64-bit
+    gram hashes are injective on test vocabularies, so distinct-gram
+    counts agree — same argument as ``dedup.ngram_jaccard_sql``)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS t(i)
+  WHERE len(w) > 0
+),
+bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % {BENCH_MOD} = 0)
+SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tri JOIN bench USING (g)
+WHERE tri.doc_id % {BENCH_MOD} <> 0
+GROUP BY tri.doc_id"""
+
+
+# ---------------------------------------------------------------- boilerplate
+
+
+def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
+                       min_df: int = BOILER_MIN_DF,
+                       broadcast_bound: int | None = None):
+    """Per-doc boilerplate profile: ``(doc_id, n_grams, n_boiler)`` where
+    ``n_grams`` is the doc's distinct word-``n``-gram count and
+    ``n_boiler`` counts those grams whose corpus document-frequency is
+    ≥ ``min_df`` (shared headers/footers/disclaimers).  A filter on
+    ``n_boiler / n_grams`` is the classic C4-style boilerplate gate."""
+    import ray
+    import ray.data
+
+    bound = BOILER_BROADCAST_BOUND if broadcast_bound is None else broadcast_bound
+
+    # pass 1 — exact gram document-frequencies from per-batch partials
+    # (each doc appears in exactly one batch; see module docstring).
+    def gram_partials(t: pa.Table) -> pa.Table:
+        counts: dict[int, int] = {}
+        for txt in t.column("text").to_pylist():
+            for gh in _gram_hashes(txt, n):
+                k = int(gh)
+                counts[k] = counts.get(k, 0) + 1
+        return pa.table({
+            "g": pa.array(list(counts.keys()), pa.int64()),
+            "df": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    def df_gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("sum(df)"), min_df))
+
+    df_ds = (
+        _docs(sf_dir).map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("g").sum("df")
+        .map_batches(df_gate, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # pass 2 — per-doc gram stream, membership against the boiler set.
+    def doc_grams(t: pa.Table) -> pa.Table:
+        ids, g_out, i_out, n_out = t.column("doc_id").to_numpy(), [], [], []
+        for d, txt in zip(ids, t.column("text").to_pylist()):
+            g = _gram_hashes(txt, n)
+            g_out.append(g)
+            i_out.append(np.full(g.size, d, dtype=np.int64))
+            n_out.append(np.full(g.size, g.size, dtype=np.int64))
+        g_arr = (np.concatenate(g_out) if g_out
+                 else np.array([], dtype=np.int64))
+        return pa.table({
+            "g": pa.array(g_arr, pa.int64()),
+            "doc_id": pa.array(np.concatenate(i_out) if i_out
+                               else np.array([], dtype=np.int64), pa.int64()),
+            "n_grams": pa.array(np.concatenate(n_out) if n_out
+                                else np.array([], dtype=np.int64), pa.int64()),
+        })
+
+    if (df_ds.size_bytes() or 0) <= bound:
+        # broadcast path: the survivor set is Zipf-bounded (≤ grams/min_df)
+        parts = [ray.get(r) for r in df_ds.to_arrow_refs()]
+        boiler = np.unique(np.concatenate(
+            [t.column("g").to_numpy() for t in parts if t.num_rows]
+            or [np.array([], dtype=np.int64)]))
+        boil_ref = ray.put(boiler)
+
+        def profile(t: pa.Table) -> pa.Table:
+            bs = ray.get(boil_ref)
+            i_out, ng_out, nb_out = [], [], []
+            for d, txt in zip(t.column("doc_id").to_numpy(),
+                              t.column("text").to_pylist()):
+                g = _gram_hashes(txt, n)
+                if g.size == 0:
+                    continue  # token-free doc: absent on every path + SQL
+                if bs.size:
+                    pos = np.searchsorted(bs, g).clip(0, bs.size - 1)
+                    nb = int((bs[pos] == g).sum())
+                else:
+                    nb = 0
+                i_out.append(int(d)); ng_out.append(int(g.size)); nb_out.append(nb)
+            return pa.table({"doc_id": pa.array(i_out, pa.int64()),
+                             "n_grams": pa.array(ng_out, pa.int64()),
+                             "n_boiler": pa.array(nb_out, pa.int64())})
+
+        return _docs(sf_dir).map_batches(profile, batch_format="pyarrow")
+
+    # scale path: coarse gram-partitioned attach (union + map_groups), the
+    # dedup.py shape — per-doc partial boiler counts, then a doc groupby.
+    def tag_boiler(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy()
+        return pa.table({
+            "g": pa.array(g, pa.int64()),
+            "doc_id": pa.nulls(len(g), pa.int64()),
+            "n_grams": pa.nulls(len(g), pa.int64()),
+            "part": pa.array((g % N_PARTS).astype(np.int64)),
+        })
+
+    def tag_grams(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy()
+        return pa.table({
+            "g": t.column("g"), "doc_id": t.column("doc_id"),
+            "n_grams": t.column("n_grams"),
+            "part": pa.array((g % N_PARTS).astype(np.int64)),
+        })
+
+    def attach(grp: pd.DataFrame) -> pd.DataFrame:
+        bset = set(grp.loc[grp["doc_id"].isna(), "g"].astype("int64"))
+        rows = grp[~grp["doc_id"].isna()]
+        if not len(rows):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "n_grams": pd.array([], dtype="int64"),
+                                 "n_boiler": pd.array([], dtype="int64")})
+        hit = rows["g"].astype("int64").isin(bset).astype("int64")
+        out = (pd.DataFrame({"doc_id": rows["doc_id"].astype("int64"),
+                             "n_grams": rows["n_grams"].astype("int64"),
+                             "n_boiler": hit})
+               .groupby("doc_id", sort=False)
+               .agg(n_grams=("n_grams", "max"), n_boiler=("n_boiler", "sum"))
+               .reset_index())
+        return out.astype("int64")
+
+    grams = _docs(sf_dir).map_batches(doc_grams, batch_format="pyarrow")
+    partial = (
+        grams.map_batches(tag_grams, batch_format="pyarrow")
+        .union(df_ds.map_batches(tag_boiler, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pandas")
+    )
+    from ray.data.aggregate import Max, Sum
+
+    return (
+        partial.groupby("doc_id")
+        .aggregate(Max("n_grams", alias_name="n_grams"),
+                   Sum("n_boiler", alias_name="n_boiler"))
+    )
+
+
+def boilerplate_sql(n: int = BOILER_N, min_df: int = BOILER_MIN_DF) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS t(i)
+  WHERE len(w) > 0
+),
+df AS (SELECT g, count(*) AS df FROM tri GROUP BY g),
+per AS (
+  SELECT tri.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN df.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM tri JOIN df USING (g) GROUP BY tri.doc_id
+)
+SELECT doc_id, n_grams, n_boiler FROM per"""
