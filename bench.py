@@ -287,6 +287,8 @@ def run_suite() -> dict:
         "media_resize": ("nativeextractor_ray.pipelines.multimodal", "media_resize_features"),
         "tokenize_ids": ("nativeextractor_ray.pipelines.textstats", "tokenize_ids"),
         "training_batches": ("nativeextractor_ray.pipelines.curation", "training_batches"),
+        "decontaminate": ("nativeextractor_ray.pipelines.decontam", "decontaminate"),
+        "boilerplate_ngrams": ("nativeextractor_ray.pipelines.decontam", "boilerplate_ngrams"),
     }
     out = {}
     for name, (mod, fn) in queries.items():
