@@ -44,16 +44,32 @@ def stable_part(t, keys: list[str], n: int):
     import pyarrow.compute as pc
     from pandas.util import hash_array
 
+    def _is_num(typ):
+        return (pa.types.is_integer(typ) or pa.types.is_temporal(typ)
+                or pa.types.is_boolean(typ) or pa.types.is_floating(typ))
+
+    if len(keys) > 1 and not any(_is_num(t.column(k).type) for k in keys):
+        # all-string multi-key: ONE object-hash pass over an element-wise
+        # join beats per-column hashing 2× (the per-element object overhead
+        # of hash_array dominates, not the bytes) — the triples-dedup shape
+        cols = [pc.cast(t.column(k), pa.string()).combine_chunks()
+                for k in keys]
+        joined = pc.binary_join_element_wise(*cols, "\x00")
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        h = hash_array(joined.to_numpy(zero_copy_only=False),
+                       categorize=False)
+        return pa.array((h % np.uint64(n)).astype(np.int64))
+
     acc = None
     for k in keys:
         col = t.column(k)
         typ = col.type
-        if (pa.types.is_integer(typ) or pa.types.is_temporal(typ)
-                or pa.types.is_boolean(typ)):
+        if pa.types.is_floating(typ):
+            arr = col.combine_chunks().to_numpy(zero_copy_only=False)
+        elif _is_num(typ):
             arr = pc.cast(col, pa.int64()).combine_chunks().to_numpy(
                 zero_copy_only=False)
-        elif pa.types.is_floating(typ):
-            arr = col.combine_chunks().to_numpy(zero_copy_only=False)
         else:
             arr = pc.cast(col, pa.string()).combine_chunks().to_numpy(
                 zero_copy_only=False)
