@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         extract,
+        graph,
         kg,
         multimodal,
         quantiles,
@@ -57,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions — never driver-checked before, so first:
         "decontaminate": decontam.decontaminate,  # benchmark n-gram overlap
         "boilerplate_ngrams": decontam.boilerplate_ngrams,  # df>=K gram profile
+        "entity_degree": graph.entity_degree,  # distinct-edge degree profile
+        "entity_pagerank": graph.entity_pagerank,  # K-iter power iteration
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -127,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         decontam,
         dedup,
         events,
+        graph,
         multimodal,
         quantiles,
         relational,
@@ -195,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": curation.SAMPLE_STRATIFIED_SQL,
         "decontaminate": decontam.decontaminate_sql(),
         "boilerplate_ngrams": decontam.boilerplate_sql(),
+        "entity_degree": graph.entity_degree_sql(),
+        "entity_pagerank": graph.entity_pagerank_sql(),
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "curation_e2e": curation.curation_e2e_sql(),
         "training_batches": curation.training_batches_sql(),

@@ -261,13 +261,25 @@ def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     sigs = np.frombuffer(
         b"".join(sig_col[rows_k]), dtype=np.uint64
     ).reshape(len(rows_k), -1)
-    # chunk the pair gather: sigs[ia] materializes pairs x K u64, so cap
-    # transient memory at ~128 MiB regardless of clique skew
-    chunk = max(1, (128 << 20) // (sigs.shape[1] * 16))
+    # chunk the pair gather through PREALLOCATED buffers (np.take/np.equal
+    # with out=): the naive `sigs[ca] == sigs[cb]` allocates ~128 MiB of
+    # fresh pages per chunk, and first-touch page-fault cost dominates the
+    # arithmetic 30-70x on memory-pressured hosts (measured 70s -> 1.9s per
+    # 1.3M-pair task); small reused buffers also keep the working set in
+    # cache.  Transient memory is bounded at ~2 x chunk x K x 8 B.
+    k_width = sigs.shape[1]
+    chunk = 16384
+    buf_a = np.empty((chunk, k_width), dtype=np.uint64)
+    buf_b = np.empty((chunk, k_width), dtype=np.uint64)
+    eq = np.empty((chunk, k_width), dtype=bool)
     a_parts, b_parts, j_parts = [], [], []
     for lo in range(0, len(ia), chunk):
         ca, cb = ia[lo:lo + chunk], ib[lo:lo + chunk]
-        est = (sigs[ca] == sigs[cb]).mean(axis=1)
+        m = len(ca)
+        np.take(sigs, ca, axis=0, out=buf_a[:m])
+        np.take(sigs, cb, axis=0, out=buf_b[:m])
+        np.equal(buf_a[:m], buf_b[:m], out=eq[:m])
+        est = eq[:m].mean(axis=1)
         hit = est >= threshold
         a_parts.append(ids_k[ca[hit]])
         b_parts.append(ids_k[cb[hit]])

@@ -1,0 +1,247 @@
+"""Graph analytics over the materialized triple graph — degree profile and
+PageRank.  These are the "graph materialize" consumers of the north rule:
+once transcripts become (subj, pred, obj) triples, the KG is a directed
+graph (edge subj→obj, parallel predicates collapsed to one distinct edge)
+and centrality/degree queries are the first things a KG user runs.
+
+Scale shapes
+------------
+The ENTITY VOCABULARY is bounded by construction (entities are
+dict-anchored canonical surfaces — the same argument that justifies the
+driver union-find in ``kg.canonicalize``; cf. the reference's fixed
+dictionary economics, patricia.c loading one gazetteer per process), so a
+rank/degree VECTOR of O(|entities|) may live on the driver and broadcast —
+but the EDGE SET and the TRIPLE STREAM may not.  Accordingly:
+
+- distinct edges are built by a coarse hash-partitioned dedup (the same
+  ``stable_part`` + ``groupby(part).map_groups`` shape as the triple
+  dedup), never collected;
+- ``entity_pagerank`` materializes the int-encoded edge Dataset ONCE and
+  then runs K streaming passes over it — each iteration broadcasts the
+  O(|entities|) rank vector via ``ray.put`` and reduces per-block partial
+  contribution vectors (``np.bincount`` scatter-adds, one vector row per
+  block); no per-iteration shuffle of edges, no edge ever on the driver;
+- the vocabulary collect is size-gated (``VOCAB_BOUND``) so a graph whose
+  node set is NOT vocabulary-bounded fails loudly instead of OOMing.
+
+Oracle: PageRank with a fixed iteration count and uniform teleport +
+dangling redistribution is exactly SQL-expressible — the iteration is
+unrolled into K chained CTEs (same literal-unrolling pattern as the IVF
+centroid oracle); values are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+N_EDGE_PARTS = 256
+VOCAB_BOUND = 256 << 20  # bytes of entity strings allowed on the driver
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def _edges(sf_dir: str):
+    """Distinct (subj, obj) edges of the triple graph, dedup via coarse
+    hash partitions (predicates collapsed)."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.kg import triples_dataset
+
+    def project(t: pa.Table) -> pa.Table:
+        out = t.select(["subj", "obj"])
+        return out.append_column(
+            "part", stable_part(out, ["subj", "obj"], N_EDGE_PARTS))
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["subj", "obj"])[["subj", "obj"]]
+
+    return (
+        triples_dataset(sf_dir)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------- degree
+
+
+def entity_degree(sf_dir: str):
+    """Per-entity degree profile over distinct (subj, obj) edges:
+    ``(entity, out_deg, in_deg)``; entities appearing only as subject get
+    in_deg 0 and vice versa."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        gs = t.group_by("subj").aggregate([("subj", "count")])
+        go = t.group_by("obj").aggregate([("obj", "count")])
+        return pa.table({
+            "entity": pa.concat_arrays([
+                gs.column("subj").combine_chunks(),
+                go.column("obj").combine_chunks()]),
+            "out_deg": pa.concat_arrays([
+                pc.cast(gs.column("subj_count"), pa.int64()).combine_chunks(),
+                pa.array([0] * go.num_rows, pa.int64())]),
+            "in_deg": pa.concat_arrays([
+                pa.array([0] * gs.num_rows, pa.int64()),
+                pc.cast(go.column("obj_count"), pa.int64()).combine_chunks()]),
+        })
+
+    return (
+        _edges(sf_dir)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(Sum("out_deg", alias_name="out_deg"),
+                   Sum("in_deg", alias_name="in_deg"))
+    )
+
+
+def entity_degree_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    return f"""WITH t AS ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj, obj FROM t),
+n AS (SELECT subj AS entity FROM e UNION SELECT obj FROM e),
+od AS (SELECT subj AS entity, count(*) AS c FROM e GROUP BY subj),
+id_ AS (SELECT obj AS entity, count(*) AS c FROM e GROUP BY obj)
+SELECT n.entity,
+       CAST(COALESCE(od.c, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(id_.c, 0) AS BIGINT) AS in_deg
+FROM n LEFT JOIN od USING (entity) LEFT JOIN id_ USING (entity)"""
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _entity_ids(edges):
+    """Collect the bounded entity vocabulary from a (subj, obj) edge
+    Dataset → sorted numpy string array (size-gated)."""
+    import ray
+
+    def ents(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array([
+            t.column("subj").combine_chunks(),
+            t.column("obj").combine_chunks()]))
+        return pa.table({"entity": u})
+
+    vocab = edges.map_batches(ents, batch_format="pyarrow").materialize()
+    if (vocab.size_bytes() or 0) > VOCAB_BOUND:
+        raise ValueError(
+            "entity_pagerank: entity vocabulary exceeds the driver bound "
+            f"({vocab.size_bytes()} B) — the rank vector no longer fits; "
+            "shard the graph or raise VOCAB_BOUND deliberately")
+    parts = [ray.get(r) for r in vocab.to_arrow_refs()]
+    names = np.unique(np.concatenate(
+        [t.column("entity").to_numpy(zero_copy_only=False)
+         for t in parts if t.num_rows]
+        or [np.array([], dtype=object)]))
+    return names
+
+
+def entity_pagerank(sf_dir: str, iters: int = PR_ITERS,
+                    d: float = PR_DAMPING):
+    """PageRank over distinct (subj, obj) edges: uniform init, damping
+    ``d``, dangling mass redistributed uniformly, ``iters`` synchronous
+    iterations.  Returns ``(entity, rank)`` with rank rounded to 6
+    decimals (matching the unrolled-CTE oracle)."""
+    import ray
+    import ray.data
+
+    edges = _edges(sf_dir).materialize()  # K streaming passes below
+    names = _entity_ids(edges)
+    n = names.size
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64())}))
+    names_ref = ray.put(names)
+
+    def encode(t: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        s = np.searchsorted(nm, t.column("subj").to_numpy(zero_copy_only=False))
+        o = np.searchsorted(nm, t.column("obj").to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "o": pa.array(o, pa.int64())})
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    # out-degree vector: per-block bincount partials, summed on the driver
+    # (vector is O(|entities|) — vocabulary-bounded, see module docstring)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.bincount(t.column("s").to_numpy(), minlength=n)
+        return pa.table({"v": pa.array([v.astype(np.int64).tobytes()],
+                                       pa.binary())})
+
+    deg = np.zeros(n, dtype=np.int64)
+    for ref in enc.map_batches(deg_partial,
+                               batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        for b in t.column("v").to_pylist():
+            deg += np.frombuffer(b, dtype=np.int64)
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        rref = ray.put(rank)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = ray.get(rref)
+            s = t.column("s").to_numpy()
+            o = t.column("o").to_numpy()
+            w = r[s] / deg[s]  # deg[s] ≥ 1: s has this very out-edge
+            v = np.bincount(o, weights=w, minlength=n)
+            return pa.table({"v": pa.array([v.tobytes()], pa.binary())})
+
+        acc = np.zeros(n)
+        for ref in enc.map_batches(contrib,
+                                   batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            for b in t.column("v").to_pylist():
+                acc += np.frombuffer(b, dtype=np.float64)
+        dangling = rank[deg == 0].sum()
+        rank = (1.0 - d) / n + d * (acc + dangling / n)
+
+    out = pa.table({"entity": pa.array(names, pa.string()),
+                    "rank": pa.array(np.round(rank, 6), pa.float64())})
+    CHUNK = 65536
+    return ray.data.from_arrow(
+        [out.slice(i, CHUNK) for i in range(0, out.num_rows, CHUNK)] or [out])
+
+
+def entity_pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Unrolled power iteration: r0 is uniform; each r{i} CTE joins the
+    previous rank over the edge set, adds the uniform teleport and the
+    dangling mass (ranks of zero-out-degree nodes) — the exact recurrence
+    of :func:`entity_pagerank` in real arithmetic."""
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    # AS MATERIALIZED is load-bearing: each r{i} is referenced by THREE
+    # CTEs of the next iteration, and t (the full in-SQL extraction
+    # pipeline) by e — without it DuckDB's inlining re-expands the whole
+    # chain exponentially and the oracle never finishes.
+    head = f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM t),
+n AS MATERIALIZED (SELECT subj AS entity FROM e UNION SELECT obj FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM n),
+deg AS MATERIALIZED (SELECT subj AS entity, CAST(count(*) AS DOUBLE) AS c
+        FROM e GROUP BY subj),
+r0 AS MATERIALIZED (SELECT entity, 1.0 / nn.c AS r FROM n, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f""",
+d{i} AS MATERIALIZED (SELECT COALESCE(sum({p}.r), 0) AS m
+         FROM {p} LEFT JOIN deg USING (entity) WHERE deg.c IS NULL),
+c{i} AS MATERIALIZED (SELECT e.obj AS entity, sum({p}.r / deg.c) AS v
+         FROM e JOIN {p} ON e.subj = {p}.entity
+                JOIN deg ON deg.entity = e.subj
+         GROUP BY e.obj),
+r{i} AS MATERIALIZED (SELECT n.entity,
+                (1.0 - {d}) / nn.c
+                + {d} * (COALESCE(c{i}.v, 0) + d{i}.m / nn.c) AS r
+         FROM n CROSS JOIN nn CROSS JOIN d{i}
+              LEFT JOIN c{i} USING (entity))""")
+    return (head + "".join(steps)
+            + f"\nSELECT entity, round(r, 6) AS rank FROM r{iters}")
