@@ -176,7 +176,28 @@ class KgExtract:
 
         return [sorted(s) for s in ents]
 
+    #: max rows processed per internal slice.  ``__call__`` must accept
+    #: arbitrarily large blocks (a fused upstream explode stage can hand it
+    #: a whole multi-100k-row block: batch_size on a fused stage applies to
+    #: PRE-explosion row counts), but the transient working set — the
+    #: per-batch combine dict, its millions of key strings, the joined scan
+    #: buffers — must stay bounded: at ~400k-row calls the fresh-page
+    #: allocation cost dominated compute 15× with 16 concurrent workers
+    #: (first-touch page faults; same pathology as the minhash pair gather),
+    #: 6.4M turns measured 27k turns/s un-sliced vs ~250k sliced.
+    SLICE_ROWS = 65536
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows > self.SLICE_ROWS:
+            # duplicate (subj, pred, obj) partials across slices are fine:
+            # every consumer combines via groupby(part) downstream
+            return pa.concat_tables([
+                self._extract(batch.slice(lo, self.SLICE_ROWS))
+                for lo in range(0, batch.num_rows, self.SLICE_ROWS)
+            ])
+        return self._extract(batch)
+
+    def _extract(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
         turn = batch.column("turn_idx").to_pylist()
         role = batch.column("role").to_pylist()

@@ -28,3 +28,25 @@ def test_edge_rows():
     fast = kg.batch_entities(texts)
     slow = [kg.turn_entities(x) for x in texts]
     assert fast == slow
+
+
+def test_large_batch_slicing_combines_equal(sf_dir):
+    """__call__ on one giant block ≡ per-slice calls after the downstream
+    combine (the slice cap bounds transient memory, not semantics)."""
+    import pandas as pd
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    batch = derive_transcripts_table(t)
+    kg = KgExtract()
+
+    def combined(out):
+        df = out.to_pandas()
+        return (df.groupby(["subj", "pred", "obj"], sort=True)
+                .agg(support=("support", "sum"), first_seen=("first_seen", "min"),
+                     prob=("prob", "max"), part=("part", "min"))
+                .reset_index())
+
+    whole = combined(kg(batch))
+    kg.SLICE_ROWS = 37  # force many odd-sized slices
+    sliced = combined(kg(batch))
+    pd.testing.assert_frame_equal(whole, sliced)
