@@ -177,7 +177,9 @@ def canonical_map(sf_dir: str) -> pa.Table:
 def entity_turns_dataset(sf_dir: str):
     """(conv_id, turn_idx, ent) — one row per distinct entity per turn."""
     class EntityTurns(KgExtract):
-        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        # overrides _extract (not __call__) to inherit the SLICE_ROWS
+        # bound; slices are disjoint turn sets, so concat is exact
+        def _extract(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
             conv = batch.column("conv_id").to_pylist()
             turn = batch.column("turn_idx").to_pylist()
             text = batch.column("text").to_pylist()

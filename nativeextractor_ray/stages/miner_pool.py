@@ -303,7 +303,23 @@ class MinerPool:
             data[c] = base.column(c)
         return pa.table(data)
 
+    #: max rows per internal slice — bounds the transient working set
+    #: (joined text, span arrays, per-row Python fallback lists) when a
+    #: fused upstream explode hands us a whole multi-100k-row block; see
+    #: KgExtract.SLICE_ROWS for the measured page-fault pathology.
+    SLICE_ROWS = 65536
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows > self.SLICE_ROWS:
+            # mention rows are per-turn and slices are disjoint turn
+            # sets, so concatenation is exact
+            return pa.concat_tables([
+                self._scan(batch.slice(lo, self.SLICE_ROWS))
+                for lo in range(0, batch.num_rows, self.SLICE_ROWS)
+            ])
+        return self._scan(batch)
+
+    def _scan(self, batch: pa.Table) -> pa.Table:
         if self._fast_ok:
             return self._call_fast(batch)
 
