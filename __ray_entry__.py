@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract,
         graph,
         kg,
+        lmscore,
         multimodal,
         quantiles,
         relational,
@@ -60,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": decontam.boilerplate_ngrams,  # df>=K gram profile
         "entity_degree": graph.entity_degree,  # distinct-edge degree profile
         "entity_pagerank": graph.entity_pagerank,  # K-iter power iteration
+        "entity_pmi": graph.entity_pmi,  # co-occurrence PMI
+        "lm_score": lmscore.lm_score,  # bigram LM quality scoring
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -131,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         events,
         graph,
+        lmscore,
         multimodal,
         quantiles,
         relational,
@@ -201,6 +205,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": decontam.boilerplate_sql(),
         "entity_degree": graph.entity_degree_sql(),
         "entity_pagerank": graph.entity_pagerank_sql(),
+        "entity_pmi": graph.entity_pmi_sql(),
+        "lm_score": lmscore.lm_score_sql(),
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "curation_e2e": curation.curation_e2e_sql(),
         "training_batches": curation.training_batches_sql(),

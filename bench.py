@@ -289,6 +289,9 @@ def run_suite() -> dict:
         "training_batches": ("nativeextractor_ray.pipelines.curation", "training_batches"),
         "decontaminate": ("nativeextractor_ray.pipelines.decontam", "decontaminate"),
         "boilerplate_ngrams": ("nativeextractor_ray.pipelines.decontam", "boilerplate_ngrams"),
+        "entity_pagerank": ("nativeextractor_ray.pipelines.graph", "entity_pagerank"),
+        "entity_pmi": ("nativeextractor_ray.pipelines.graph", "entity_pmi"),
+        "lm_score": ("nativeextractor_ray.pipelines.lmscore", "lm_score"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

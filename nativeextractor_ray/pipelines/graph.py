@@ -210,6 +210,89 @@ def entity_pagerank(sf_dir: str, iters: int = PR_ITERS,
         [out.slice(i, CHUNK) for i in range(0, out.num_rows, CHUNK)] or [out])
 
 
+def entity_pmi(sf_dir: str, min_cooc: int = 2):
+    """Pointwise mutual information of co-occurring entity pairs:
+    ``pmi = ln(cooc * n_turns / (c_a * c_b))`` where ``cooc`` is the
+    number of turns mentioning both entities (the ``co_occurs_with``
+    triple's support), ``c_x`` the number of turns mentioning x (sum of
+    ``mentions`` support over speakers — one speaker per turn, so the sum
+    is exact), and ``n_turns`` the corpus turn count.
+
+    Scale shape: the per-entity count vector is vocabulary-bounded (the
+    same argument as :func:`entity_pagerank`'s rank vector), so it comes
+    from one small distributed aggregate and broadcasts via ``ray.put``
+    (size-gated); the co-occurrence stream then scores in one streaming
+    ``map_batches`` pass — no joins, no extra shuffle beyond the triple
+    dedup the pipeline already did."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.pipelines.kg import triples_dataset
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    triples = triples_dataset(sf_dir).materialize()  # two passes below
+    n_turns = float(transcripts_dataset(sf_dir).count())
+
+    def ment_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("pred"), "mentions"))
+        g = t.group_by("obj").aggregate([("support", "sum")])
+        return pa.table({
+            "ent": g.column("obj"),
+            "c": pc.cast(g.column("support_sum"), pa.int64())})
+
+    mc = (triples.map_batches(ment_counts, batch_format="pyarrow")
+          .groupby("ent").aggregate(Sum("c", alias_name="c")).materialize())
+    if (mc.size_bytes() or 0) > VOCAB_BOUND:
+        raise ValueError(
+            "entity_pmi: entity-count table exceeds the driver bound "
+            f"({mc.size_bytes()} B) — shard or raise VOCAB_BOUND deliberately")
+    parts = [ray.get(r) for r in mc.to_arrow_refs()]
+    tab = pa.concat_tables([p for p in parts if p.num_rows])
+    ents = tab.column("ent").to_numpy(zero_copy_only=False)
+    cnts = tab.column("c").to_numpy()
+    order = np.argsort(ents)
+    cref = ray.put((ents[order], cnts[order]))
+
+    def pmi_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("pred"), "co_occurs_with"))
+        t = t.filter(pc.greater_equal(t.column("support"), min_cooc))
+        names, counts = ray.get(cref)
+        a = t.column("subj").to_numpy(zero_copy_only=False)
+        b = t.column("obj").to_numpy(zero_copy_only=False)
+        co = t.column("support").to_numpy().astype(np.float64)
+        # co-occurring entities are always mentioned → lookups always hit
+        ca = counts[np.searchsorted(names, a)].astype(np.float64)
+        cb = counts[np.searchsorted(names, b)].astype(np.float64)
+        pmi = np.log((co * n_turns) / (ca * cb))
+        return pa.table({
+            "ent_a": pa.array(a, pa.string()),
+            "ent_b": pa.array(b, pa.string()),
+            "cooc": pa.array(co.astype(np.int64)),
+            "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+        })
+
+    return triples.map_batches(pmi_batch, batch_format="pyarrow")
+
+
+def entity_pmi_sql(min_cooc: int = 2) -> str:
+    from nativeextractor_ray.pipelines.oracles import (
+        TRANSCRIPTS_ONLY_SQL,
+        TRIPLES_SQL,
+    )
+
+    return f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM ({TRANSCRIPTS_ONLY_SQL})),
+m AS (SELECT obj AS ent, CAST(sum(support) AS DOUBLE) AS c
+      FROM t WHERE pred = 'mentions' GROUP BY obj),
+co AS (SELECT subj AS ent_a, obj AS ent_b, support AS cooc FROM t
+       WHERE pred = 'co_occurs_with' AND support >= {min_cooc})
+SELECT co.ent_a, co.ent_b, CAST(co.cooc AS BIGINT) AS cooc,
+       round(ln((CAST(co.cooc AS DOUBLE) * n.c) / (ma.c * mb.c)), 6) AS pmi
+FROM co CROSS JOIN n
+JOIN m ma ON ma.ent = co.ent_a
+JOIN m mb ON mb.ent = co.ent_b"""
+
+
 def entity_pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     """Unrolled power iteration: r0 is uniform; each r{i} CTE joins the
     previous rank over the edge set, adds the uniform teleport and the
