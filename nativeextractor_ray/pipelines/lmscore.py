@@ -214,7 +214,10 @@ def lm_score(sf_dir: str, v: int = LM_VOCAB_V):
             "key": pa.array(k_all, pa.int64()),
             "m": pa.array(m_all, pa.int64()),
             "cnt": pa.array(np.full(len(d_all), -1, np.int64)),  # tag: corpus row
-            "part": pa.array(np.where(k_all >= 0, k_all % N_PARTS, 0)),
+            # sentinels don't need the model — spread them by doc_id so no
+            # partition becomes the hot home of every zero-contrib row
+            "part": pa.array(np.where(k_all >= 0, k_all % N_PARTS,
+                                      d_all % N_PARTS)),
         })
 
     def tag_model(t: pa.Table) -> pa.Table:
