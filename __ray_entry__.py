@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_pagerank": graph.entity_pagerank,  # K-iter power iteration
         "entity_pmi": graph.entity_pmi,  # co-occurrence PMI
         "lm_score": lmscore.lm_score,  # bigram LM quality scoring
+        "dedup_semantic": dedup.dedup_semantic,  # SemDeDup: k-means + cosine
+        "domain_mix": curation.domain_mix,  # uniform-mixture rebalancing
+        "shuffle_shards": curation.shuffle_shards,  # trainer shard layout
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -207,6 +210,10 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": graph.entity_pagerank_sql(),
         "entity_pmi": graph.entity_pmi_sql(),
         "lm_score": lmscore.lm_score_sql(),
+        # deterministic trained centroids as SQL literals (ann_ivf pattern)
+        "dedup_semantic": dedup.dedup_semantic_sql(),
+        "domain_mix": curation.DOMAIN_MIX_SQL,
+        "shuffle_shards": curation.SHUFFLE_SHARDS_SQL,
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "curation_e2e": curation.curation_e2e_sql(),
         "training_batches": curation.training_batches_sql(),

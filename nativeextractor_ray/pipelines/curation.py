@@ -649,3 +649,137 @@ c AS (
 SELECT doc_id, n_tokens, ids, CAST(cb // {budget} AS BIGINT) AS seq_id,
        CAST(cb % {budget} AS BIGINT) AS offset_in_seq
 FROM c"""
+
+
+# ---------------------------------------------------------------- mixing
+
+
+#: acceptance-threshold granularity for the mixture resampler
+MIX_MOD = 1_000_000
+
+
+def domain_mix(sf_dir: str, domain_col: str = "lang"):
+    """Mixture rebalancing across domains (the composition step
+    of a training-data recipe, DoReMi/Pile-style with uniform targets):
+    downsample every domain to the size of the SMALLEST one, so the kept
+    corpus is a uniform mix over domains.  ``domain_col`` is any
+    categorical column; the default ``lang`` is the skewed axis of the
+    test corpora (the ``source`` axis is uniform there, which would make
+    the filter a no-op).
+
+    Two passes:
+
+    1. per-source counts — per-batch ``value_counts`` partials, one tiny
+       ``groupby(source).sum`` (rows == #domains, by definition small),
+       pulled to the driver and broadcast as an acceptance-threshold dict;
+    2. a pure streaming filter — each doc maps to a stable pseudo-random
+       bucket in [0, MIX_MOD) via the same Knuth multiplicative hash as
+       :func:`sample_stratified` and is kept iff
+       ``bucket < floor(n_min * MIX_MOD / n_source)``.
+
+    Deterministic (same doc → same verdict on retry → resumable), no RNG
+    state, no shuffle on the corpus itself.  Integer arithmetic end to end
+    so :func:`domain_mix_sql` replays it exactly (``//`` == floor for the
+    non-negative operands here; ``doc_id * MULT`` stays in int64 for
+    doc_id < 3.5e9 — same bound as sample_stratified)."""
+    import ray
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", domain_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column(domain_col))
+        return pa.table({domain_col: vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(domain_col).sum("n").take_all()  # one row per domain
+    counts = {r[domain_col]: int(r["sum(n)"]) for r in rows}
+    nmin = min(counts.values())
+    thr = {s: (nmin * MIX_MOD) // n for s, n in counts.items()}
+    thr_ref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        lim_by_src = ray.get(thr_ref)
+        ids = t.column("doc_id").to_numpy()
+        bucket = (ids * _SAMPLE_MULT) % MIX_MOD
+        lim = np.array([lim_by_src[s] for s in t.column(domain_col).to_pylist()],
+                       dtype=np.int64)
+        mask = pa.array(bucket < lim)
+        out = t.filter(mask)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            domain_col: out.column(domain_col),
+            "bucket": pa.array(bucket[np.asarray(mask)].astype(np.int64)),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+DOMAIN_MIX_SQL = f"""WITH cnt AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+thr AS (
+  SELECT lang, (SELECT min(n) FROM cnt) * {MIX_MOD} // n AS t FROM cnt
+)
+SELECT d.doc_id, d.lang, (d.doc_id * {_SAMPLE_MULT}) % {MIX_MOD} AS bucket
+FROM documents d JOIN thr USING (lang)
+WHERE (d.doc_id * {_SAMPLE_MULT}) % {MIX_MOD} < t"""
+
+
+# ---------------------------------------------------------------- sharding
+
+
+N_SHARDS = 64
+#: xxhash PRIME32_2; doc_id * MULT stays in int64 for doc_id < 4.1e9
+_SHARD_MULT = 2246822519
+_SHARD_MOD = 1_000_003  # prime, decorrelates the shard key from MIX_MOD
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = N_SHARDS):
+    """Deterministic training-shard assignment + within-shard shuffle
+    order: every doc gets ``(shard, pos)`` where ``shard`` spreads docs
+    pseudo-randomly over ``n_shards`` data-parallel readers and ``pos`` is
+    the doc's position in its shard's deterministic shuffled order (rank
+    of the hash key, ties by doc_id).  This is the "global shuffle once,
+    then stream shards sequentially" layout LLM trainers consume — no RNG
+    state, reproducible across runs/retries.
+
+    Scale shape: the corpus-side row is 16 bytes (doc_id, key); the only
+    exchange is one ``groupby(shard)`` all-to-all, after which each group
+    ranks its keys with one vectorized argsort — at 10^10 docs and 64
+    shards that is ~2.5 GB per group (keys only, never text).  ``n_shards``
+    scales with the trainer's data-parallel world size, which is exactly
+    what bounds per-shard size in practice; for extreme corpora the rank
+    becomes sort + the `_pack_by_prefix_sum` two-pass scan."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        k = (ids * _SHARD_MULT) % _SHARD_MOD
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "key": pa.array(k.astype(np.int64)),
+            "shard": pa.array((k % n_shards).astype(np.int64)),
+        })
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc_id"].to_numpy(), g["key"].to_numpy()))
+        out = g.iloc[order][["doc_id", "shard"]].reset_index(drop=True)
+        out["pos"] = np.arange(len(out), dtype=np.int64)
+        return out
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+              .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+SHUFFLE_SHARDS_SQL = f"""SELECT doc_id,
+       ((doc_id * {_SHARD_MULT}) % {_SHARD_MOD}) % {N_SHARDS} AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY ((doc_id * {_SHARD_MULT}) % {_SHARD_MOD}) % {N_SHARDS}
+         ORDER BY (doc_id * {_SHARD_MULT}) % {_SHARD_MOD}, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM documents"""

@@ -1177,3 +1177,141 @@ SELECT d.doc_id,
        coalesce(c.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+
+
+# ---------------------------------------------------------------- semantic
+
+
+SEM_K = 32
+SEM_THRESHOLD = 0.4
+MAX_SEM_CLUSTER = 4000
+
+
+def dedup_semantic(sf_dir: str, threshold: float = SEM_THRESHOLD,
+                   k: int = SEM_K):
+    """SemDeDup-style semantic dedup: k-means-cluster the embedding space
+    (the deterministic spherical quantizer shared with ``ann_ivf_topk``),
+    then WITHIN each cluster drop every vector that has a lower-id
+    neighbour with cosine >= ``threshold``.  Output is one row per corpus
+    vector: ``(vec_id, cluster, keep)``.
+
+    Distinct algorithm from :func:`embedding_dup_pairs` (random-hyperplane
+    LSH bands): here the partition is a GLOBAL learned clustering, the
+    published shape for semantic dedup of web-scale corpora (SemDeDup,
+    Abbas et al. 2023 — pairs are only ever compared inside a cluster, so
+    work is sum(m_c^2) over cluster sizes, never corpus^2).
+
+    Scale shape: centroids are broadcast once (`ray.put`, k x d doubles);
+    assignment is one vectorized matmul per batch; the only shuffle is the
+    coarse ``cluster % N_PARTS`` groupby.  At 10^10 vectors ``k`` scales
+    to ~corpus/10^5 so clusters stay bounded; clusters above
+    ``MAX_SEM_CLUSTER`` are kept wholesale (skew cap, replayed by the
+    oracle's HAVING clause).
+
+    Approximate BY DESIGN (cross-cluster near-dups are missed), yet fully
+    oracle-checked: the trained centroids are deterministic, so
+    :func:`dedup_semantic_sql` embeds them as DOUBLE[] literals and
+    replays assignment (argmax cosine, ties to the lowest centroid index),
+    the skew cap, and the in-cluster drop rule in DuckDB.  Float safety is
+    the ann_ivf_sql argument: float64 cosine agrees to ~4e-16 while
+    assignment/threshold margins on the test corpora are >= 1e-5
+    (asserted in tests/test_trainingdata.py)."""
+    import ray
+
+    from nativeextractor_ray.pipelines.similarity import (
+        _train_centroids,
+        _train_sample,
+    )
+    from nativeextractor_ray.sources.tables import read_table
+
+    cent = _train_centroids(_train_sample(sf_dir), k=k)
+    cent_ref = ray.put(cent)
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = t.column("vec_id").to_numpy()
+        bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(bm @ c.T, axis=1).astype(np.int64)  # first max == lowest j
+        return pa.table({
+            "cluster": pa.array(cl),
+            "part": pa.array(cl % N_PARTS),
+            "vec_id": pa.array(ids, pa.int64()),
+            "vec": pa.array([v.tobytes() for v in bm], pa.binary()),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        id_out, cl_out, keep_out = [], [], []
+        for cl, grp in g.groupby("cluster", sort=False):
+            ids = grp["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = len(ids)
+            if m < 2 or m > MAX_SEM_CLUSTER:
+                keep = np.ones(m, dtype=bool)  # cap: oversized kept wholesale
+            else:
+                mat = np.stack([np.frombuffer(v, dtype=np.float64)
+                                for v in grp["vec"].to_numpy()[order]])
+                raw = mat @ mat.T
+                # drop i iff some j < i (id order) has cosine >= threshold
+                keep = ~np.any(np.triu(raw >= threshold, k=1), axis=0)
+            id_out.append(ids)
+            cl_out.append(np.full(m, cl, dtype=np.int64))
+            keep_out.append(keep)
+        if not id_out:
+            return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                                 "cluster": pd.array([], dtype="int64"),
+                                 "keep": pd.array([], dtype="bool")})
+        return pd.DataFrame({"vec_id": np.concatenate(id_out),
+                             "cluster": np.concatenate(cl_out),
+                             "keep": np.concatenate(keep_out)})
+
+    asg = ds.map_batches(assign, batch_format="pyarrow")
+    return asg.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def dedup_semantic_sql(sf_dir: str | None = None,
+                       threshold: float = SEM_THRESHOLD,
+                       k: int = SEM_K) -> str:
+    """DuckDB twin of :func:`dedup_semantic` — centroids trained on
+    ``$GRAFT_ORACLE_SF_DIR`` (the table the SQL runs against) embedded as
+    DOUBLE[] literals, then assignment + skew cap + drop rule replayed."""
+    import os
+
+    from nativeextractor_ray.pipelines.similarity import (
+        _train_centroids,
+        _train_sample,
+    )
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    cent = _train_centroids(_train_sample(sf_dir), k=k)
+    lits = ",\n    ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(v) for v in cent[j]) + "]::DOUBLE[])"
+        for j in range(len(cent))
+    )
+    return f"""WITH cent(j, c) AS (VALUES
+    {lits}
+),
+asg AS (
+  SELECT vec_id, embedding, j,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(embedding, c) DESC, j) AS rn
+  FROM embeddings CROSS JOIN cent
+),
+assign AS (SELECT vec_id, embedding, j AS cluster FROM asg WHERE rn = 1),
+big AS (SELECT cluster FROM assign GROUP BY cluster
+        HAVING count(*) > {MAX_SEM_CLUSTER}),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE a.cluster NOT IN (SELECT cluster FROM big)
+    AND list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+)
+SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+       v.vec_id NOT IN (SELECT vec_id FROM drops) AS keep
+FROM assign v"""

@@ -613,3 +613,35 @@ def test_minhash_partition_pairs_vectorized(ray_session):
     })
     assert len(dd._minhash_partition_pairs(big, 0.5)) == 0
     assert len(scalar_ref(big, 0.5)) == 0
+
+
+def test_dedup_semantic_oracle_margins(sf_dir):
+    """Float-safety contract of dedup_semantic_sql: the k-means assignment
+    margin and the in-cluster cosine-vs-threshold margin must both sit far
+    above DuckDB-vs-numpy float64 error (~4e-16)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.dedup import SEM_K, SEM_THRESHOLD
+    from nativeextractor_ray.pipelines.similarity import (
+        _train_centroids, _train_sample,
+    )
+
+    cent = _train_centroids(_train_sample(sf_dir), k=SEM_K)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+    srt = np.sort(bm @ cent.T, axis=1)
+    assert (srt[:, -1] - srt[:, -2]).min() > 1e-8
+
+    # threshold margin over every in-cluster pair
+    assign = np.argmax(bm @ cent.T, axis=1)
+    worst = np.inf
+    for c in np.unique(assign):
+        sub = bm[assign == c]
+        if len(sub) < 2:
+            continue
+        sims = sub @ sub.T
+        iu = np.triu_indices(len(sub), k=1)
+        worst = min(worst, np.abs(sims[iu] - SEM_THRESHOLD).min())
+    assert worst > 1e-8
