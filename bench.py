@@ -292,6 +292,9 @@ def run_suite() -> dict:
         "entity_pagerank": ("nativeextractor_ray.pipelines.graph", "entity_pagerank"),
         "entity_pmi": ("nativeextractor_ray.pipelines.graph", "entity_pmi"),
         "lm_score": ("nativeextractor_ray.pipelines.lmscore", "lm_score"),
+        "dedup_semantic": ("nativeextractor_ray.pipelines.dedup", "dedup_semantic"),
+        "domain_mix": ("nativeextractor_ray.pipelines.curation", "domain_mix"),
+        "shuffle_shards": ("nativeextractor_ray.pipelines.curation", "shuffle_shards"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

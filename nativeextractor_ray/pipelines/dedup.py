@@ -51,6 +51,17 @@ ROWS_PER_BAND = 4
 MAX_BUCKET = 1000
 N_PARTS = 256  # coarse shuffle partitions (buckets per partition >> 1)
 
+
+def _adaptive_nparts(sf_dir: str, table: str = "documents") -> int:
+    """Coarse-shuffle width scaled to the input size (metadata-only probe,
+    ``common.adaptive_parts``): 256+ is right at web scale but pure
+    scheduling overhead at bench scale.  Partition count never changes
+    RESULTS here — every pair/keep decision is made per bucket/cluster,
+    and partitions only batch buckets together."""
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+
+    return adaptive_parts(sf_dir, table=table)
+
 # Driver/broadcast size gates for the minhash verify leg and the cluster
 # keep/drop application.  Below the bound the small side is pulled/broadcast
 # (fast path); above it everything stays distributed.  Module-level so tests
@@ -152,9 +163,10 @@ def _shingle_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
 class MinHasher:
     """Compile-once state (permutation table, token-hash cache) — actor."""
 
-    def __init__(self, shingle_n: int = 3):
+    def __init__(self, shingle_n: int = 3, n_parts: int = N_PARTS):
         self.perms = minhash_perms(MINHASH_K)
         self.n = shingle_n
+        self.n_parts = n_parts
         self.tokens = _TokenHashCache()
         # per-band mixing constants fold the band index into the bucket key
         rng = np.random.default_rng(1234)
@@ -178,24 +190,24 @@ class MinHasher:
         sig_bytes = [s.tobytes() for s in sigs]
         return pa.table({
             "bucket": pa.array(bucket.ravel()),
-            "part": pa.array((bucket.ravel() % N_PARTS).astype(np.int64)),
+            "part": pa.array((bucket.ravel() % self.n_parts).astype(np.int64)),
             "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
             "sig": pa.array([sig_bytes[i] for i in np.repeat(np.arange(n_docs), BANDS)],
                             pa.binary()),
         })
 
 
-_MINHASHER: "MinHasher | None" = None
+_MINHASHERS: "dict[int, MinHasher]" = {}
 
 
-def _minhash_batch(t: pa.Table) -> pa.Table:
+def _minhash_batch(t: pa.Table, n_parts: int = N_PARTS) -> pa.Table:
     """Task-mode MinHasher: state is cheap to build (perm table + empty
     token cache) and cached per worker PROCESS, so the map fuses with the
     upstream read instead of paying actor-pool spin-up per query."""
-    global _MINHASHER
-    if _MINHASHER is None:
-        _MINHASHER = MinHasher()
-    return _MINHASHER(t)
+    mh = _MINHASHERS.get(n_parts)
+    if mh is None:
+        mh = _MINHASHERS[n_parts] = MinHasher(n_parts=n_parts)
+    return mh(t)
 
 
 _EMPTY_PAIRS_DF_COLS = ("doc_a", "doc_b", "est_jaccard")
@@ -292,7 +304,7 @@ def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 
 
-def _pair_dedup(pairs, value_col: str, how: str):
+def _pair_dedup(pairs, value_col: str, how: str, n_parts: int = N_PARTS):
     """Coarse-partitioned pair-level dedup: the same (doc_a, doc_b) pair can
     surface from several bands/buckets; combine with a local vectorized
     pandas groupby per hash partition (a raw 2-int-key Ray aggregate costs
@@ -302,7 +314,7 @@ def _pair_dedup(pairs, value_col: str, how: str):
     def add_part(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy()
         b = t.column("doc_b").to_numpy()
-        return t.append_column("part2", pa.array((a * 1_000_003 + b) % N_PARTS))
+        return t.append_column("part2", pa.array((a * 1_000_003 + b) % n_parts))
 
     def combine(grp: pd.DataFrame) -> pd.DataFrame:
         out = (grp.groupby(["doc_a", "doc_b"], sort=False)[value_col]
@@ -313,19 +325,21 @@ def _pair_dedup(pairs, value_col: str, how: str):
     return pairs.groupby("part2").map_groups(combine, batch_format="pandas")
 
 
-def _minhash_candidates(ds, threshold: float):
+def _minhash_candidates(ds, threshold: float, n_parts: int = N_PARTS):
     """Raw in-bucket pair candidates (may repeat across bands — callers
     dedup, either via :func:`_pair_dedup` or inside their own verify
     partition)."""
-    buckets = ds.map_batches(_minhash_batch, batch_format="pyarrow")
+    buckets = ds.map_batches(lambda t: _minhash_batch(t, n_parts),
+                             batch_format="pyarrow")
     return buckets.groupby("part").map_groups(
         lambda g: _minhash_partition_pairs(g, threshold), batch_format="pandas"
     )
 
 
-def minhash_pairs(ds, threshold: float = 0.5):
+def minhash_pairs(ds, threshold: float = 0.5, n_parts: int = N_PARTS):
     """MinHash+LSH near-dup pairs over any (doc_id, text) Dataset."""
-    return _pair_dedup(_minhash_candidates(ds, threshold), "est_jaccard", "max")
+    return _pair_dedup(_minhash_candidates(ds, threshold, n_parts),
+                       "est_jaccard", "max", n_parts)
 
 
 def _empty_pairs():
@@ -399,9 +413,10 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     import ray
     import ray.data
 
+    np_ = _adaptive_nparts(sf_dir)
     # raw candidates (band-level duplicates kept; deduped below).
     cand = _minhash_candidates(
-        _docs(sf_dir), max(0.0, threshold - 0.15)).materialize()
+        _docs(sf_dir), max(0.0, threshold - 0.15), np_).materialize()
 
     if (cand.size_bytes() or 0) <= PAIR_DRIVER_BOUND:
         # Small side: pull pair blocks, dedup exactly on the driver, and
@@ -433,7 +448,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     else:
         # Scale side: pair dedup stays a coarse shuffle; the id filter is a
         # constant-memory Bloom built by a streamed distributed fold.
-        pairs_ds = _pair_dedup(cand, "est_jaccard", "max").map_batches(
+        pairs_ds = _pair_dedup(cand, "est_jaccard", "max", np_).map_batches(
             lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
         ).materialize()
         n_pairs = pairs_ds.count()
@@ -510,7 +525,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
         return pa.table({
             "key": a, "doc_b": t.column("doc_b"),
             "sh": pa.nulls(len(a), pa.binary()),
-            "part3": pa.array((a % N_PARTS).astype(np.int64)),
+            "part3": pa.array((a % np_).astype(np.int64)),
         })
 
     def tag_sh(t: pa.Table) -> pa.Table:
@@ -518,7 +533,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
         return pa.table({
             "key": d, "doc_b": pa.nulls(len(d), pa.int64()),
             "sh": t.column("sh"),
-            "part3": pa.array((d % N_PARTS).astype(np.int64)),
+            "part3": pa.array((d % np_).astype(np.int64)),
         })
 
     def attach_a(df: pd.DataFrame) -> pd.DataFrame:
@@ -529,7 +544,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
             "doc_b": prs["doc_b"].astype("int64"),
             "sh_a": prs["key"].map(sets),
         })
-        out["part4"] = (out["doc_b"].to_numpy() % N_PARTS).astype("int64")
+        out["part4"] = (out["doc_b"].to_numpy() % np_).astype("int64")
         return out
 
     # shuffle B: attach doc_b's list, compute exact jaccard
@@ -539,7 +554,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
             "doc_a": pa.nulls(len(d), pa.int64()),
             "doc_b": pa.array(d, pa.int64()),
             "sh_a": t.column("sh"),
-            "part4": pa.array((d % N_PARTS).astype(np.int64)),
+            "part4": pa.array((d % np_).astype(np.int64)),
         })
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -666,7 +681,7 @@ def _sim_partition_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
                          "hamming": pd.array(h_out, dtype="int64")})
 
 
-def simhash_pairs(ds, max_hamming: int = 3):
+def simhash_pairs(ds, max_hamming: int = 3, n_parts: int = N_PARTS):
     """SimHash near-dup: 4×16-bit band buckets guarantee recall for
     Hamming ≤ 3 (pigeonhole: one band must match exactly)."""
     sigs = ds.map_batches(_simhash_batch, batch_format="pyarrow")
@@ -681,7 +696,7 @@ def simhash_pairs(ds, max_hamming: int = 3):
             bucket[band * n:(band + 1) * n] = (np.int64(band) << 17) | part16.astype(np.int64)
         return pa.table({
             "bucket": pa.array(bucket),
-            "part": pa.array(bucket % N_PARTS),
+            "part": pa.array(bucket % n_parts),
             "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
             "sig": pa.array(np.tile(s.view(np.int64), 4)),
         })
@@ -690,11 +705,11 @@ def simhash_pairs(ds, max_hamming: int = 3):
     pairs = b.groupby("part").map_groups(
         lambda g: _sim_partition_pairs(g, max_hamming), batch_format="pandas"
     )
-    return _pair_dedup(pairs, "hamming", "min")
+    return _pair_dedup(pairs, "hamming", "min", n_parts)
 
 
 def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    return simhash_pairs(_docs(sf_dir), max_hamming)
+    return simhash_pairs(_docs(sf_dir), max_hamming, _adaptive_nparts(sf_dir))
 
 
 # SimHash oracle: replays the EXACT signature computation in SQL (md5
@@ -740,7 +755,8 @@ WHERE bit_count(xor(a.s, b.s)) <= 3"""
 # ---------------------------------------------------------------- exact n-gram jaccard
 
 
-def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
+def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3,
+                        n_parts: int = N_PARTS):
     """Exact n-gram Jaccard without a join or broadcast: each (gram, doc)
     row carries the doc's distinct-gram count, so the final pair groupby
     has everything it needs.
@@ -762,7 +778,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
                 n_out.append(len(sh))
         g_arr = np.array(g_out, dtype=np.int64)
         return pa.table({"g": pa.array(g_arr),
-                         "part": pa.array(g_arr % N_PARTS),
+                         "part": pa.array(g_arr % n_parts),
                          "doc_id": pa.array(i_out, pa.int64()),
                          "n_gram": pa.array(n_out, pa.int64())})
 
@@ -804,7 +820,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
         # partition+local-pandas pattern is ~50× cheaper
         a = t.column("doc_a").to_numpy()
         b = t.column("doc_b").to_numpy()
-        return t.append_column("part2", pa.array((a * 1_000_003 + b) % N_PARTS))
+        return t.append_column("part2", pa.array((a * 1_000_003 + b) % n_parts))
 
     def pair_combine(grp: pd.DataFrame) -> pd.DataFrame:
         out = (grp.groupby(["doc_a", "doc_b"], sort=False)
@@ -824,7 +840,8 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.3):
 
 
 def dedup_ngram_jaccard(sf_dir: str, n: int = 3, threshold: float = 0.3):
-    return ngram_jaccard_pairs(_docs(sf_dir), n, threshold)
+    return ngram_jaccard_pairs(_docs(sf_dir), n, threshold,
+                               _adaptive_nparts(sf_dir))
 
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.3) -> str:
@@ -886,9 +903,12 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
+    np_ = _adaptive_nparts(sf_dir, table="embeddings")
+
     class EmbBucket:
-        def __init__(self):
+        def __init__(self, n_parts: int = N_PARTS):
             self.planes = None
+            self.n_parts = n_parts
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bid = t.column("vec_id").to_numpy()
@@ -904,7 +924,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
                 b_out[band * n:(band + 1) * n] = (np.int64(band) << 8) | sig.astype(np.int64)
             return pa.table({
                 "bucket": pa.array(b_out),
-                "part": pa.array(b_out % N_PARTS),
+                "part": pa.array(b_out % self.n_parts),
                 "vec_id": pa.array(np.tile(bid, EMB_BANDS), pa.int64()),
                 "vec": pa.array([vec_bytes[i] for i in np.tile(np.arange(n), EMB_BANDS)],
                                 pa.binary()),
@@ -932,13 +952,15 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
                              "vec_b": pd.array(b_out, dtype="int64"),
                              "sim": pd.array(s_out, dtype="float64")})
 
-    buckets = ds.map_batches(EmbBucket, batch_format="pyarrow", concurrency=(1, 8))
+    buckets = ds.map_batches(EmbBucket, batch_format="pyarrow",
+                             concurrency=(1, 8),
+                             fn_constructor_kwargs={"n_parts": np_})
     pairs = buckets.groupby("part").map_groups(partition_pairs, batch_format="pandas")
 
     def add_part(t: pa.Table) -> pa.Table:
         a = t.column("vec_a").to_numpy()
         b = t.column("vec_b").to_numpy()
-        return t.append_column("part2", pa.array((a * 1_000_003 + b) % N_PARTS))
+        return t.append_column("part2", pa.array((a * 1_000_003 + b) % np_))
 
     def combine(grp: pd.DataFrame) -> pd.DataFrame:
         out = (grp.groupby(["vec_a", "vec_b"], sort=False)["sim"].max().reset_index())
@@ -1084,7 +1106,8 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
 
         comp_ds = comp.map_batches(comp_int, batch_format="pyarrow").materialize()
         if (comp_ds.size_bytes() or 0) > COMPONENT_BROADCAST_BOUND:
-            return _label_by_merge(_docs(sf_dir, columns=("doc_id",)), comp_ds)
+            return _label_by_merge(_docs(sf_dir, columns=("doc_id",)), comp_ds,
+                                   _adaptive_nparts(sf_dir))
         # small side after all: stream blocks into flat arrays (no dict)
         by_node = {}
         for t in (ray.get(r) for r in comp_ds.to_arrow_refs()):
@@ -1116,7 +1139,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
     return ds.map_batches(label, batch_format="pyarrow")
 
 
-def _label_by_merge(ids_ds, comp_ds):
+def _label_by_merge(ids_ds, comp_ds, n_parts: int = N_PARTS):
     """Corpus labeling WITHOUT a driver-resident component map: hash-
     partition corpus doc_ids and the (node, component) map on the same
     ``doc_id % N_PARTS`` key and resolve each partition with a vectorized
@@ -1127,7 +1150,7 @@ def _label_by_merge(ids_ds, comp_ds):
         return pa.table({
             "key": pa.array(ids, pa.int64()),
             "component": pa.nulls(len(ids), pa.int64()),
-            "partL": pa.array((ids % N_PARTS).astype(np.int64)),
+            "partL": pa.array((ids % n_parts).astype(np.int64)),
         })
 
     def tag_comp(t: pa.Table) -> pa.Table:
@@ -1135,7 +1158,7 @@ def _label_by_merge(ids_ds, comp_ds):
         return pa.table({
             "key": pa.array(nodes, pa.int64()),
             "component": t.column("component"),
-            "partL": pa.array((nodes % N_PARTS).astype(np.int64)),
+            "partL": pa.array((nodes % n_parts).astype(np.int64)),
         })
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
@@ -1226,6 +1249,7 @@ def dedup_semantic(sf_dir: str, threshold: float = SEM_THRESHOLD,
 
     cent = _train_centroids(_train_sample(sf_dir), k=k)
     cent_ref = ray.put(cent)
+    np_ = _adaptive_nparts(sf_dir, table="embeddings")
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1237,7 +1261,7 @@ def dedup_semantic(sf_dir: str, threshold: float = SEM_THRESHOLD,
         cl = np.argmax(bm @ c.T, axis=1).astype(np.int64)  # first max == lowest j
         return pa.table({
             "cluster": pa.array(cl),
-            "part": pa.array(cl % N_PARTS),
+            "part": pa.array(cl % np_),
             "vec_id": pa.array(ids, pa.int64()),
             "vec": pa.array([v.tobytes() for v in bm], pa.binary()),
         })
