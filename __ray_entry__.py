@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": dedup.dedup_semantic,  # SemDeDup: k-means + cosine
         "domain_mix": curation.domain_mix,  # uniform-mixture rebalancing
         "shuffle_shards": curation.shuffle_shards,  # trainer shard layout
+        "dup_spans": decontam.dup_spans,  # exact duplicated-substring profile
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": dedup.dedup_semantic_sql(),
         "domain_mix": curation.DOMAIN_MIX_SQL,
         "shuffle_shards": curation.SHUFFLE_SHARDS_SQL,
+        "dup_spans": decontam.dup_spans_sql(),
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "curation_e2e": curation.curation_e2e_sql(),
         "training_batches": curation.training_batches_sql(),

@@ -295,6 +295,7 @@ def run_suite() -> dict:
         "dedup_semantic": ("nativeextractor_ray.pipelines.dedup", "dedup_semantic"),
         "domain_mix": ("nativeextractor_ray.pipelines.curation", "domain_mix"),
         "shuffle_shards": ("nativeextractor_ray.pipelines.curation", "shuffle_shards"),
+        "dup_spans": ("nativeextractor_ray.pipelines.decontam", "dup_spans"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -693,9 +693,12 @@ def domain_mix(sf_dir: str, domain_col: str = "lang"):
         return pa.table({domain_col: vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow") \
-             .groupby(domain_col).sum("n").take_all()  # one row per domain
-    counts = {r[domain_col]: int(r["sum(n)"]) for r in rows}
+    # per-batch partials are already tiny (#domains rows each); fold them
+    # on the driver instead of paying a sort shuffle for a toy aggregate —
+    # at 10^6 blocks × a handful of domains this is a few MB of rows
+    counts: dict[str, int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        counts[r[domain_col]] = counts.get(r[domain_col], 0) + int(r["n"])
     nmin = min(counts.values())
     thr = {s: (nmin * MIX_MOD) // n for s, n in counts.items()}
     thr_ref = ray.put(thr)

@@ -304,3 +304,118 @@ per AS (
   FROM tri JOIN df USING (g) GROUP BY tri.doc_id
 )
 SELECT doc_id, n_grams, n_boiler FROM per"""
+
+
+# ---------------------------------------------------------------- dup spans
+
+
+DUPSPAN_N = 4
+
+
+def dup_spans(sf_dir: str, n: int = DUPSPAN_N):
+    """Exact duplicated-substring profile (the per-doc signal behind
+    exact-substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): for every doc with at least one
+    word-``n``-gram position, report
+
+    - ``n_pos``   — number of n-gram positions (``len(tokens) - n + 1``),
+    - ``n_dup``   — positions whose gram occurs in >1 DISTINCT doc,
+    - ``max_run`` — the longest consecutive run of duplicated positions
+      (a run of R grams == an R+n-1-token span shared verbatim with some
+      other doc — the thing substring dedup cuts).
+
+    Distinct from :func:`boilerplate_ngrams` (corpus-level df>=K profile
+    over DISTINCT grams): this is positional — it finds contiguous SPANS,
+    not bag-of-gram overlap.
+
+    Scale shape: (gram, doc_id, pos) rows carry everything; shuffle 1
+    groups by ``hash(gram) % P`` to count distinct docs per gram and mark
+    each position, shuffle 2 groups by ``doc_id % P`` for the vectorized
+    per-doc run-length scan.  Counts ride on rows — no join, no
+    broadcast, nothing driver-resident.  Gram identity is the shared h64
+    hash (injective on test vocabularies; same contract as
+    ``ngram_jaccard``/``decontaminate``)."""
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+
+    n_parts = adaptive_parts(sf_dir)
+
+    def grams(t: pa.Table) -> pa.Table:
+        g_out, d_out, p_out = [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = [w for w in txt.split(" ") if w]
+            if len(toks) < n:
+                continue
+            for i in range(len(toks) - n + 1):
+                g_out.append(h64(" ".join(toks[i:i + n])) & 0x7FFFFFFFFFFFFFFF)
+                d_out.append(d)
+                p_out.append(i + 1)  # 1-based, matches the SQL UNNEST
+        g_arr = np.array(g_out, dtype=np.int64)
+        return pa.table({"g": pa.array(g_arr),
+                         "part": pa.array(g_arr % n_parts),
+                         "doc_id": pa.array(d_out, pa.int64()),
+                         "pos": pa.array(p_out, pa.int64())})
+
+    def mark(grp: pd.DataFrame) -> pd.DataFrame:
+        nd = grp.groupby("g", sort=False)["doc_id"].nunique()
+        dup = grp["g"].map(nd).to_numpy() > 1
+        d = grp["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_id": d, "pos": grp["pos"].to_numpy(),
+                             "dup": dup,
+                             "part2": (d % n_parts).astype("int64")})
+
+    def runs(grp: pd.DataFrame) -> pd.DataFrame:
+        d_out, np_out, ndup_out, mr_out = [], [], [], []
+        for d, rows in grp.groupby("doc_id", sort=False):
+            order = np.argsort(rows["pos"].to_numpy())
+            dup = rows["dup"].to_numpy()[order]
+            d_out.append(d)
+            np_out.append(len(dup))
+            ndup_out.append(int(dup.sum()))
+            if dup.any():
+                # run lengths: split the 0/1 mask at its edges
+                edges = np.flatnonzero(np.diff(np.r_[0, dup.view(np.int8), 0]))
+                mr_out.append(int((edges[1::2] - edges[::2]).max()))
+            else:
+                mr_out.append(0)
+        return pd.DataFrame({"doc_id": pd.array(d_out, dtype="int64"),
+                             "n_pos": pd.array(np_out, dtype="int64"),
+                             "n_dup": pd.array(ndup_out, dtype="int64"),
+                             "max_run": pd.array(mr_out, dtype="int64")})
+
+    g = _docs(sf_dir).map_batches(grams, batch_format="pyarrow")
+    marked = g.groupby("part").map_groups(mark, batch_format="pandas")
+    return marked.groupby("part2").map_groups(runs, batch_format="pandas")
+
+
+def dup_spans_sql(n: int = DUPSPAN_N) -> str:
+    """Quadratic string-gram DuckDB replay of :func:`dup_spans` —
+    gaps-and-islands for the longest duplicated run."""
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+  WHERE len(w) >= {n}
+),
+df AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
+m AS (SELECT pos.doc_id, pos.pos, (df.df > 1) AS dup FROM pos JOIN df USING (g)),
+runs AS (
+  SELECT doc_id, dup,
+         pos - row_number() OVER (PARTITION BY doc_id, dup ORDER BY pos) AS grp
+  FROM m
+),
+mx AS (
+  SELECT doc_id, max(c) AS max_run
+  FROM (SELECT doc_id, grp, count(*) AS c FROM runs WHERE dup
+        GROUP BY doc_id, grp)
+  GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN m.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(coalesce(min(mx.max_run), 0) AS BIGINT) AS max_run
+FROM m LEFT JOIN mx USING (doc_id)
+GROUP BY m.doc_id"""
