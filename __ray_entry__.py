@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": curation.domain_mix,  # uniform-mixture rebalancing
         "shuffle_shards": curation.shuffle_shards,  # trainer shard layout
         "dup_spans": decontam.dup_spans,  # exact duplicated-substring profile
+        "normalize_text": curation.normalize_text,  # NFC/ws/case/digit canon
     }
     q["mentions_spans"] = lambda sf: extract.mentions_dataset(sf)
     # Occurrence schema (byte pos/len + codepoint upos/ulen + prob)
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": curation.DOMAIN_MIX_SQL,
         "shuffle_shards": curation.SHUFFLE_SHARDS_SQL,
         "dup_spans": decontam.dup_spans_sql(),
+        "normalize_text": curation.NORMALIZE_TEXT_SQL,
         "pack_sequences": curation.PACK_SEQUENCES_SQL,
         "curation_e2e": curation.curation_e2e_sql(),
         "training_batches": curation.training_batches_sql(),

@@ -296,6 +296,7 @@ def run_suite() -> dict:
         "domain_mix": ("nativeextractor_ray.pipelines.curation", "domain_mix"),
         "shuffle_shards": ("nativeextractor_ray.pipelines.curation", "shuffle_shards"),
         "dup_spans": ("nativeextractor_ray.pipelines.decontam", "dup_spans"),
+        "normalize_text": ("nativeextractor_ray.pipelines.curation", "normalize_text"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -786,3 +786,56 @@ SHUFFLE_SHARDS_SQL = f"""SELECT doc_id,
          ORDER BY (doc_id * {_SHARD_MULT}) % {_SHARD_MOD}, doc_id
        ) - 1 AS BIGINT) AS pos
 FROM documents"""
+
+
+# ---------------------------------------------------------------- normalize
+
+
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def normalize_text(sf_dir: str):
+    """Text canonicalization over the transcript turns — the first stage
+    of every curation recipe: Unicode NFC normalize → strip C0 control
+    chars (keeping \\t \\n \\r) → collapse whitespace runs to single
+    spaces → trim → lowercase → fold digits to ``0`` (the sentencepiece
+    digit-normalization convention, so numerals share one vocab shape).
+    Output ``(conv_id, turn_idx, text_norm, changed)``.
+
+    Pure streaming ``map_batches`` of Arrow/RE2 kernels (utf8_normalize,
+    replace_substring_regex, utf8_trim_whitespace, utf8_lower) — zero
+    per-row Python, no shuffle, trivially resumable.  Both engines run
+    RE2, so the ``\\s`` class and the char ranges agree exactly;
+    DuckDB's ``nfc_normalize``/``lower`` replay the Arrow kernels."""
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(sf_dir)
+
+    def norm(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        out = pc.utf8_normalize(txt, form="NFC")
+        out = pc.replace_substring_regex(out, pattern=_CTRL_RE, replacement="")
+        out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+        out = pc.utf8_trim_whitespace(out)
+        out = pc.utf8_lower(out)
+        out = pc.replace_substring_regex(out, pattern=r"[0-9]", replacement="0")
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "text_norm": out,
+            "changed": pc.not_equal(out, txt),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+NORMALIZE_TEXT_SQL = rf"""WITH tr AS ({{transcripts}}),
+n AS (
+  SELECT conv_id, turn_idx, text,
+         regexp_replace(lower(trim(regexp_replace(regexp_replace(
+           nfc_normalize(text), '{_CTRL_RE}', '', 'g'), '\s+', ' ', 'g'))),
+           '[0-9]', '0', 'g') AS t
+  FROM tr
+)
+SELECT conv_id, turn_idx, t AS text_norm, t <> text AS changed FROM n""".format(
+    transcripts=TRANSCRIPTS_SQL)
