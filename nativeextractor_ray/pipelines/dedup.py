@@ -34,6 +34,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from nativeextractor_ray.functions.hashing import (
     GOLDEN,
@@ -163,10 +164,17 @@ def _shingle_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
 class MinHasher:
     """Compile-once state (permutation table, token-hash cache) — actor."""
 
-    def __init__(self, shingle_n: int = 3, n_parts: int = N_PARTS):
+    def __init__(self, shingle_n: int = 3, n_parts: int = N_PARTS,
+                 with_sig: bool = True):
         self.perms = minhash_perms(MINHASH_K)
         self.n = shingle_n
         self.n_parts = n_parts
+        #: ship the full 512 B signature per (doc, band) row only when the
+        #: caller needs the estimator (``minhash_pairs``); the exact-verify
+        #: pipeline (``dedup_minhash_pairs``) sets False and the candidate
+        #: shuffle shrinks ~20x (24 B rows) — measured 410 MB -> 20 MB at a
+        #: replica-heavy sf1
+        self.with_sig = with_sig
         self.tokens = _TokenHashCache()
         # per-band mixing constants fold the band index into the bucket key
         rng = np.random.default_rng(1234)
@@ -187,26 +195,31 @@ class MinHasher:
             for r in range(ROWS_PER_BAND):
                 acc = (acc ^ banded[:, :, r]) * GOLDEN
         bucket = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        sig_bytes = [s.tobytes() for s in sigs]
-        return pa.table({
+        cols = {
             "bucket": pa.array(bucket.ravel()),
             "part": pa.array((bucket.ravel() % self.n_parts).astype(np.int64)),
             "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
-            "sig": pa.array([sig_bytes[i] for i in np.repeat(np.arange(n_docs), BANDS)],
-                            pa.binary()),
-        })
+        }
+        if self.with_sig:
+            sig_bytes = [s.tobytes() for s in sigs]
+            cols["sig"] = pa.array(
+                [sig_bytes[i] for i in np.repeat(np.arange(n_docs), BANDS)],
+                pa.binary())
+        return pa.table(cols)
 
 
-_MINHASHERS: "dict[int, MinHasher]" = {}
+_MINHASHERS: "dict[tuple[int, bool], MinHasher]" = {}
 
 
-def _minhash_batch(t: pa.Table, n_parts: int = N_PARTS) -> pa.Table:
+def _minhash_batch(t: pa.Table, n_parts: int = N_PARTS,
+                   with_sig: bool = True) -> pa.Table:
     """Task-mode MinHasher: state is cheap to build (perm table + empty
     token cache) and cached per worker PROCESS, so the map fuses with the
     upstream read instead of paying actor-pool spin-up per query."""
-    mh = _MINHASHERS.get(n_parts)
+    key = (n_parts, with_sig)
+    mh = _MINHASHERS.get(key)
     if mh is None:
-        mh = _MINHASHERS[n_parts] = MinHasher(n_parts=n_parts)
+        mh = _MINHASHERS[key] = MinHasher(n_parts=n_parts, with_sig=with_sig)
     return mh(t)
 
 
@@ -267,6 +280,15 @@ def _minhash_partition_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
         ib_parts.append((starts[sel][:, None] + tj[None, :]).ravel())
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
+    if "sig" not in g.columns:
+        # exact-verify path (dedup_minhash_pairs): every in-bucket pair IS
+        # a candidate — no estimator, no signature bytes in the shuffle.
+        # est_jaccard=1.0 keeps the downstream _pair_dedup schema stable.
+        return pd.DataFrame({
+            "doc_a": pd.array(ids_k[ia], dtype="int64"),
+            "doc_b": pd.array(ids_k[ib], dtype="int64"),
+            "est_jaccard": pd.array(np.ones(len(ia)), dtype="float64"),
+        })
     # one contiguous signature matrix for the kept rows (bytes join is a
     # single C-level copy; no per-row frombuffer)
     sig_col = g["sig"].to_numpy()
@@ -325,11 +347,14 @@ def _pair_dedup(pairs, value_col: str, how: str, n_parts: int = N_PARTS):
     return pairs.groupby("part2").map_groups(combine, batch_format="pandas")
 
 
-def _minhash_candidates(ds, threshold: float, n_parts: int = N_PARTS):
+def _minhash_candidates(ds, threshold: float, n_parts: int = N_PARTS,
+                        with_sig: bool = True):
     """Raw in-bucket pair candidates (may repeat across bands — callers
     dedup, either via :func:`_pair_dedup` or inside their own verify
-    partition)."""
-    buckets = ds.map_batches(lambda t: _minhash_batch(t, n_parts),
+    partition).  ``with_sig=False`` drops the signature estimator: every
+    in-bucket pair is a candidate (``threshold`` unused), and the shuffle
+    carries 24 B rows instead of 536 B."""
+    buckets = ds.map_batches(lambda t: _minhash_batch(t, n_parts, with_sig),
                              batch_format="pyarrow")
     return buckets.groupby("part").map_groups(
         lambda g: _minhash_partition_pairs(g, threshold), batch_format="pandas"
@@ -383,8 +408,11 @@ def _bloom_from_pairs(pairs_ds, n_pairs: int):
 def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
     """LSH candidates + EXACT verification (the standard production shape):
 
-    1. MinHash/LSH proposes candidate pairs with a LOOSE estimator gate
-       (``threshold - 0.15``) so estimator variance can't drop a true pair;
+    1. MinHash/LSH banding proposes EVERY in-bucket pair as a candidate
+       (no estimator gate at all — the full signatures would otherwise
+       dominate the candidate shuffle at 536 B/row, and any estimator
+       pre-filter can only LOSE true pairs; recall is therefore pure LSH
+       bucketing, the documented P(miss));
     2. each candidate is verified with its exact word-``shingle_n``-gram
        Jaccard and kept iff ``jaccard >= threshold``.
 
@@ -393,10 +421,13 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     so "pairs scale with the near-dup population" is NOT a small-side
     argument at 100 TB):
 
-    - pairs ≤ ``PAIR_DRIVER_BOUND``: exact driver dedup + a sorted-int64
-      id-array broadcast (8 B/id, vectorized probe);
-      pairs > bound: the coarse-partitioned :func:`_pair_dedup` shuffle
-      dedups them distributed, and the id semijoin filter becomes a
+    - candidate pairs are ALWAYS deduped by the coarse-partitioned
+      :func:`_pair_dedup` shuffle (parallel — on replica-heavy corpora the
+      RAW candidate rows run ~bands × the unique-pair count, and a driver
+      pandas dedup over them was the serial leg that capped 4→16 scaling
+      at ~0.43 measured at sf1); only the ID-FILTER choice is size-gated
+      on the DEDUPED pairs: ≤ ``PAIR_DRIVER_BOUND`` → exact sorted-int64
+      id-array broadcast (8 B/id, vectorized probe), above → a
       constant-memory Bloom filter folded block-by-block
       (:func:`_bloom_from_pairs`).
     - shingles ≤ ``SHINGLE_BROADCAST_BOUND``: one ``ray.put`` + shuffle-free
@@ -407,7 +438,8 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     ``ngram_jaccard_sql(shingle_n, threshold)`` recomputes the same pairs
     quadratically in DuckDB; they agree whenever LSH recall at
     ``threshold`` is 1 on the data (16 bands × 4 rows: P(miss) at J=0.8
-    is ~3e-8; verified empirically at every sf).  Both gate paths are
+    is ~3e-8 — and with the estimator gate gone this is the ONLY
+    approximation left; verified empirically at every sf).  Both gate paths are
     asserted bit-identical in ``tests/test_trainingdata.py`` by forcing
     the bounds to 0."""
     import ray
@@ -416,7 +448,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     np_ = _adaptive_nparts(sf_dir)
     # raw candidates (band-level duplicates kept; deduped below).
     cand = _minhash_candidates(
-        _docs(sf_dir), max(0.0, threshold - 0.15), np_).materialize()
+        _docs(sf_dir), threshold, np_, with_sig=False).materialize()
 
     if (cand.size_bytes() or 0) <= PAIR_DRIVER_BOUND:
         # Small side: pull pair blocks, dedup exactly on the driver, and
@@ -489,27 +521,54 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     # verify pairs shuffle-free; otherwise fall through to the two
     # coarse-partitioned attach shuffles below.
     if (shingles.size_bytes() or 0) <= SHINGLE_BROADCAST_BOUND:
-        sh_map: dict[int, bytes] = {}
-        for t in [ray.get(r) for r in shingles.to_arrow_refs()]:
+        # flat columnar map, not a dict: (sorted ids, offsets, one buffer)
+        # builds with numpy concatenates (the dict build was a serial
+        # driver leg measured in seconds at sf1) and broadcasts compactly
+        id_arrs, len_arrs, buf_parts = [], [], []
+        for r in shingles.to_arrow_refs():
+            t = ray.get(r)
             if t.num_rows:
-                sh_map.update(zip(t.column("doc_id").to_pylist(),
-                                  t.column("sh").to_pylist()))
-        shref = ray.put(sh_map)
+                sh = t.column("sh")
+                id_arrs.append(t.column("doc_id").to_numpy())
+                len_arrs.append(
+                    pc.binary_length(sh).to_numpy().astype(np.int64) // 8)
+                buf_parts.append(b"".join(sh.to_pylist()))
+            del t
+        sh_ids = np.concatenate(id_arrs) if id_arrs else np.array([], np.int64)
+        lens = (np.concatenate(len_arrs) if len_arrs
+                else np.array([], np.int64)).astype(np.int64)
+        flat = np.frombuffer(b"".join(buf_parts), dtype=np.uint64)
+        order = np.argsort(sh_ids, kind="stable")
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        # reorder the ragged rows to id order
+        flat = np.concatenate(
+            [flat[starts[i]:starts[i + 1]] for i in order]
+        ) if len(order) else flat
+        sh_ids, lens = sh_ids[order], lens[order]
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        shref = ray.put((sh_ids, offs, flat))
 
         def bverify(t: pa.Table) -> pa.Table:
-            m = ray.get(shref)
+            ids_s, offs_, flat_ = ray.get(shref)
+            a = t.column("doc_a").to_numpy()
+            b = t.column("doc_b").to_numpy()
+            if not ids_s.size or not len(a):
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "jaccard": pa.array([], pa.float64())})
+            # vectorized id -> row lookup for the whole batch at once
+            pa_ = np.searchsorted(ids_s, a).clip(0, ids_s.size - 1)
+            pb_ = np.searchsorted(ids_s, b).clip(0, ids_s.size - 1)
+            ok = (ids_s[pa_] == a) & (ids_s[pb_] == b)
             a_out, b_out, j_out = [], [], []
-            for a, b in zip(t.column("doc_a").to_pylist(),
-                            t.column("doc_b").to_pylist()):
-                sh_a, sh_b = m.get(int(a)), m.get(int(b))
-                if sh_a is None or sh_b is None:
-                    continue
-                sa = np.frombuffer(sh_a, dtype=np.uint64)
-                sb = np.frombuffer(sh_b, dtype=np.uint64)
+            for i in np.nonzero(ok)[0]:
+                ia, ib = pa_[i], pb_[i]
+                sa = flat_[offs_[ia]:offs_[ia + 1]]
+                sb = flat_[offs_[ib]:offs_[ib + 1]]
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 j = inter / (sa.size + sb.size - inter)
                 if j >= threshold:
-                    a_out.append(int(a)); b_out.append(int(b))
+                    a_out.append(int(a[i])); b_out.append(int(b[i]))
                     j_out.append(round(j, 6))
             return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                              "doc_b": pa.array(b_out, pa.int64()),
