@@ -31,6 +31,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from nativeextractor_ray.pipelines import (
+        bpe,
+        classify,
         curation,
         decontam,
         dedup,
@@ -53,6 +55,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the mentions_* family — in-repo oracle-parity green, but no driver
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
+        # round-3 late additions — never driver-checked, so first of all:
+        "quality_classifier": classify.quality_classifier,  # logistic filter
+        "dedup_incremental": dedup.dedup_incremental,  # new crawl vs corpus
+        "bpe_train": bpe.bpe_train,  # distributed histogram + merge table
+        "cdc_chunks": decontam.cdc_chunks,  # content-defined chunk dups
         "pack_sequences": curation.pack_sequences,  # distributed prefix sum
         "curation_e2e": curation.curation_e2e,  # gate -> dedup -> redact -> pack
         "training_batches": curation.training_batches,  # + vocab + ids (capstone)
@@ -134,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import (
+        bpe,
+        classify,
         curation,
         decontam,
         dedup,
@@ -149,6 +158,12 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
+        "quality_classifier": classify.quality_classifier_sql(),
+        "dedup_incremental": dedup.dedup_incremental_sql(),
+        # iterative fixpoint — expected merge table from an independent
+        # scalar reference as VALUES literals (mentions_spans pattern)
+        "bpe_train": bpe.bpe_train_sql(),
+        "cdc_chunks": decontam.cdc_chunks_sql(),
         "transcripts": o.TRANSCRIPTS_ONLY_SQL,
         "mention_counts": o.MENTION_COUNTS_SQL,
         "triples": o.TRIPLES_SQL,

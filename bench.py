@@ -297,6 +297,10 @@ def run_suite() -> dict:
         "shuffle_shards": ("nativeextractor_ray.pipelines.curation", "shuffle_shards"),
         "dup_spans": ("nativeextractor_ray.pipelines.decontam", "dup_spans"),
         "normalize_text": ("nativeextractor_ray.pipelines.curation", "normalize_text"),
+        "quality_classifier": ("nativeextractor_ray.pipelines.classify", "quality_classifier"),
+        "dedup_incremental": ("nativeextractor_ray.pipelines.dedup", "dedup_incremental"),
+        "bpe_train": ("nativeextractor_ray.pipelines.bpe", "bpe_train"),
+        "cdc_chunks": ("nativeextractor_ray.pipelines.decontam", "cdc_chunks"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -1,0 +1,192 @@
+"""Distributed BPE merge-table training over ``documents`` — the
+tokenizer-training stage of an LLM data pipeline (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"; the
+algorithm HuggingFace ``tokenizers`` / SentencePiece-BPE run).
+
+Algorithm
+---------
+1. WORD HISTOGRAM (the corpus-scale part): whitespace words count
+   distributed — per-batch Arrow ``group_by`` partials, one coarse
+   ``hash(term) % P`` shuffle, per-partition local top-``max_words``
+   (global top-W ⊆ union of per-partition top-W under term-hash
+   partitioning — the ``tokenize_ids`` vocab shape), tiny driver merge.
+   Real BPE trainers bound the histogram exactly like this (a frequency
+   floor / pre-tokenized vocab cap): at 100 TB the histogram shuffle is
+   the only data motion; the merge loop below is vocabulary-bounded.
+2. MERGE LOOP (vocabulary-bounded, driver): ``k`` iterations of the
+   classic algorithm — count adjacent symbol pairs weighted by word
+   frequency (every occurrence counts, e.g. ``aaa`` has (a,a) twice),
+   merge the (count desc, pair lexicographic asc) best pair greedily
+   left-to-right, repeat.  Words start as plain character sequences (no
+   end-of-word marker — documented choice, replayed by the oracle).
+
+Output: one row per learned merge —
+``(rank, left, right, merged, pair_count)``.
+
+Oracle: the merge table is NOT SQL-expressible (iterative, data-dependent
+fixpoint), so ``bpe_train_sql`` embeds the expected table as VALUES
+literals computed at SQL-construction time by an INDEPENDENT scalar
+reference (``Counter`` over ``str.split``, pure-Python pair walk) over
+``$GRAFT_ORACLE_SF_DIR`` — the deterministic-replay pattern of the
+IVF-centroid / mentions-spans oracles (similarity.py / oracles.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BPE_MERGES = 24
+BPE_MAX_WORDS = 512
+_PARTS = 64
+
+
+def _docs(sf_dir: str):
+    from nativeextractor_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"])
+
+
+def _word_histogram(ds, max_words: int) -> list[tuple[str, int]]:
+    """Bounded top-``max_words`` word histogram, (count desc, word asc)."""
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by("term").aggregate([("term", "count")])
+        out = pa.table({"term": g.column("term"),
+                        "cnt": pc.cast(g.column("term_count"), pa.int64())})
+        return out.append_column("part", stable_part(out, ["term"], _PARTS))
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("term", sort=False)["cnt"].sum().reset_index()
+        agg = agg.sort_values(["cnt", "term"], ascending=[False, True],
+                              kind="stable")
+        return agg.head(max_words)
+
+    cand = (ds.map_batches(counts, batch_format="pyarrow")
+            .groupby("part").map_groups(local_top, batch_format="pandas")
+            .take_all())
+    cand.sort(key=lambda r: (-r["cnt"], r["term"]))
+    return [(r["term"], int(r["cnt"])) for r in cand[:max_words]]
+
+
+def _merge_loop(hist: list[tuple[str, int]], k: int) -> list[tuple]:
+    """k BPE merges over a word histogram.  Returns
+    [(rank, left, right, merged, pair_count), ...]."""
+    words: list[tuple[list[str], int]] = [(list(w), c) for w, c in hist if w]
+    merges = []
+    for rank in range(k):
+        pair_cnt: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_cnt[p] = pair_cnt.get(p, 0) + c
+        if not pair_cnt:
+            break
+        best = min(pair_cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        merged = left + right
+        nxt = []
+        for syms, c in words:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, c))
+        words = nxt
+        merges.append((rank, left, right, merged, cnt))
+    return merges
+
+
+def _merges_table(merges: list[tuple]) -> pa.Table:
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "pair_count": pa.array([m[4] for m in merges], pa.int64()),
+    })
+
+
+def bpe_train(sf_dir: str, k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS):
+    hist = _word_histogram(_docs(sf_dir), max_words)
+    return _merges_table(_merge_loop(hist, k))
+
+
+# ------------------------------------------------------------------ oracle
+
+
+def _bpe_reference(sf_dir: str, k: int, max_words: int) -> list[tuple]:
+    """Independent scalar reference: plain dict counting over ``str.split``
+    (no Arrow, no Dataset, no shared histogram code path)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    cnt: Counter = Counter()
+    for txt in pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["text"]).column("text").to_pylist():
+        for w in txt.split(" "):
+            if w:
+                cnt[w] += 1
+    hist = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+
+    words = {i: (tuple(w), c) for i, (w, c) in enumerate(hist)}
+    merges = []
+    for rank in range(k):
+        pc_: Counter = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += c
+        if not pc_:
+            break
+        (left, right), n = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merged = left + right
+        for i, (syms, c) in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(merged); j += 2
+                else:
+                    out.append(syms[j]); j += 1
+            words[i] = (tuple(out), c)
+        merges.append((rank, left, right, merged, n))
+    return merges
+
+
+def bpe_train_sql(k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS,
+                  sf_dir: str | None = None) -> str:
+    import os
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    merges = _bpe_reference(sf_dir, k, max_words)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    if not merges:
+        return """SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS left_sym,
+       CAST(NULL AS VARCHAR) AS right_sym, CAST(NULL AS VARCHAR) AS merged,
+       CAST(NULL AS BIGINT) AS pair_count WHERE FALSE"""
+    values = ",\n  ".join(
+        f"({r}, {q(l)}, {q(rt)}, {q(m)}, {c})" for r, l, rt, m, c in merges
+    )
+    return f"""SELECT CAST(rank AS BIGINT) AS rank, "left", "right", merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES
+  {values}
+) AS m(rank, "left", "right", merged, pair_count)"""

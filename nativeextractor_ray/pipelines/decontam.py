@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from nativeextractor_ray.functions.hashing import h64, word_shingles
 
@@ -419,3 +420,122 @@ SELECT m.doc_id,
        CAST(coalesce(min(mx.max_run), 0) AS BIGINT) AS max_run
 FROM m LEFT JOIN mx USING (doc_id)
 GROUP BY m.doc_id"""
+
+
+# ------------------------------------------------------- CDC chunk profile
+
+#: content-defined-chunking divisor: boundary where the 4-char window
+#: value % CDC_D == 0 → expected chunk length ≈ CDC_D chars
+CDC_D = 13
+_CDC_PARTS = 64
+
+
+def _cdc_boundaries(cps: np.ndarray, d: int) -> np.ndarray:
+    """1-based end positions of content-defined chunks for one document
+    given its codepoint array: position i (i ≥ 4) is a boundary iff the
+    4-codepoint window value ``c[i-3]·2²⁴ + c[i-2]·2¹⁶ + c[i-1]·2⁸ + c[i]``
+    divides by ``d``; the document end is always a boundary."""
+    n = len(cps)
+    if n < 4:
+        return np.array([n], dtype=np.int64)
+    c = cps.astype(np.uint64)
+    v = (c[:-3] << np.uint64(24)) + (c[1:-2] << np.uint64(16)) \
+        + (c[2:-1] << np.uint64(8)) + c[3:]
+    b = np.nonzero(v % np.uint64(d) == 0)[0] + 4
+    if not len(b) or b[-1] != n:
+        b = np.append(b, n)
+    return b.astype(np.int64)
+
+
+def cdc_chunks(sf_dir: str, d: int = CDC_D):
+    """Content-defined-chunking duplicate profile — the storage-dedup /
+    near-superset detector of large corpus pipelines (LBFS/Gear-style CDC:
+    a STATELESS boundary predicate over a sliding window, so identical
+    passages chunk identically regardless of their byte offset — unlike
+    fixed-width shingles, an insertion upstream doesn't shift every
+    downstream chunk).  Emits every chunk appearing in ≥2 distinct
+    documents: ``(chunk_md5, chunk_len, n_docs, n_occ)``.
+
+    Scale shape: chunking is a pure streaming ``map_batches`` (numpy
+    sliding-window boundary test per row); each batch pre-groups its
+    chunks so the ONE coarse ``hash(key) % P`` shuffle carries
+    (32-byte key, len, doc_id, occ) partials — never text; per-partition
+    pandas groupby finishes (distinct-doc count, occurrence sum).  The
+    boundary predicate is arithmetic on codepoints so the DuckDB oracle
+    replays it exactly (``ascii(substr(...))``)."""
+    import hashlib
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keys, lens, docs = [], [], []
+        for did, txt in zip(ids, t.column("text").to_pylist()):
+            cps = np.frombuffer(txt.encode("utf-32-le"), dtype="<u4")
+            prev = 0
+            for b in _cdc_boundaries(cps, d):
+                chunk = txt[prev:b]
+                keys.append(hashlib.md5(chunk.encode()).hexdigest())
+                lens.append(b - prev)
+                docs.append(did)
+                prev = b
+        part = pa.table({
+            "key": pa.array(keys, pa.string()),
+            "chunk_len": pa.array(np.array(lens, np.int64)),
+            "doc_id": pa.array(np.array(docs, np.int64)),
+        })
+        # in-batch combine: one row per (key, doc) with its occurrence count
+        g = part.group_by(["key", "chunk_len", "doc_id"]).aggregate([([], "count_all")])
+        out = pa.table({"key": g.column("key"),
+                        "chunk_len": g.column("chunk_len"),
+                        "doc_id": g.column("doc_id"),
+                        "occ": pc.cast(g.column("count_all"), pa.int64())})
+        return out.append_column("part", stable_part(out, ["key"], _CDC_PARTS))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("key", sort=False).agg(
+            chunk_len=("chunk_len", "min"),
+            n_docs=("doc_id", "nunique"),
+            n_occ=("occ", "sum"),
+        ).reset_index()
+        agg = agg[agg["n_docs"] >= 2]
+        return pd.DataFrame({
+            "chunk_md5": agg["key"],
+            "chunk_len": agg["chunk_len"].astype(np.int64),
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "n_occ": agg["n_occ"].astype(np.int64),
+        })
+
+    return (_docs(sf_dir).map_batches(chunk_batch, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def cdc_chunks_sql(d: int = CDC_D) -> str:
+    return f"""WITH pos AS (
+  SELECT doc_id, text, i
+  FROM documents, UNNEST(generate_series(4, length(text))) t(i)
+  WHERE (ascii(substr(text, i-3, 1)) * 16777216
+       + ascii(substr(text, i-2, 1)) * 65536
+       + ascii(substr(text, i-1, 1)) * 256
+       + ascii(substr(text, i, 1))) % {d} = 0
+),
+bounds AS (
+  SELECT doc_id, text, i FROM pos
+  UNION
+  SELECT doc_id, text, length(text) FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         substr(text,
+                coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+                i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+         ) AS chunk
+  FROM bounds
+)
+SELECT md5(chunk) AS chunk_md5,
+       CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM chunks
+GROUP BY md5(chunk)
+HAVING count(DISTINCT doc_id) >= 2"""

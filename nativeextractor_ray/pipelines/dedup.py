@@ -1398,3 +1398,170 @@ drops AS (
 SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
        v.vec_id NOT IN (SELECT vec_id FROM drops) AS keep
 FROM assign v"""
+
+
+# ---------------------------------------------------------------- incremental
+
+#: broadcast gate for the existing-corpus key index; above it the semijoin
+#: runs as a coarse-partitioned distributed merge (tests force 0)
+INCR_BROADCAST_BOUND = 256 << 20
+#: deterministic snapshot split: doc_id % INCR_MOD == 0 is the "new crawl"
+INCR_MOD = 4
+
+
+def _md5_u64_pairs(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """md5(text) per row as two big-endian uint64 halves (full 128-bit
+    identity — no truncation-collision risk at 10^10 docs)."""
+    buf = b"".join(hashlib.md5(s.encode()).digest() for s in texts)
+    flat = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
+    return flat[:, 0].astype(np.uint64), flat[:, 1].astype(np.uint64)
+
+
+def dedup_incremental(sf_dir: str, mod: int = INCR_MOD):
+    """Incremental (cross-corpus) exact dedup — the "dedup the new crawl
+    snapshot against the existing corpus" stage of a continuously-updated
+    training set: documents with ``doc_id % mod == 0`` are the NEW
+    snapshot, the rest are the EXISTING corpus; each new doc is flagged
+    with how many existing docs carry byte-identical text.
+
+    Scale shape: the existing side never ships text — per-batch md5
+    partials (16-byte keys + a count) reduce via one coarse ``ka % P``
+    shuffle into a key→count index.  Below ``INCR_BROADCAST_BOUND`` the
+    index broadcasts once (``ray.put`` of a SORTED structured uint64×2
+    array + counts; probe = one vectorized ``searchsorted`` per batch —
+    the FlatDictionary economics, ``/root/reference/src/patricia.c``
+    mmap-once-share-everywhere).  Above the bound nothing lands on the
+    driver: new-doc keys and the index co-partition on ``ka % P`` and
+    merge per partition (the attach shape of the minhash verify leg).
+    Both paths are asserted identical in tests by forcing the bound to 0.
+    """
+    import ray
+
+    ds = _docs(sf_dir)
+    np_ = _adaptive_nparts(sf_dir)
+
+    def ex_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = np.nonzero(ids % mod != 0)[0]
+        texts = t.column("text").take(pa.array(sel)).to_pylist()
+        if not len(sel):
+            return pa.table({"ka": pa.array([], pa.uint64()),
+                             "kb": pa.array([], pa.uint64()),
+                             "c": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        ka, kb = _md5_u64_pairs(texts)
+        # in-batch combine before the shuffle
+        g = (pa.table({"ka": ka, "kb": kb}).group_by(["ka", "kb"])
+             .aggregate([([], "count_all")]))
+        out = pa.table({"ka": g.column("ka"), "kb": g.column("kb"),
+                        "c": pc.cast(g.column("count_all"), pa.int64())})
+        part = (out.column("ka").to_numpy() % np.uint64(np_)).astype(np.int64)
+        return out.append_column("part", pa.array(part))
+
+    def part_sum(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["ka", "kb"], sort=False)["c"].sum().reset_index()
+        return agg
+
+    index = (ds.map_batches(ex_partial, batch_format="pyarrow")
+             .groupby("part").map_groups(part_sum, batch_format="pandas")
+             .materialize())
+
+    def new_keys(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = np.nonzero(ids % mod == 0)[0]
+        texts = t.column("text").take(pa.array(sel)).to_pylist()
+        if not len(sel):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ka": pa.array([], pa.uint64()),
+                             "kb": pa.array([], pa.uint64())})
+        ka, kb = _md5_u64_pairs(texts)
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64()),
+                         "ka": pa.array(ka), "kb": pa.array(kb)})
+
+    new = ds.map_batches(new_keys, batch_format="pyarrow")
+    _KDT = np.dtype([("a", ">u8"), ("b", ">u8")])
+
+    if (index.size_bytes() or 0) <= INCR_BROADCAST_BOUND:
+        kas, kbs, cs = [], [], []
+        for r in index.to_arrow_refs():
+            t = ray.get(r)
+            if t.num_rows:
+                kas.append(t.column("ka").to_numpy())
+                kbs.append(t.column("kb").to_numpy())
+                cs.append(t.column("c").to_numpy())
+        if kas:
+            keys = np.empty(sum(len(x) for x in kas), dtype=_KDT)
+            keys["a"] = np.concatenate(kas)
+            keys["b"] = np.concatenate(kbs)
+            cnts = np.concatenate(cs).astype(np.int64)
+            order = np.argsort(keys)
+            keys, cnts = keys[order], cnts[order]
+        else:
+            keys, cnts = np.empty(0, dtype=_KDT), np.empty(0, np.int64)
+        iref = ray.put((keys, cnts))
+
+        def probe(t: pa.Table) -> pa.Table:
+            ks, cn = ray.get(iref)
+            q = np.empty(t.num_rows, dtype=_KDT)
+            q["a"] = t.column("ka").to_numpy()
+            q["b"] = t.column("kb").to_numpy()
+            if len(ks) and t.num_rows:
+                pos = np.clip(np.searchsorted(ks, q), 0, len(ks) - 1)
+                hit = ks[pos] == q
+                n_ex = np.where(hit, cn[pos], 0).astype(np.int64)
+            else:
+                n_ex = np.zeros(t.num_rows, np.int64)
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "dup": pa.array((n_ex > 0).astype(np.int64)),
+                             "n_existing": pa.array(n_ex)})
+
+        return new.map_batches(probe, batch_format="pyarrow")
+
+    # distributed semijoin: co-partition new keys and the index on ka % P
+    def tag_new(t: pa.Table) -> pa.Table:
+        ka = t.column("ka").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id"), "ka": t.column("ka"),
+            "kb": t.column("kb"),
+            "c": pa.nulls(t.num_rows, pa.int64()),
+            "part": pa.array((ka % np.uint64(np_)).astype(np.int64)),
+        })
+
+    def tag_index(t: pa.Table) -> pa.Table:
+        ka = t.column("ka").to_numpy()
+        return pa.table({
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "ka": t.column("ka"), "kb": t.column("kb"),
+            "c": pc.cast(t.column("c"), pa.int64()),
+            "part": pa.array((ka % np.uint64(np_)).astype(np.int64)),
+        })
+
+    both = new.map_batches(tag_new, batch_format="pyarrow").union(
+        index.map_batches(tag_index, batch_format="pyarrow"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        isnew = df["doc_id"].notna()
+        newp = df[isnew]
+        exp = df[~isnew]
+        m = newp.merge(exp[["ka", "kb", "c"]], on=["ka", "kb"], how="left",
+                       suffixes=("", "_ex"))
+        n_ex = m["c_ex"].fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype(np.int64),
+            "dup": (n_ex > 0).astype(np.int64),
+            "n_existing": n_ex,
+        })
+
+    return both.groupby("part").map_groups(attach, batch_format="pandas")
+
+
+def dedup_incremental_sql(mod: int = INCR_MOD) -> str:
+    return f"""WITH ex AS (
+  SELECT md5(text) AS k, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE doc_id % {mod} <> 0 GROUP BY md5(text)
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN ex.c IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup,
+       CAST(coalesce(ex.c, 0) AS BIGINT) AS n_existing
+FROM documents n LEFT JOIN ex ON md5(n.text) = ex.k
+WHERE n.doc_id % {mod} = 0"""
