@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-3 late additions — never driver-checked, so first of all:
+        "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
+        "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
+        "split_assign": curation.split_assign,  # hash train/val/test split
         "quality_classifier": classify.quality_classifier,  # logistic filter
         "dedup_incremental": dedup.dedup_incremental,  # new crawl vs corpus
         "bpe_train": bpe.bpe_train,  # distributed histogram + merge table
@@ -158,6 +161,10 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
+        "knn_graph": similarity.knn_graph_sql(),
+        # iterative merge apply — independent scalar reference as VALUES
+        "bpe_encode": bpe.bpe_encode_sql(),
+        "split_assign": curation.SPLIT_ASSIGN_SQL,
         "quality_classifier": classify.quality_classifier_sql(),
         "dedup_incremental": dedup.dedup_incremental_sql(),
         # iterative fixpoint — expected merge table from an independent

@@ -301,6 +301,9 @@ def run_suite() -> dict:
         "dedup_incremental": ("nativeextractor_ray.pipelines.dedup", "dedup_incremental"),
         "bpe_train": ("nativeextractor_ray.pipelines.bpe", "bpe_train"),
         "cdc_chunks": ("nativeextractor_ray.pipelines.decontam", "cdc_chunks"),
+        "knn_graph": ("nativeextractor_ray.pipelines.similarity", "knn_graph"),
+        "bpe_encode": ("nativeextractor_ray.pipelines.bpe", "bpe_encode"),
+        "split_assign": ("nativeextractor_ray.pipelines.curation", "split_assign"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -190,3 +190,154 @@ def bpe_train_sql(k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS,
 FROM (VALUES
   {values}
 ) AS m(rank, "left", "right", merged, pair_count)"""
+
+
+# ------------------------------------------------------------------ encode
+
+
+def _apply_merges(word: str, ranks: dict) -> list[str]:
+    """Classic BPE apply: repeatedly merge the LOWEST-rank adjacent pair
+    (all its occurrences, left-to-right) until no learned pair remains —
+    the inference-time counterpart of the training loop's greedy merge."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        left, right = best_pair
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _tok_checksum(tokens: list[str]) -> int:
+    """Order-independent 31-bit checksum of a token multiset (md5-derived
+    per token) — strong evidence the exact token sequence matched without
+    shipping the sequence itself."""
+    import hashlib
+
+    return sum(
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+        for t in tokens
+    ) % (1 << 31)
+
+
+#: per-process encoded-word memo (task-mode compile-once economics, the
+#: extract.py per-process cache shape): Zipfian corpora re-encode the same
+#: head words constantly, so the cache turns the per-word merge loop into
+#: a dict hit for ~all occurrences
+_ENC_CACHE: dict = {}
+
+
+def bpe_encode(sf_dir: str, k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS):
+    """Apply the learned BPE merge table to every document — the
+    tokenizer-apply stage that follows :func:`bpe_train`: per doc the
+    whitespace word sequence is BPE-segmented and summarized as
+    ``(doc_id, n_words, n_bpe_tokens, tok_checksum)``.
+
+    Scale shape: the merge table is vocabulary-bounded (k rows) and rides
+    into every task as a broadcast constant; encoding is a pure streaming
+    ``map_batches`` with a per-process word→tokens memo (``_ENC_CACHE``)
+    so the per-word merge loop runs once per DISTINCT word per worker —
+    no shuffle, no driver state, resumable by construction.
+
+    Oracle: like :func:`bpe_train`, the expected per-doc summary comes
+    from an independent scalar reference embedded as VALUES literals
+    (iterative merge apply is not SQL-expressible)."""
+    merges = _merge_loop(_word_histogram(_docs(sf_dir), max_words), k)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    rank_items = tuple(sorted((a, b, r) for (a, b), r in ranks.items()))
+
+    def encode_batch(t: pa.Table) -> pa.Table:
+        cache = _ENC_CACHE.setdefault(rank_items, {})
+        rk = {(a, b): r for a, b, r in rank_items}
+        n_words, n_toks, cks = [], [], []
+        for txt in t.column("text").to_pylist():
+            words = [w for w in txt.split(" ") if w]
+            total, ck = 0, 0
+            for w in words:
+                hit = cache.get(w)
+                if hit is None:
+                    toks = _apply_merges(w, rk)
+                    hit = (len(toks), _tok_checksum(toks))
+                    cache[w] = hit
+                total += hit[0]
+                ck += hit[1]
+            n_words.append(len(words))
+            n_toks.append(total)
+            cks.append(ck % (1 << 31))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_toks, pa.int64()),
+            "tok_checksum": pa.array(cks, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(encode_batch, batch_format="pyarrow")
+
+
+def _bpe_encode_reference(sf_dir: str, k: int, max_words: int) -> list[tuple]:
+    """Independent scalar reference for the per-doc encode summary."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    merges = _bpe_reference(sf_dir, k, max_words)
+    ranks = {(l, r): rank for rank, l, r, _m, _c in merges}
+
+    def enc(word: str) -> list[str]:
+        syms = list(word)
+        while True:
+            cand = [(ranks[(a, b)], i) for i, (a, b) in
+                    enumerate(zip(syms, syms[1:])) if (a, b) in ranks]
+            if not cand:
+                return syms
+            rbest = min(c[0] for c in cand)
+            l, r = next(p for p, rr in ranks.items() if rr == rbest)
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+
+    rows = []
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        words = [w for w in txt.split(" ") if w]
+        toks: list[str] = []
+        for w in words:
+            toks.extend(enc(w))
+        ck = sum(int.from_bytes(hashlib.md5(x.encode()).digest()[:4], "big")
+                 for x in toks) % (1 << 31)
+        rows.append((did, len(words), len(toks), ck))
+    return rows
+
+
+def bpe_encode_sql(k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS,
+                   sf_dir: str | None = None) -> str:
+    import os
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    rows = _bpe_encode_reference(sf_dir, k, max_words)
+    values = ",\n  ".join(f"({d}, {w}, {t}, {c})" for d, w, t, c in rows)
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CAST(tok_checksum AS BIGINT) AS tok_checksum
+FROM (VALUES
+  {values}
+) AS m(doc_id, n_words, n_bpe_tokens, tok_checksum)"""

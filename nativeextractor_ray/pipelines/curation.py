@@ -839,3 +839,49 @@ n AS (
 )
 SELECT conv_id, turn_idx, t AS text_norm, t <> text AS changed FROM n""".format(
     transcripts=TRANSCRIPTS_SQL)
+
+
+# -------------------------------------------------------------- splits
+
+#: deterministic split buckets out of SPLIT_MOD: [0, 80%) train,
+#: [80%, 90%) val, rest test — the standard hash-split so every run /
+#: retry / incremental append assigns the same doc to the same split
+SPLIT_MOD = 1000
+SPLIT_TRAIN = 800
+SPLIT_VAL = 900
+_SPLIT_MULT = 2246822519  # Fibonacci-style odd multiplier, distinct from
+#                           _SAMPLE_MULT so split and sample buckets are
+#                           independent hash streams
+
+
+def split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment over ``documents`` via a
+    multiplicative id hash (the :func:`sample_stratified` bucket shape):
+    ``(doc_id, bucket, split)``.  Pure streaming map — no shuffle, no RNG
+    state; a new crawl appended tomorrow lands in the same splits, which
+    is what makes hash splits the production default over
+    ``random_shuffle`` + slice."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        bucket = (ids * _SPLIT_MULT) % SPLIT_MOD
+        split = np.where(bucket < SPLIT_TRAIN, "train",
+                         np.where(bucket < SPLIT_VAL, "val", "test"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "split": pa.array(split.astype(object), pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SPLIT_ASSIGN_SQL = f"""SELECT doc_id,
+       (doc_id * {_SPLIT_MULT}) % {SPLIT_MOD} AS bucket,
+       CASE WHEN (doc_id * {_SPLIT_MULT}) % {SPLIT_MOD} < {SPLIT_TRAIN} THEN 'train'
+            WHEN (doc_id * {_SPLIT_MULT}) % {SPLIT_MOD} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
