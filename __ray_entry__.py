@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-3 late additions — never driver-checked, so first of all:
+        "sentence_split": curation.sentence_split,  # row-explosion flat_map
+        "value_outliers": events.value_outliers,  # per-type z-score gate
+        "anti_join_customers": relational.customers_without_orders,
+        "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
         "split_assign": curation.split_assign,  # hash train/val/test split
@@ -161,6 +165,10 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
+        "sentence_split": curation.SENTENCE_SPLIT_SQL,
+        "value_outliers": events.VALUE_OUTLIERS_SQL,
+        "anti_join_customers": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES
         "bpe_encode": bpe.bpe_encode_sql(),

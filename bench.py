@@ -304,6 +304,10 @@ def run_suite() -> dict:
         "knn_graph": ("nativeextractor_ray.pipelines.similarity", "knn_graph"),
         "bpe_encode": ("nativeextractor_ray.pipelines.bpe", "bpe_encode"),
         "split_assign": ("nativeextractor_ray.pipelines.curation", "split_assign"),
+        "sentence_split": ("nativeextractor_ray.pipelines.curation", "sentence_split"),
+        "value_outliers": ("nativeextractor_ray.pipelines.events", "value_outliers"),
+        "anti_join_customers": ("nativeextractor_ray.pipelines.relational", "customers_without_orders"),
+        "embedding_quantize": ("nativeextractor_ray.pipelines.similarity", "embedding_quantize"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

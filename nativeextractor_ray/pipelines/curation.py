@@ -885,3 +885,63 @@ SPLIT_ASSIGN_SQL = f"""SELECT doc_id,
             WHEN (doc_id * {_SPLIT_MULT}) % {SPLIT_MOD} < {SPLIT_VAL} THEN 'val'
             ELSE 'test' END AS split
 FROM documents"""
+
+
+# ------------------------------------------------------------ sentences
+
+#: sentence boundary = a run of terminal punctuation followed by
+#: whitespace; the delimiter run is consumed.  Both engines are RE2, so
+#: the Ray split and the DuckDB split see identical boundaries.
+SENT_SPLIT_RE = r"[.!?]+\s+"
+
+
+def sentence_split(sf_dir: str):
+    """Segment every transcript turn into sentences — the row-explosion
+    (flat_map) stage under per-sentence dedup / quality scoring / context
+    packing: ``(conv_id, turn_idx, sent_idx, sentence, n_chars)`` with
+    1-based ``sent_idx`` over the raw split (empty pieces dropped AFTER
+    numbering, matching ``generate_subscripts`` in the oracle).
+
+    Scale shape: a pure streaming ``map_batches`` whose output has more
+    rows than its input — Ray's block model absorbs the explosion by
+    splitting output blocks; nothing shuffles, nothing materializes, and
+    the C-level RE2 split + numpy offset math keep it zero-Python-loop."""
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(sf_dir)
+
+    def split(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(t.column("text"), SENT_SPLIT_RE)
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        off = np.asarray(lst.offsets)
+        off = off - off[0]
+        counts = np.diff(off)
+        r_idx = np.repeat(np.arange(len(lst)), counts)
+        ordinal = np.arange(int(off[-1])) - np.repeat(off[:-1], counts) + 1
+        sent = lst.flatten()
+        out = pa.table({
+            "conv_id": t.column("conv_id").take(pa.array(r_idx)),
+            "turn_idx": pc.cast(
+                t.column("turn_idx").take(pa.array(r_idx)), pa.int64()),
+            "sent_idx": pa.array(ordinal.astype(np.int64)),
+            "sentence": sent,
+            "n_chars": pc.cast(pc.utf8_length(sent), pa.int64()),
+        })
+        return out.filter(pc.not_equal(out.column("sentence"), ""))
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+SENTENCE_SPLIT_SQL = rf"""WITH tr AS ({TRANSCRIPTS_SQL}),
+s AS (
+  SELECT conv_id, turn_idx, string_split_regex(text, '{SENT_SPLIT_RE}') AS arr
+  FROM tr
+), u AS (
+  SELECT conv_id, turn_idx, generate_subscripts(arr, 1) AS sent_idx,
+         unnest(arr) AS sentence
+  FROM s
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+       CAST(length(sentence) AS BIGINT) AS n_chars
+FROM u WHERE sentence <> ''"""

@@ -484,3 +484,98 @@ def funnel_counts_sql(stages=FUNNEL_STAGES) -> str:
             f"SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, "
             f"CAST(n_users AS BIGINT) AS n_users\n"
             f"FROM (VALUES {rows}) v(stage_idx, stage, n_users)")
+
+
+# --------------------------------------------------------------- outliers
+
+Z_THRESH = 3.0
+ZROUND = 4
+
+
+def value_outliers(sf_dir: str, z: float = Z_THRESH):
+    """Per-event-type z-score outliers: events whose ``value`` sits ≥ ``z``
+    population standard deviations from its type's mean — the anomaly gate
+    a telemetry/curation pipeline runs before training on metric streams.
+
+    Float discipline (the module rule, hardened): moments are accumulated
+    as EXACT integers — per-batch partial (n, Σcents, Σcents²) rows per
+    type (int64; the cents² sum is re-combined in arbitrary-precision
+    Python so no corpus size can overflow it), one tiny rollup to the
+    driver (rows = types × blocks — vocabulary-bounded, a metrics rollup,
+    not data), and mean/std derive from those exact integers with the
+    same f64 expression DuckDB evaluates — so the z filter and the
+    rounded z column are reproducible bit-for-bit, not just to rounding.
+    Pass 2 is a pure streaming filter with the tiny stats map broadcast
+    in the task closure."""
+    import ray  # noqa: F401
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        tmp = pa.table({
+            "event_type": t.column("event_type"),
+            "c": cents,
+            "c2": pc.multiply(cents, cents),
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        g = tmp.group_by("event_type").aggregate(
+            [("c", "sum"), ("c2", "sum"), ("one", "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "s1": pc.cast(g.column("c_sum"), pa.int64()),
+            "s2": pc.cast(g.column("c2_sum"), pa.int64()),
+            "n": pc.cast(g.column("one_sum"), pa.int64()),
+        })
+
+    stats_rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in stats_rows:  # Python ints: exact at any corpus size
+        a = acc.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += int(r["s1"]); a[1] += int(r["s2"]); a[2] += int(r["n"])
+    stats = {}
+    for et, (s1, s2, n) in acc.items():
+        # the EXACT f64 expression the oracle evaluates: mean = s1/n,
+        # var = s2/n - mean*mean (deterministic IEEE ops on exact ints)
+        mean = float(s1) / float(n)
+        var = float(s2) / float(n) - mean * mean
+        stats[et] = (mean, float(np.sqrt(max(var, 0.0))))
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64()).to_numpy().astype(np.float64)
+        mean = np.array([stats[e][0] for e in et])
+        std = np.maximum(np.array([stats[e][1] for e in et]), 1e-12)
+        zv = (cents - mean) / std
+        keep = np.abs(zv) >= z
+        out = t.filter(pa.array(keep))
+        return pa.table({
+            "event_id": pc.cast(out.column("event_id"), pa.int64()),
+            "event_type": out.column("event_type"),
+            "value": out.column("value"),
+            "z_score": pa.array(np.round(zv[keep], ZROUND), pa.float64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+VALUE_OUTLIERS_SQL = f"""WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS cents
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(cents AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(cents AS BIGINT) * CAST(cents AS BIGINT)) AS DOUBLE) AS s2
+  FROM c GROUP BY event_type
+), st AS (
+  SELECT event_type, s1 / n AS mean,
+         sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std
+  FROM s
+)
+SELECT c.event_id, c.event_type, c.value,
+       round((c.cents - st.mean) / greatest(st.std, 1e-12), {ZROUND}) AS z_score
+FROM c JOIN st USING (event_type)
+WHERE abs((c.cents - st.mean) / greatest(st.std, 1e-12)) >= {Z_THRESH}"""

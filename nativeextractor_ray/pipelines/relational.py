@@ -237,3 +237,100 @@ FROM (
   LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     ON c.user_id = p.user_id AND c.ts <= p.ts
 ) WHERE rn = 1"""
+
+
+# ------------------------------------------------------------ semi/anti join
+
+#: broadcast the distinct-key side when its encoded size is under this
+#: bound; above it, both sides co-partition by key hash and the membership
+#: test runs per partition (tests force 0 to drive the shuffle path)
+SEMI_BROADCAST_BOUND = 64 << 20
+
+
+def semi_anti_join(left, keys, left_key: str, anti: bool,
+                   sf_dir: str | None = None):
+    """Distributed SEMI / ANTI join (EXISTS / NOT EXISTS — a join family
+    Ray's ``Dataset.join`` does not expose): keep the left rows whose
+    ``left_key`` does / does not appear in ``keys`` (a one-column key
+    dataset).  Only key presence matters — the right side's payload never
+    ships, which is what makes semi-joins cheaper than an inner join +
+    re-dedup at 100 TB.
+
+    Scale shape: the key side is first shrunk to per-batch DISTINCT keys
+    (combiner), then either (a) collected + broadcast as ONE sorted int64
+    array when under ``SEMI_BROADCAST_BOUND`` — membership is a vectorized
+    ``np.searchsorted`` probe inside a streaming ``map_batches``, the
+    trie-probe shape of `/root/reference/src/ner.c:29-31` — or (b) both
+    sides co-partition by ``hash(key) % P`` (one coarse shuffle of 8-byte
+    keys + the left rows) and each partition resolves membership locally.
+    Path (b) keeps nothing on the driver and is forced in tests."""
+    import ray
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        k = pc.unique(t.column(t.column_names[0]))
+        return pa.table({"k": pc.cast(k, pa.int64())})
+
+    key_ds = keys.map_batches(distinct_keys, batch_format="pyarrow")
+
+    if (key_ds.size_bytes() or 0) <= SEMI_BROADCAST_BOUND:
+        parts = [ray.get(r) for r in key_ds.to_arrow_refs()]
+        arr = np.unique(np.concatenate(
+            [p.column("k").to_numpy() for p in parts if p.num_rows]
+            or [np.array([], np.int64)]))
+        side = ray.put(arr)
+
+        def probe(t: pa.Table) -> pa.Table:
+            sorted_keys = ray.get(side)
+            lk = pc.cast(t.column(left_key), pa.int64()).to_numpy()
+            if len(sorted_keys) == 0:
+                hit = np.zeros(len(lk), bool)
+            else:
+                pos = np.searchsorted(sorted_keys, lk)
+                hit = (pos < len(sorted_keys)) & (
+                    sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] == lk)
+            return t.filter(pa.array(~hit if anti else hit))
+
+        return left.map_batches(probe, batch_format="pyarrow")
+
+    n_parts = adaptive_parts(sf_dir or ".", table="orders") if sf_dir else 64
+
+    def tag(is_key: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "is_key", pa.array(np.full(t.num_rows, is_key, bool)))
+            return t.append_column(
+                "part", stable_part(
+                    t, ["k" if is_key else left_key], n_parts))
+        return fn
+
+    lt = left.map_batches(tag(False), batch_format="pyarrow")
+    kt = key_ds.map_batches(tag(True), batch_format="pyarrow")
+
+    def resolve(df):
+        keys_here = df.loc[df["is_key"], "k"].to_numpy()
+        l = df[~df["is_key"]].drop(columns=["is_key", "part", "k"],
+                                   errors="ignore")
+        hit = np.isin(l[left_key].to_numpy(), keys_here)
+        return l[~hit if anti else hit]
+
+    return lt.union(kt).groupby("part").map_groups(
+        resolve, batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str):
+    """Customers that never placed an order (TPC-H Q22's anti-join core):
+    ``customer ANTI JOIN orders ON custkey`` — the canonical NOT-EXISTS
+    shape, resolved without ever joining order payloads."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_mktsegment"])
+    okeys = read_table(sf_dir, "orders", ["o_custkey"])
+    return semi_anti_join(cust, okeys, "c_custkey", anti=True, sf_dir=sf_dir)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 N_QUERIES = 10
 TOP_K = 5
@@ -464,3 +465,67 @@ r AS (
 )
 SELECT vec_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}"""
+
+
+# ----------------------------------------------------------- quantization
+
+QUANT_LEVELS = 127  # symmetric int8: codes in [-127, 127]
+
+
+def embedding_quantize(sf_dir: str):
+    """Symmetric int8 quantization of the embedding column — the memory
+    lever that turns a 100 TB float32 ANN index into 25 TB: per vector,
+    ``scale = max|x| / 127`` and ``code_i = floor(x_i/scale + 0.5)``
+    (explicit half-up — no engine rounding-mode ambiguity), reported as
+    ``(vec_id, scale, code_sum, mse)`` where ``code_sum`` is the exact
+    integer checksum of the code vector and ``mse`` the reconstruction
+    error — the quality numbers a quantized-index rollout is judged on.
+
+    Pure streaming ``map_batches`` over float64 numpy (one pass, no
+    shuffle, no state); the oracle replays the identical expressions with
+    DuckDB list lambdas on ``CAST(embedding AS DOUBLE[])``."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        scale = np.maximum(
+            np.abs(mat).max(axis=1) / QUANT_LEVELS, 1e-12)
+        codes = np.floor(mat / scale[:, None] + 0.5)
+        err = mat - codes * scale[:, None]
+        # sequential (not pairwise) sums so the f64 accumulation order
+        # matches DuckDB's list_sum exactly
+        d = mat.shape[1]
+        mse = np.zeros(len(mat))
+        csum = np.zeros(len(mat))
+        for j in range(d):
+            mse += err[:, j] * err[:, j]
+            csum += codes[:, j]
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "scale": pa.array(np.round(scale, 8), pa.float64()),
+            "code_sum": pa.array(csum.astype(np.int64)),
+            "mse": pa.array(np.round(mse / d, 10), pa.float64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def embedding_quantize_sql() -> str:
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))) / {QUANT_LEVELS},
+                  1e-12) AS sc
+  FROM e
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(sc, 8) AS scale,
+       CAST(list_sum(list_transform(v, x -> floor(x / sc + 0.5))) AS BIGINT)
+         AS code_sum,
+       round(list_sum(list_transform(v,
+             x -> (x - floor(x / sc + 0.5) * sc) * (x - floor(x / sc + 0.5) * sc)
+           )) / len(v), 10) AS mse
+FROM s"""

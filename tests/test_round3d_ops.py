@@ -1,0 +1,184 @@
+"""Planted-fixture tests for the round-3d operators (sentence_split,
+value_outliers, anti_join_customers, embedding_quantize) — semantics
+beyond the DuckDB oracle parity gate (which, for sentence_split, sees a
+punctuation-free corpus and therefore only checks plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _df(res) -> pd.DataFrame:
+    import ray
+
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    parts = [ray.get(r) for r in res.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows] or parts[:1]
+    return pa.concat_tables(parts, promote_options="default").to_pandas()
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> str:
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, tmp_path / f"{name}.parquet")
+    return str(tmp_path)
+
+
+# --------------------------------------------------------- sentence_split
+
+
+def test_sentence_split_planted(ray_session, tmp_path):
+    """Docs with real punctuation: multi-sentence turns split at [.!?]+\\s+
+    boundaries, 1-based numbering over the raw split, and the result equals
+    the DuckDB replay of the same planted dir."""
+    import duckdb
+
+    from nativeextractor_ray.pipelines.curation import (
+        SENTENCE_SPLIT_SQL, sentence_split)
+
+    # ids avoid doc_id % 13 == 7 (the derivation's DUP_TEXT substitution)
+    sf = _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "Hello there. How are you?  Fine! Thanks",
+            "One sentence only",
+            "Trailing punct. ",
+        ]),
+    }))
+
+    got = _df(sentence_split(sf)).sort_values(
+        ["conv_id", "turn_idx", "sent_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(SENTENCE_SPLIT_SQL).df().sort_values(
+        ["conv_id", "turn_idx", "sent_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+    # doc 1 genuinely splits into 4 sentences (punct runs consumed)
+    d1 = got[got["sent_idx"] > 1]
+    assert len(d1) >= 3
+    first = got.iloc[0]
+    assert first["sentence"].startswith("Hello there")
+    assert (got["n_chars"] > 0).all()
+
+
+# --------------------------------------------------------- value_outliers
+
+
+def test_value_outliers_planted(ray_session, tmp_path):
+    """100 inliers at value=10 and one 1000-valued spike: exactly the spike
+    is flagged, with a large positive z-score."""
+    from nativeextractor_ray.pipelines.events import value_outliers
+
+    n = 100
+    sf = _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(list(range(n + 1)), pa.int64()),
+        "event_type": pa.array(["click"] * (n + 1)),
+        "value": pa.array([10.0] * n + [1000.0], pa.float64()),
+    }))
+
+    got = _df(value_outliers(sf))
+    assert list(got["event_id"]) == [n]
+    assert got["z_score"].iloc[0] > 9.0
+
+
+def test_value_outliers_per_type_stats(ray_session, tmp_path):
+    """Stats are per event_type: the same value can be an outlier in one
+    type and an inlier in another."""
+    from nativeextractor_ray.pipelines.events import value_outliers
+
+    # type A: tight around 10, one 50 → outlier. type B: wide spread,
+    # 50 is within range → not flagged.
+    vals_a = [10.0, 10.1, 9.9, 10.0, 10.2, 9.8] * 10 + [50.0]
+    vals_b = [float(v) for v in range(0, 101, 10)]  # 0..100, std ~31
+    sf = _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(list(range(len(vals_a) + len(vals_b))), pa.int64()),
+        "event_type": pa.array(["a"] * len(vals_a) + ["b"] * len(vals_b)),
+        "value": pa.array(vals_a + vals_b, pa.float64()),
+    }))
+
+    got = _df(value_outliers(sf))
+    assert set(got["event_type"]) == {"a"}
+    assert list(got["event_id"]) == [len(vals_a) - 1]
+
+
+# ----------------------------------------------------- anti_join_customers
+
+
+def test_anti_join_broadcast_equals_shuffle(ray_session, tmp_path, monkeypatch):
+    """Customers with no orders; the broadcast searchsorted path and the
+    forced co-partitioned shuffle path return the identical set."""
+    from nativeextractor_ray.pipelines import relational
+
+    n_cust, n_orders = 200, 300
+    rng = np.random.default_rng(11)
+    ordered = rng.choice(n_cust, n_orders)  # some customers never drawn
+    sf = _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array(list(range(n_cust)), pa.int64()),
+        "c_name": pa.array([f"cust{i}" for i in range(n_cust)]),
+        "c_mktsegment": pa.array(["SEG" + str(i % 3) for i in range(n_cust)]),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array(ordered, pa.int64()),
+    }))
+
+    want = sorted(set(range(n_cust)) - set(ordered.tolist()))
+    assert want, "fixture must leave some customers orderless"
+
+    a = _df(relational.customers_without_orders(sf)).sort_values(
+        "c_custkey").reset_index(drop=True)
+    assert list(a["c_custkey"]) == want
+
+    monkeypatch.setattr(relational, "SEMI_BROADCAST_BOUND", 0)
+    b = _df(relational.customers_without_orders(sf)).sort_values(
+        "c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_semi_join_keeps_matching(ray_session, tmp_path):
+    """semi=non-anti keeps exactly the complement of the anti result."""
+    from nativeextractor_ray.pipelines import relational
+    from nativeextractor_ray.sources.tables import read_table
+
+    sf = _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(list("abcd")),
+        "c_mktsegment": pa.array(["S"] * 4),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([2, 2, 4], pa.int64()),
+    }))
+
+    cust = read_table(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    okeys = read_table(sf, "orders", ["o_custkey"])
+    semi = _df(relational.semi_anti_join(cust, okeys, "c_custkey", anti=False))
+    assert sorted(semi["c_custkey"]) == [2, 4]
+
+
+# --------------------------------------------------- embedding_quantize
+
+
+def test_embedding_quantize_exact(ray_session, tmp_path):
+    """Hand-computed codes for a known vector: scale = max|x|/127,
+    code = floor(x/scale + 0.5)."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.similarity import embedding_quantize
+
+    v = [1.0, -0.5, 0.25, 0.0]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([v], pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+
+    got = _df(embedding_quantize(str(tmp_path)))
+    scale = 1.0 / 127
+    codes = np.floor(np.array(v) / scale + 0.5)
+    assert list(codes) == [127.0, -63.0, 32.0, 0.0]
+    assert got["code_sum"].iloc[0] == int(codes.sum())
+    assert abs(got["scale"].iloc[0] - round(scale, 8)) < 1e-12
+    mse = float(np.mean((np.array(v) - codes * scale) ** 2))
+    assert abs(got["mse"].iloc[0] - round(mse, 10)) < 1e-9
