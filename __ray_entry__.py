@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-3 late additions — never driver-checked, so first of all:
+        "masked_spans": curation.masked_spans,  # T5 span-corruption plan
+        "domain_mix_temperature": curation.domain_mix_temperature,
         "sentence_split": curation.sentence_split,  # row-explosion flat_map
         "value_outliers": events.value_outliers,  # per-type z-score gate
         "anti_join_customers": relational.customers_without_orders,
@@ -165,6 +167,10 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
+        "masked_spans": curation.MASKED_SPANS_SQL,
+        # thresholds computed once on the driver, embedded as literals
+        # (pow() is not bit-reproducible across engines)
+        "domain_mix_temperature": curation.domain_mix_temperature_sql(),
         "sentence_split": curation.SENTENCE_SPLIT_SQL,
         "value_outliers": events.VALUE_OUTLIERS_SQL,
         "anti_join_customers": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,

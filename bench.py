@@ -308,6 +308,8 @@ def run_suite() -> dict:
         "value_outliers": ("nativeextractor_ray.pipelines.events", "value_outliers"),
         "anti_join_customers": ("nativeextractor_ray.pipelines.relational", "customers_without_orders"),
         "embedding_quantize": ("nativeextractor_ray.pipelines.similarity", "embedding_quantize"),
+        "masked_spans": ("nativeextractor_ray.pipelines.curation", "masked_spans"),
+        "domain_mix_temperature": ("nativeextractor_ray.pipelines.curation", "domain_mix_temperature"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -945,3 +945,199 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
        CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
        CAST(length(sentence) AS BIGINT) AS n_chars
 FROM u WHERE sentence <> ''"""
+
+
+# -------------------------------------------------- temperature mixing
+
+#: DoReMi/Pile-style temperature: target count per domain ∝ n_d^alpha,
+#: scaled so the largest keep-rate is 1.0.  alpha=0 → uniform mix
+#: (:func:`domain_mix`); alpha=1 → keep everything (proportional).
+MIX_ALPHA = 0.5
+
+
+def _domain_counts(sf_dir: str, domain_col: str) -> dict[str, int]:
+    """Per-domain doc counts: per-batch value_counts partials folded on
+    the driver (rows = #domains × #blocks — a metrics rollup)."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", domain_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column(domain_col))
+        return pa.table({domain_col: vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts: dict[str, int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        counts[r[domain_col]] = counts.get(r[domain_col], 0) + int(r["n"])
+    return counts
+
+
+def _temperature_thresholds(counts: dict[str, int], alpha: float) -> dict[str, int]:
+    """Integer acceptance thresholds out of MIX_MOD realizing target
+    counts t_d = n_d^alpha * min_e(n_e)^(1-alpha) (keep-rate ≤ 1 for all
+    domains, = 1 for the smallest).  Computed ONCE here and embedded as
+    literals in the oracle — pow() is not bit-reproducible across engines,
+    a floor() at an integer boundary could differ, so neither side
+    re-derives them."""
+    nmin = min(counts.values())
+    return {
+        d: min(MIX_MOD, int(np.floor(
+            MIX_MOD * (float(n) ** (alpha - 1.0)) * (float(nmin) ** (1.0 - alpha)))))
+        for d, n in counts.items()
+    }
+
+
+def domain_mix_temperature(sf_dir: str, alpha: float = MIX_ALPHA,
+                           domain_col: str = "lang"):
+    """Temperature-based mixture rebalancing — the generalization of
+    :func:`domain_mix` every production recipe actually ships (uniform is
+    too aggressive on head domains, proportional keeps the skew):
+    downsample domain ``d`` to ``n_d^alpha * n_min^(1-alpha)`` docs via
+    the same deterministic multiplicative-hash bucket as
+    :func:`sample_stratified`.  Same doc → same verdict on retry; one
+    tiny counts rollup + one streaming filter, no corpus shuffle."""
+    import ray
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    thr = _temperature_thresholds(_domain_counts(sf_dir, domain_col), alpha)
+    thr_ref = ray.put(thr)
+    ds = read_table(sf_dir, "documents", ["doc_id", domain_col])
+
+    def keep(t: pa.Table) -> pa.Table:
+        lim_by_dom = ray.get(thr_ref)
+        ids = t.column("doc_id").to_numpy()
+        bucket = (ids * _SAMPLE_MULT) % MIX_MOD
+        lim = np.array([lim_by_dom[s] for s in t.column(domain_col).to_pylist()],
+                       dtype=np.int64)
+        mask = pa.array(bucket < lim)
+        out = t.filter(mask)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            domain_col: out.column(domain_col),
+            "bucket": pa.array(bucket[np.asarray(mask)].astype(np.int64)),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def domain_mix_temperature_sql(alpha: float = MIX_ALPHA,
+                               domain_col: str = "lang",
+                               sf_dir: str | None = None) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=[domain_col])
+    vc = pc.value_counts(t.column(domain_col))
+    counts = dict(zip(vc.field("values").to_pylist(),
+                      (int(c) for c in vc.field("counts").to_pylist())))
+    thr = _temperature_thresholds(counts, alpha)
+    case = " ".join(f"WHEN '{d}' THEN {v}" for d, v in sorted(thr.items()))
+    return f"""SELECT doc_id, {domain_col},
+       (doc_id * {_SAMPLE_MULT}) % {MIX_MOD} AS bucket
+FROM documents
+WHERE (doc_id * {_SAMPLE_MULT}) % {MIX_MOD} <
+      (CASE {domain_col} {case} ELSE 0 END)"""
+
+
+# ------------------------------------------------------- span corruption
+
+#: T5-style span-corruption mask: token idx is masked iff
+#: ((doc_id * MASK_MULT_DOC + idx * MASK_MULT_TOK) % MASK_MOD) < MASK_THR
+#: — deterministic (same doc → same spans on retry/resume), ~15% of
+#: tokens, int64-exact for doc_id < 3.1e9 (documented-bound convention).
+MASK_MULT_DOC = 2971215073
+MASK_MULT_TOK = 433494437
+MASK_MOD = 1000
+MASK_THR = 150
+
+
+def masked_spans(sf_dir: str):
+    """T5/UL2-style span corruption planner over ``documents``: mark ~15%
+    of whitespace tokens via a deterministic integer hash, coalesce
+    adjacent masked tokens into spans, and emit one row per span —
+    ``(doc_id, span_idx, start_tok, span_len)`` — the structure a
+    denoising-objective data loader consumes (sentinel insertion is a
+    trivial downstream map).
+
+    Pure streaming ``map_batches``: RE2 tokenization + numpy
+    gaps-and-islands run detection, no Python loop, no shuffle, no state.
+    The oracle replays the hash and the run coalescing with window
+    functions (row_number gaps-and-islands)."""
+
+    def plan(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(t.column("text"), r"\s+")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        off = np.asarray(lst.offsets)
+        off = off - off[0]
+        d_idx = np.repeat(np.arange(len(lst)), np.diff(off))
+        toks = np.asarray(lst.flatten())
+        keep = toks != ""
+        d_idx = d_idx[keep]
+        n = len(d_idx)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "span_idx": pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "span_len": pa.array([], pa.int64())})
+        boundary = np.r_[True, d_idx[1:] != d_idx[:-1]]
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.r_[starts, n])
+        idx = np.arange(n) - np.repeat(starts, counts)
+        dids = t.column("doc_id").to_numpy()[d_idx]
+        masked = ((dids * MASK_MULT_DOC + idx * MASK_MULT_TOK)
+                  % MASK_MOD) < MASK_THR
+        mdid, midx = dids[masked], idx[masked]
+        if len(mdid) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "span_idx": pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "span_len": pa.array([], pa.int64())})
+        new_run = np.r_[True, (mdid[1:] != mdid[:-1]) | (midx[1:] != midx[:-1] + 1)]
+        run_id = np.cumsum(new_run) - 1
+        run_doc = mdid[new_run]
+        start_tok = midx[new_run]
+        span_len = np.bincount(run_id)
+        new_doc = np.r_[True, run_doc[1:] != run_doc[:-1]]
+        rstarts = np.flatnonzero(new_doc)
+        rcounts = np.diff(np.r_[rstarts, len(run_doc)])
+        span_idx = np.arange(len(run_doc)) - np.repeat(rstarts, rcounts) + 1
+        return pa.table({
+            "doc_id": pa.array(run_doc.astype(np.int64)),
+            "span_idx": pa.array(span_idx.astype(np.int64)),
+            "start_tok": pa.array(start_tok.astype(np.int64)),
+            "span_len": pa.array(span_len.astype(np.int64)),
+        })
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(plan, batch_format="pyarrow")
+
+
+MASKED_SPANS_SQL = rf"""WITH tok AS (
+  SELECT doc_id, generate_subscripts(arr, 1) - 1 AS idx
+  FROM (SELECT doc_id, regexp_extract_all(text, '[^\s]+') AS arr
+        FROM documents)
+), m AS (
+  SELECT doc_id, idx FROM tok
+  WHERE ((doc_id * {MASK_MULT_DOC} + idx * {MASK_MULT_TOK}) % {MASK_MOD})
+        < {MASK_THR}
+), runs AS (
+  SELECT doc_id, idx,
+         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+  FROM m
+), spans AS (
+  SELECT doc_id, min(idx) AS start_tok, count(*) AS span_len
+  FROM runs GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) AS BIGINT)
+         AS span_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(span_len AS BIGINT) AS span_len
+FROM spans"""

@@ -528,18 +528,31 @@ def value_outliers(sf_dir: str, z: float = Z_THRESH):
             "n": pc.cast(g.column("one_sum"), pa.int64()),
         })
 
-    stats_rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    acc: dict[str, list[int]] = {}
-    for r in stats_rows:  # Python ints: exact at any corpus size
-        a = acc.setdefault(r["event_type"], [0, 0, 0])
-        a[0] += int(r["s1"]); a[1] += int(r["s2"]); a[2] += int(r["n"])
-    stats = {}
-    for et, (s1, s2, n) in acc.items():
+    def combine(g):
+        # exact arbitrary-precision combine INSIDE the (tiny) per-type
+        # group — a distributed Sum would overflow int64 on the cents²
+        # column at ~10^9 rows/type, and a driver-side combine of raw
+        # partials would pull blocks × types rows; this pulls types rows.
+        import pandas as pd
+
+        s1 = sum(int(v) for v in g["s1"])
+        s2 = sum(int(v) for v in g["s2"])
+        n = sum(int(v) for v in g["n"])
         # the EXACT f64 expression the oracle evaluates: mean = s1/n,
         # var = s2/n - mean*mean (deterministic IEEE ops on exact ints)
         mean = float(s1) / float(n)
         var = float(s2) / float(n) - mean * mean
-        stats[et] = (mean, float(np.sqrt(max(var, 0.0))))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "mean": [mean],
+            "std": [float(np.sqrt(max(var, 0.0)))],
+        })
+
+    stats_rows = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("event_type")
+                  .map_groups(combine, batch_format="pandas")
+                  .take_all())  # rows = distinct event types (vocabulary)
+    stats = {r["event_type"]: (r["mean"], r["std"]) for r in stats_rows}
 
     def flag(t: pa.Table) -> pa.Table:
         et = t.column("event_type").to_pylist()

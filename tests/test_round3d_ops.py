@@ -182,3 +182,80 @@ def test_embedding_quantize_exact(ray_session, tmp_path):
     assert abs(got["scale"].iloc[0] - round(scale, 8)) < 1e-12
     mse = float(np.mean((np.array(v) - codes * scale) ** 2))
     assert abs(got["mse"].iloc[0] - round(mse, 10)) < 1e-9
+
+
+# -------------------------------------------------------- masked_spans
+
+
+def test_masked_spans_matches_scalar_reference(ray_session, tmp_path):
+    """The vectorized gaps-and-islands run detection equals a per-doc
+    scalar replay of the mask rule on a mixed corpus."""
+    from nativeextractor_ray.pipelines.curation import (
+        MASK_MOD, MASK_MULT_DOC, MASK_MULT_TOK, MASK_THR, masked_spans)
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 60)))
+             for _ in range(40)]
+    ids = list(range(40))
+    sf = _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts),
+    }))
+
+    got = _df(masked_spans(sf)).sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+
+    rows = []
+    for did, txt in zip(ids, texts):
+        toks = [w for w in txt.split() if w]
+        masked = [i for i in range(len(toks))
+                  if (did * MASK_MULT_DOC + i * MASK_MULT_TOK) % MASK_MOD < MASK_THR]
+        spans, cur = [], None
+        for i in masked:
+            if cur is not None and i == cur[1] + 1:
+                cur[1] = i
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = [i, i]
+        if cur:
+            spans.append(cur)
+        for k, (s, e) in enumerate(spans, start=1):
+            rows.append((did, k, s, e - s + 1))
+    want = pd.DataFrame(rows, columns=["doc_id", "span_idx", "start_tok",
+                                       "span_len"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) > 10  # the fixture genuinely exercises runs
+
+
+# ---------------------------------------------- domain_mix_temperature
+
+
+def test_domain_mix_temperature_interpolates(ray_session, tmp_path):
+    """alpha=1 keeps everything; alpha=0 downsamples every domain to
+    ~n_min; alpha=0.5 sits between, ordered by domain size."""
+    from nativeextractor_ray.pipelines.curation import domain_mix_temperature
+
+    langs = ["en"] * 800 + ["de"] * 200 + ["fr"] * 50
+    sf = _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(list(range(len(langs))), pa.int64()),
+        "lang": pa.array(langs),
+    }))
+
+    full = _df(domain_mix_temperature(sf, alpha=1.0))
+    assert len(full) == len(langs)
+
+    uni = _df(domain_mix_temperature(sf, alpha=0.0))
+    vc0 = uni["lang"].value_counts()
+    assert vc0["fr"] == 50  # smallest domain keeps everything
+    assert vc0["en"] < 110 and vc0["de"] < 80  # ~n_min each, hash noise
+
+    mid = _df(domain_mix_temperature(sf, alpha=0.5))
+    vc5 = mid["lang"].value_counts()
+    # target en = sqrt(800*50) = 200, de = sqrt(200*50) = 100, fr = 50
+    assert 150 < vc5["en"] < 260
+    assert 70 < vc5["de"] < 135
+    assert vc5["fr"] == 50
+    # deterministic: same doc -> same verdict across runs
+    again = _df(domain_mix_temperature(sf, alpha=0.5))
+    assert sorted(again["doc_id"]) == sorted(mid["doc_id"])
