@@ -262,26 +262,41 @@ def bpe_encode(sf_dir: str, k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS)
     def encode_batch(t: pa.Table) -> pa.Table:
         cache = _ENC_CACHE.setdefault(rank_items, {})
         rk = {(a, b): r for a, b, r in rank_items}
-        n_words, n_toks, cks = [], [], []
-        for txt in t.column("text").to_pylist():
-            words = [w for w in txt.split(" ") if w]
-            total, ck = 0, 0
-            for w in words:
-                hit = cache.get(w)
-                if hit is None:
-                    toks = _apply_merges(w, rk)
-                    hit = (len(toks), _tok_checksum(toks))
-                    cache[w] = hit
-                total += hit[0]
-                ck += hit[1]
-            n_words.append(len(words))
-            n_toks.append(total)
-            cks.append(ck % (1 << 31))
+        # vectorized word explode + factorize: the merge loop runs once
+        # per DISTINCT word per batch (and the memo carries distinct
+        # words across batches), never once per occurrence — on Zipfian
+        # text that is the difference between O(tokens) and O(vocab)
+        # Python work per batch
+        toks = pc.split_pattern(t.column("text"), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        off = np.asarray(toks.offsets)
+        off = off - off[0]
+        d_idx = np.repeat(np.arange(len(toks)), np.diff(off))
+        words = np.asarray(toks.flatten())
+        keep = words != ""
+        d_idx, words = d_idx[keep], words[keep]
+        codes, uniq = pd.factorize(words)
+        lens = np.empty(len(uniq), np.int64)
+        cks = np.empty(len(uniq), np.int64)
+        for u, w in enumerate(uniq):
+            hit = cache.get(w)
+            if hit is None:
+                tk = _apply_merges(w, rk)
+                hit = (len(tk), _tok_checksum(tk))
+                cache[w] = hit
+            lens[u], cks[u] = hit
+        n = len(t)
+        n_words = np.bincount(d_idx, minlength=n).astype(np.int64)
+        n_toks = np.zeros(n, np.int64)
+        ck = np.zeros(n, np.int64)
+        if len(d_idx):
+            np.add.at(n_toks, d_idx, lens[codes])
+            np.add.at(ck, d_idx, cks[codes])
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "n_words": pa.array(n_words, pa.int64()),
-            "n_bpe_tokens": pa.array(n_toks, pa.int64()),
-            "tok_checksum": pa.array(cks, pa.int64()),
+            "n_words": pa.array(n_words),
+            "n_bpe_tokens": pa.array(n_toks),
+            "tok_checksum": pa.array(ck % (1 << 31)),
         })
 
     return _docs(sf_dir).map_batches(encode_batch, batch_format="pyarrow")

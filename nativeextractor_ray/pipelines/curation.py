@@ -1006,11 +1006,14 @@ def domain_mix_temperature(sf_dir: str, alpha: float = MIX_ALPHA,
     ds = read_table(sf_dir, "documents", ["doc_id", domain_col])
 
     def keep(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         lim_by_dom = ray.get(thr_ref)
         ids = t.column("doc_id").to_numpy()
         bucket = (ids * _SAMPLE_MULT) % MIX_MOD
-        lim = np.array([lim_by_dom[s] for s in t.column(domain_col).to_pylist()],
-                       dtype=np.int64)
+        codes, uniq = pd.factorize(
+            t.column(domain_col).to_numpy(zero_copy_only=False))
+        lim = np.array([lim_by_dom[u] for u in uniq], dtype=np.int64)[codes]
         mask = pa.array(bucket < lim)
         out = t.filter(mask)
         return pa.table({

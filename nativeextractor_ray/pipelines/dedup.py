@@ -36,6 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from nativeextractor_ray.functions.vectors import embedding_matrix
 from nativeextractor_ray.functions.hashing import (
     GOLDEN,
     h64,
@@ -971,7 +972,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bid = t.column("vec_id").to_numpy()
-            bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+            bm = embedding_matrix(t.column("embedding"))
             bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
             if self.planes is None:
                 self.planes = _emb_planes(bm.shape[1])
@@ -1315,7 +1316,7 @@ def dedup_semantic(sf_dir: str, threshold: float = SEM_THRESHOLD,
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         ids = t.column("vec_id").to_numpy()
-        bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        bm = embedding_matrix(t.column("embedding"))
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
         cl = np.argmax(bm @ c.T, axis=1).astype(np.int64)  # first max == lowest j
         return pa.table({

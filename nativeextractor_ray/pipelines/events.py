@@ -555,11 +555,15 @@ def value_outliers(sf_dir: str, z: float = Z_THRESH):
     stats = {r["event_type"]: (r["mean"], r["std"]) for r in stats_rows}
 
     def flag(t: pa.Table) -> pa.Table:
-        et = t.column("event_type").to_pylist()
+        import pandas as pd
+
+        # factorize + gather: Python touches each DISTINCT type once
+        codes, uniq = pd.factorize(
+            t.column("event_type").to_numpy(zero_copy_only=False))
+        mean = np.array([stats[u][0] for u in uniq])[codes]
+        std = np.maximum(np.array([stats[u][1] for u in uniq]), 1e-12)[codes]
         cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
                         pa.int64()).to_numpy().astype(np.float64)
-        mean = np.array([stats[e][0] for e in et])
-        std = np.maximum(np.array([stats[e][1] for e in et]), 1e-12)
         zv = (cents - mean) / std
         keep = np.abs(zv) >= z
         out = t.filter(pa.array(keep))

@@ -319,18 +319,31 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
         resolve, batch_format="pandas")
 
 
-def customers_without_orders(sf_dir: str):
-    """Customers that never placed an order (TPC-H Q22's anti-join core):
-    ``customer ANTI JOIN orders ON custkey`` — the canonical NOT-EXISTS
-    shape, resolved without ever joining order payloads."""
+ANTI_PRIORITY = "1-URGENT"
+
+
+def customers_without_orders(sf_dir: str, priority: str = ANTI_PRIORITY):
+    """Customers that never placed an URGENT-priority order (TPC-H Q22's
+    anti-join core with a filtered key side): ``customer ANTI JOIN
+    (orders WHERE priority) ON custkey`` — the canonical NOT-EXISTS
+    shape, resolved without ever joining order payloads.  The priority
+    filter keeps the query discriminative on the test tables, where every
+    customer has SOME order (so the unfiltered anti-join is empty)."""
     from nativeextractor_ray.sources.tables import read_table
 
     cust = read_table(sf_dir, "customer",
                       ["c_custkey", "c_name", "c_mktsegment"])
-    okeys = read_table(sf_dir, "orders", ["o_custkey"])
-    return semi_anti_join(cust, okeys, "c_custkey", anti=True, sf_dir=sf_dir)
+    okeys = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t.column("o_orderpriority"), priority))
+                .select(["o_custkey"]))
+
+    keys = okeys.map_batches(urgent, batch_format="pyarrow")
+    return semi_anti_join(cust, keys, "c_custkey", anti=True, sf_dir=sf_dir)
 
 
-CUSTOMERS_WITHOUT_ORDERS_SQL = """SELECT c_custkey, c_name, c_mktsegment
+CUSTOMERS_WITHOUT_ORDERS_SQL = f"""SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '{ANTI_PRIORITY}')"""

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from nativeextractor_ray.functions.vectors import embedding_matrix
+
 N_QUERIES = 10
 TOP_K = 5
 ROUND = 4
@@ -35,7 +37,7 @@ def _load_queries(sf_dir: str):
     mask = np.array(t.column("vec_id").to_numpy() < N_QUERIES)
     t = t.filter(pa.array(mask))
     qids = t.column("vec_id").to_numpy()
-    q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    q = embedding_matrix(t.column("embedding"))
     q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     order = np.argsort(qids)
     return qids[order], q[order]
@@ -64,7 +66,7 @@ def ann_cosine_topk(sf_dir: str):
     def block_topk(t: pa.Table) -> pa.Table:
         ids_q, q = ray.get(qref)
         bid = t.column("vec_id").to_numpy()
-        bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        bm = embedding_matrix(t.column("embedding"))
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
         sims = np.round(q @ bm.T, ROUND)  # (Q, B)
         q_out, v_out, s_out = [], [], []
@@ -141,7 +143,7 @@ def _train_sample(sf_dir: str, n: int = TRAIN_SAMPLE) -> np.ndarray:
     f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     chunks, have = [], 0
     for batch in f.iter_batches(batch_size=1024, columns=["embedding"]):
-        chunks.append(np.stack(batch.column("embedding").to_pylist()))
+        chunks.append(embedding_matrix(batch.column("embedding")))
         have += len(chunks[-1])
         if have >= n:
             break
@@ -171,7 +173,7 @@ def ann_ivf_topk(sf_dir: str):
     def block(t: pa.Table) -> pa.Table:
         ids_q, q, c, probe = ray.get(qref)
         bid = t.column("vec_id").to_numpy()
-        bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        bm = embedding_matrix(t.column("embedding"))
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(bm @ c.T, axis=1)
         q_out, v_out, s_out = [], [], []
@@ -292,7 +294,7 @@ def ann_lsh_topk(sf_dir: str):
     def block(t: pa.Table) -> pa.Table:
         ids_q, q, qb, pl = ray.get(qref)
         bid = t.column("vec_id").to_numpy()
-        bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        bm = embedding_matrix(t.column("embedding"))
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
         sig = (bm @ pl.T > 0).astype(np.uint8)
         buckets = np.packbits(sig, axis=1)[:, 0]
@@ -377,7 +379,7 @@ class _ChunkProbe:
         tables = [t for t in ray.get(list(chunk_refs)) if t.num_rows]
         ids = np.concatenate([t.column("vec_id").to_numpy() for t in tables])
         mat = np.concatenate(
-            [np.stack(t.column("embedding").to_pylist()) for t in tables]
+            [embedding_matrix(t.column("embedding")) for t in tables]
         ).astype(np.float64)
         order = np.argsort(ids)  # vec_id asc so stable argsort breaks ties low
         self.ids = ids[order]
@@ -388,7 +390,7 @@ class _ChunkProbe:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         bid = t.column("vec_id").to_numpy()
-        bm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        bm = embedding_matrix(t.column("embedding"))
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
         sims = np.round(bm @ self.mat.T, ROUND)  # (B, C)
         sims[bid[:, None] == self.ids[None, :]] = -np.inf  # exclude self
@@ -437,14 +439,29 @@ def knn_graph(sf_dir: str, k: int = KNN_K):
                                fn_constructor_args=(ch, k))
         cand = part if cand is None else cand.union(part)
 
-    def merge(g):
-        g = g.sort_values(["score", "neighbor_id"],
-                          ascending=[False, True], kind="stable")
-        g = g.head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["vec_id", "neighbor_id", "score", "rank"]]
+    # merge the per-chunk candidates with the grouped-top-k shape
+    # (events.top_events_per_user): coarse vec_id-hash partitions, one
+    # vectorized pandas pass each — a groupby(vec_id).map_groups would
+    # pay one Python call PER VECTOR (measured: the merge, not the
+    # matmul, dominated at 5k vectors)
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
 
-    return cand.groupby("vec_id").map_groups(merge, batch_format="pandas")
+    n_parts = adaptive_parts(sf_dir, table="embeddings")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("part", stable_part(t, ["vec_id"], n_parts))
+
+    def resolve(df):
+        df = df.sort_values(["vec_id", "score", "neighbor_id"],
+                            ascending=[True, False, True], kind="stable")
+        out = df.groupby("vec_id", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("vec_id", sort=False).cumcount() + 1
+                       ).astype("int64")
+        return out[["vec_id", "neighbor_id", "score", "rank"]]
+
+    return (cand.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(resolve, batch_format="pandas"))
 
 
 def knn_graph_sql(k: int = KNN_K) -> str:
@@ -489,7 +506,7 @@ def embedding_quantize(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def quant(t: pa.Table) -> pa.Table:
-        mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        mat = embedding_matrix(t.column("embedding"))
         scale = np.maximum(
             np.abs(mat).max(axis=1) / QUANT_LEVELS, 1e-12)
         codes = np.floor(mat / scale[:, None] + 0.5)

@@ -121,11 +121,16 @@ def test_anti_join_broadcast_equals_shuffle(ray_session, tmp_path, monkeypatch):
         "c_name": pa.array([f"cust{i}" for i in range(n_cust)]),
         "c_mktsegment": pa.array(["SEG" + str(i % 3) for i in range(n_cust)]),
     }))
+    # half the drawn orders are urgent; only those count as "ordered"
+    urgent = np.arange(n_orders) % 2 == 0
     _write(tmp_path, "orders", pa.table({
         "o_custkey": pa.array(ordered, pa.int64()),
+        "o_orderpriority": pa.array(
+            np.where(urgent, "1-URGENT", "3-MEDIUM").astype(object),
+            pa.string()),
     }))
 
-    want = sorted(set(range(n_cust)) - set(ordered.tolist()))
+    want = sorted(set(range(n_cust)) - set(ordered[urgent].tolist()))
     assert want, "fixture must leave some customers orderless"
 
     a = _df(relational.customers_without_orders(sf)).sort_values(
