@@ -28,3 +28,18 @@ def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
         raise ValueError("ragged embedding column (expected fixed dim "
                          f"{d}, saw widths {np.unique(widths)[:5]})")
     return np.asarray(arr.flatten()).reshape(n, d).astype(dtype, copy=False)
+
+
+def explode_list(col):
+    """Shared row-explosion offset math: ``ListArray`` → ``(row_idx,
+    ordinal, flat)`` where ``row_idx[i]`` is the parent row of flat value
+    ``i`` and ``ordinal[i]`` its 0-based position within that row.  One
+    C-level pass (slice-aware offsets), no per-row Python — the common
+    kernel under sentence_split / masked_spans / bpe_encode."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.asarray(arr.offsets)
+    off = off - off[0]
+    counts = np.diff(off)
+    row_idx = np.repeat(np.arange(len(arr)), counts)
+    ordinal = np.arange(int(off[-1])) - np.repeat(off[:-1], counts)
+    return row_idx, ordinal, arr.flatten()

@@ -267,12 +267,10 @@ def bpe_encode(sf_dir: str, k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS)
         # words across batches), never once per occurrence — on Zipfian
         # text that is the difference between O(tokens) and O(vocab)
         # Python work per batch
-        toks = pc.split_pattern(t.column("text"), " ")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        off = np.asarray(toks.offsets)
-        off = off - off[0]
-        d_idx = np.repeat(np.arange(len(toks)), np.diff(off))
-        words = np.asarray(toks.flatten())
+        from nativeextractor_ray.functions.vectors import explode_list
+
+        d_idx, _, flat = explode_list(pc.split_pattern(t.column("text"), " "))
+        words = np.asarray(flat)
         keep = words != ""
         d_idx, words = d_idx[keep], words[keep]
         codes, uniq = pd.factorize(words)

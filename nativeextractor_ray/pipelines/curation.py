@@ -688,17 +688,10 @@ def domain_mix(sf_dir: str, domain_col: str = "lang"):
 
     ds = read_table(sf_dir, "documents", ["doc_id", domain_col])
 
-    def partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(t.column(domain_col))
-        return pa.table({domain_col: vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
-
-    # per-batch partials are already tiny (#domains rows each); fold them
-    # on the driver instead of paying a sort shuffle for a toy aggregate —
-    # at 10^6 blocks × a handful of domains this is a few MB of rows
-    counts: dict[str, int] = {}
-    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        counts[r[domain_col]] = counts.get(r[domain_col], 0) + int(r["n"])
+    # per-batch partials are tiny (#domains rows each); fold them on the
+    # driver instead of paying a sort shuffle for a toy aggregate — at
+    # 10^6 blocks × a handful of domains this is a few MB of rows
+    counts = _domain_counts(sf_dir, domain_col)
     nmin = min(counts.values())
     thr = {s: (nmin * MIX_MOD) // n for s, n in counts.items()}
     thr_ref = ray.put(thr)
@@ -911,14 +904,11 @@ def sentence_split(sf_dir: str):
     ds = transcripts_dataset(sf_dir)
 
     def split(t: pa.Table) -> pa.Table:
+        from nativeextractor_ray.functions.vectors import explode_list
+
         lst = pc.split_pattern_regex(t.column("text"), SENT_SPLIT_RE)
-        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
-        off = np.asarray(lst.offsets)
-        off = off - off[0]
-        counts = np.diff(off)
-        r_idx = np.repeat(np.arange(len(lst)), counts)
-        ordinal = np.arange(int(off[-1])) - np.repeat(off[:-1], counts) + 1
-        sent = lst.flatten()
+        r_idx, ordinal, sent = explode_list(lst)
+        ordinal = ordinal + 1
         out = pa.table({
             "conv_id": t.column("conv_id").take(pa.array(r_idx)),
             "turn_idx": pc.cast(
@@ -1073,12 +1063,11 @@ def masked_spans(sf_dir: str):
     functions (row_number gaps-and-islands)."""
 
     def plan(t: pa.Table) -> pa.Table:
+        from nativeextractor_ray.functions.vectors import explode_list
+
         lst = pc.split_pattern_regex(t.column("text"), r"\s+")
-        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
-        off = np.asarray(lst.offsets)
-        off = off - off[0]
-        d_idx = np.repeat(np.arange(len(lst)), np.diff(off))
-        toks = np.asarray(lst.flatten())
+        d_idx, _, flat = explode_list(lst)
+        toks = np.asarray(flat)
         keep = toks != ""
         d_idx = d_idx[keep]
         n = len(d_idx)
@@ -1092,6 +1081,14 @@ def masked_spans(sf_dir: str):
         counts = np.diff(np.r_[starts, n])
         idx = np.arange(n) - np.repeat(starts, counts)
         dids = t.column("doc_id").to_numpy()[d_idx]
+        # documented-bound raise (errors_prior_window convention): past
+        # the bound numpy would WRAP where DuckDB errors — a silent
+        # Ray/oracle divergence, so fail loudly instead
+        worst = int(dids.max()) * MASK_MULT_DOC + int(idx.max()) * MASK_MULT_TOK
+        if worst >= (1 << 63):
+            raise ValueError(
+                f"masked_spans: doc_id {int(dids.max())} with token idx "
+                f"{int(idx.max())} exceeds the int64 hash bound (~3.1e9 docs)")
         masked = ((dids * MASK_MULT_DOC + idx * MASK_MULT_TOK)
                   % MASK_MOD) < MASK_THR
         mdid, midx = dids[masked], idx[masked]

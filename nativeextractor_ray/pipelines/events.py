@@ -499,12 +499,14 @@ def value_outliers(sf_dir: str, z: float = Z_THRESH):
 
     Float discipline (the module rule, hardened): moments are accumulated
     as EXACT integers — per-batch partial (n, Σcents, Σcents²) rows per
-    type (int64; the cents² sum is re-combined in arbitrary-precision
-    Python so no corpus size can overflow it), one tiny rollup to the
-    driver (rows = types × blocks — vocabulary-bounded, a metrics rollup,
-    not data), and mean/std derive from those exact integers with the
-    same f64 expression DuckDB evaluates — so the z filter and the
-    rounded z column are reproducible bit-for-bit, not just to rounding.
+    type, carried as hi/lo int64 PAIRS (124-bit: Σcents² overflows a
+    single int64 from ONE |value| ≥ ~3e7 row) and re-combined in
+    arbitrary-precision Python inside a per-type ``map_groups`` so no
+    corpus size can overflow them; mean/std then derive from those exact
+    integers with the same f64 expression DuckDB evaluates — so the z
+    filter and the rounded z column are reproducible bit-for-bit, not
+    just to rounding.  Documented bound (loud raise, never a silent
+    wrap): |cents| < 2^50 per value and < 2^24 rows per batch.
     Pass 2 is a pure streaming filter with the tiny stats map broadcast
     in the task closure."""
     import ray  # noqa: F401
@@ -512,20 +514,47 @@ def value_outliers(sf_dir: str, z: float = Z_THRESH):
     ds = _events(sf_dir, ["event_id", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
-        tmp = pa.table({
-            "event_type": t.column("event_type"),
-            "c": cents,
-            "c2": pc.multiply(cents, cents),
-            "one": pa.array(np.ones(len(t), dtype=np.int64)),
-        })
-        g = tmp.group_by("event_type").aggregate(
-            [("c", "sum"), ("c2", "sum"), ("one", "sum")])
+        import pandas as pd
+
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64()).to_numpy()
+        codes, uniq = pd.factorize(
+            t.column("event_type").to_numpy(zero_copy_only=False))
+        mx = int(np.abs(cents).max()) if len(cents) else 0
+        if mx >= (1 << 50) or len(cents) >= (1 << 24):
+            raise ValueError(
+                f"value_outliers: |cents| {mx} / batch rows {len(cents)} "
+                "exceed the documented exact-moment bound (2^50 / 2^24) — "
+                "rescale the cents unit")
+        if mx * mx * max(len(cents), 1) < (1 << 62):
+            # fast path: the whole batch's Σcents² provably fits int64
+            # (and a fortiori Σcents does) — pure int64 accumulation
+            s1v = np.zeros(len(uniq), np.int64)
+            s2v = np.zeros(len(uniq), np.int64)
+            np.add.at(s1v, codes, cents)
+            np.add.at(s2v, codes, cents * cents)
+            s1 = [int(v) for v in s1v]
+            s2 = [int(v) for v in s2v]
+        else:
+            # exact big-int path for extreme values (cents² can exceed
+            # int64 from a SINGLE |value| ≥ ~3e7 row); within the bound
+            # above, |Σc| < 2^74 and Σc² < 2^124 — both fit the hi/lo
+            # int64 pair encoding below
+            s1, s2 = [], []
+            for u in range(len(uniq)):
+                vals = [int(c) for c in cents[codes == u]]
+                s1.append(sum(vals))
+                s2.append(sum(v * v for v in vals))
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lo_mask = (1 << 62) - 1
         return pa.table({
-            "event_type": g.column("event_type"),
-            "s1": pc.cast(g.column("c_sum"), pa.int64()),
-            "s2": pc.cast(g.column("c2_sum"), pa.int64()),
-            "n": pc.cast(g.column("one_sum"), pa.int64()),
+            "event_type": pa.array(uniq.astype(object), pa.string()),
+            # v == (v >> 62 << 62) + (v & mask) exactly, negatives included
+            "s1_hi": pa.array([v >> 62 for v in s1], pa.int64()),
+            "s1_lo": pa.array([v & lo_mask for v in s1], pa.int64()),
+            "s2_hi": pa.array([v >> 62 for v in s2], pa.int64()),
+            "s2_lo": pa.array([v & lo_mask for v in s2], pa.int64()),
+            "n": pa.array(n),
         })
 
     def combine(g):
@@ -535,8 +564,8 @@ def value_outliers(sf_dir: str, z: float = Z_THRESH):
         # partials would pull blocks × types rows; this pulls types rows.
         import pandas as pd
 
-        s1 = sum(int(v) for v in g["s1"])
-        s2 = sum(int(v) for v in g["s2"])
+        s1 = sum((int(h) << 62) + int(l) for h, l in zip(g["s1_hi"], g["s1_lo"]))
+        s2 = sum((int(h) << 62) + int(l) for h, l in zip(g["s2_hi"], g["s2_lo"]))
         n = sum(int(v) for v in g["n"])
         # the EXACT f64 expression the oracle evaluates: mean = s1/n,
         # var = s2/n - mean*mean (deterministic IEEE ops on exact ints)

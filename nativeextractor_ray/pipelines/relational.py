@@ -275,7 +275,7 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
     key_ds = keys.map_batches(distinct_keys, batch_format="pyarrow")
 
     if (key_ds.size_bytes() or 0) <= SEMI_BROADCAST_BOUND:
-        parts = [ray.get(r) for r in key_ds.to_arrow_refs()]
+        parts = ray.get(key_ds.to_arrow_refs())  # one batched fetch
         arr = np.unique(np.concatenate(
             [p.column("k").to_numpy() for p in parts if p.num_rows]
             or [np.array([], np.int64)]))
@@ -296,24 +296,52 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
 
     n_parts = adaptive_parts(sf_dir or ".", table="orders") if sf_dir else 64
 
-    def tag(is_key: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.append_column(
-                "is_key", pa.array(np.full(t.num_rows, is_key, bool)))
-            return t.append_column(
-                "part", stable_part(
-                    t, ["k" if is_key else left_key], n_parts))
-        return fn
+    # both union sides are padded to ONE identical, fully NON-NULL schema
+    # (key rows carry typed default fillers in the left's payload columns,
+    # and their key value in left_key itself).  Null-padding instead would
+    # flip int64 columns to float64 in the per-partition pandas frames —
+    # lossy above 2^53 on the membership compare — and a partition whose
+    # blocks all come from one side would miss the other side's columns
+    # entirely (KeyError in resolve).
+    lschema = left.schema().base_schema
+    lcols = [f.name for f in lschema]
 
-    lt = left.map_batches(tag(False), batch_format="pyarrow")
-    kt = key_ds.map_batches(tag(True), batch_format="pyarrow")
+    def _filler(typ, n: int) -> pa.Array:
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.array([""] * n, typ)
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, typ.to_pandas_dtype()), typ)
+        if pa.types.is_boolean(typ):
+            return pa.array(np.zeros(n, bool))
+        if pa.types.is_timestamp(typ):
+            return pa.array(np.zeros(n, "int64"), pa.int64()).cast(typ)
+        return pa.nulls(n, typ)  # exotic types: accept the pandas widening
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("k", pc.cast(t.column(left_key), pa.int64()))
+        t = t.append_column("is_key", pa.array(np.zeros(t.num_rows, bool)))
+        return t.append_column("part", stable_part(t, ["k"], n_parts))
+
+    def tag_key(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in lschema:
+            if f.name == left_key:
+                cols[f.name] = pc.cast(t.column("k"), f.type)
+            else:
+                cols[f.name] = _filler(f.type, t.num_rows)
+        cols["k"] = t.column("k")
+        out = pa.table(cols)
+        out = out.append_column("is_key", pa.array(np.ones(t.num_rows, bool)))
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    kt = key_ds.map_batches(tag_key, batch_format="pyarrow")
 
     def resolve(df):
         keys_here = df.loc[df["is_key"], "k"].to_numpy()
-        l = df[~df["is_key"]].drop(columns=["is_key", "part", "k"],
-                                   errors="ignore")
+        l = df[~df["is_key"]].drop(columns=["is_key", "part", "k"])
         hit = np.isin(l[left_key].to_numpy(), keys_here)
-        return l[~hit if anti else hit]
+        return (l[~hit if anti else hit])[lcols]
 
     return lt.union(kt).groupby("part").map_groups(
         resolve, batch_format="pandas")

@@ -264,3 +264,62 @@ def test_domain_mix_temperature_interpolates(ray_session, tmp_path):
     # deterministic: same doc -> same verdict across runs
     again = _df(domain_mix_temperature(sf, alpha=0.5))
     assert sorted(again["doc_id"]) == sorted(mid["doc_id"])
+
+
+def test_anti_join_shuffle_sparse_partitions(ray_session, tmp_path, monkeypatch):
+    """Regression: with few rows and many hash partitions, most partitions
+    hold rows from only ONE side — resolve() must not KeyError, int keys
+    must stay exact int64 (no float padding), and output must equal the
+    broadcast path."""
+    from nativeextractor_ray.pipelines import relational
+
+    big = (1 << 55) + 3  # far above float64's 2^53 exact-int range
+    sf = _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5, big], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d", "e", "f"]),
+        "c_mktsegment": pa.array(["S"] * 6),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([2, big], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"]),
+    }))
+
+    a = _df(relational.customers_without_orders(sf)).sort_values(
+        "c_custkey").reset_index(drop=True)
+    assert list(a["c_custkey"]) == [1, 3, 4, 5]
+
+    monkeypatch.setattr(relational, "SEMI_BROADCAST_BOUND", 0)
+    b = _df(relational.customers_without_orders(sf)).sort_values(
+        "c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert str(b["c_custkey"].dtype) == "int64"
+
+
+def test_value_outliers_extreme_values_exact(ray_session, tmp_path):
+    """Values whose cents² exceeds int64 take the exact big-int path and
+    still produce the correct outlier set."""
+    from nativeextractor_ray.pipelines.events import value_outliers
+
+    vals = [1.0e8] * 50 + [9.0e8]  # cents 1e10 -> cents² 1e20 > 2^63
+    sf = _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(list(range(len(vals))), pa.int64()),
+        "event_type": pa.array(["x"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    got = _df(value_outliers(sf))
+    assert list(got["event_id"]) == [len(vals) - 1]
+
+
+def test_masked_spans_overflow_raises(ray_session, tmp_path):
+    """Past the documented doc_id bound the hash would wrap where DuckDB
+    errors — the operator must fail loudly instead of diverging."""
+    import pytest
+
+    from nativeextractor_ray.pipelines.curation import masked_spans
+
+    sf = _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([1 << 33], pa.int64()),
+        "text": pa.array(["one two three"]),
+    }))
+    with pytest.raises(Exception, match="int64 hash bound"):
+        _df(masked_spans(sf))
