@@ -236,8 +236,12 @@ def _tok_checksum(tokens: list[str]) -> int:
 #: per-process encoded-word memo (task-mode compile-once economics, the
 #: extract.py per-process cache shape): Zipfian corpora re-encode the same
 #: head words constantly, so the cache turns the per-word merge loop into
-#: a dict hit for ~all occurrences
+#: a dict hit for ~all occurrences.  Capped: on an open-vocabulary web
+#: corpus the long tail would otherwise grow the per-worker dict without
+#: bound; once full, new tail words are encoded but not memoized (the
+#: Zipf head — the words that matter — is cached within the first blocks).
 _ENC_CACHE: dict = {}
+_ENC_CACHE_CAP = 1 << 20
 
 
 def bpe_encode(sf_dir: str, k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS):
@@ -281,7 +285,8 @@ def bpe_encode(sf_dir: str, k: int = BPE_MERGES, max_words: int = BPE_MAX_WORDS)
             if hit is None:
                 tk = _apply_merges(w, rk)
                 hit = (len(tk), _tok_checksum(tk))
-                cache[w] = hit
+                if len(cache) < _ENC_CACHE_CAP:
+                    cache[w] = hit
             lens[u], cks[u] = hit
         n = len(t)
         n_words = np.bincount(d_idx, minlength=n).astype(np.int64)

@@ -497,7 +497,11 @@ def curated_docs(sf_dir: str):
             rows = rows[dropped[pos] != ids]
         return pd.DataFrame({
             "doc_id": rows["doc_id"].to_numpy(dtype=np.int64),
-            "text": rows["text"].to_numpy(),
+            # an all-dropped partition must keep a STRING-typed text
+            # column — an empty object array would infer pa.null() and
+            # break schema unification (decontam.attach's typed-empty rule)
+            "text": rows["text"].to_numpy() if len(rows)
+            else np.array([], dtype=str),
         })
 
     survivors = (

@@ -224,9 +224,6 @@ def _minhash_batch(t: pa.Table, n_parts: int = N_PARTS,
     return mh(t)
 
 
-_EMPTY_PAIRS_DF_COLS = ("doc_a", "doc_b", "est_jaccard")
-
-
 def _empty_pairs_df() -> pd.DataFrame:
     return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                          "doc_b": pd.array([], dtype="int64"),
@@ -567,7 +564,11 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
                 sa = flat_[offs_[ia]:offs_[ia + 1]]
                 sb = flat_[offs_[ib]:offs_[ib + 1]]
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
-                j = inter / (sa.size + sb.size - inter)
+                union = sa.size + sb.size - inter
+                # two token-free docs: 0/0 — the SQL oracle's NULL-division
+                # row is excluded by WHERE, so exclude here too (exact
+                # dedup owns the empty-doc case)
+                j = inter / union if union else 0.0
                 if j >= threshold:
                     a_out.append(int(a[i])); b_out.append(int(b[i]))
                     j_out.append(round(j, 6))
@@ -629,7 +630,9 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
             sa = np.frombuffer(sh_a, dtype=np.uint64)
             sb = np.frombuffer(sh_b, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            j = inter / (sa.size + sb.size - inter)
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 0.0  # empty docs: match the
+            # oracle's NULL-division exclusion (see bverify)
             if j >= threshold:
                 a_out.append(int(a)); b_out.append(int(b)); j_out.append(round(j, 6))
         return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),

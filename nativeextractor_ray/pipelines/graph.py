@@ -183,14 +183,16 @@ def entity_pagerank(sf_dir: str, iters: int = PR_ITERS,
             deg += np.frombuffer(b, dtype=np.int64)
 
     rank = np.full(n, 1.0 / n)
+    dref = ray.put(deg)  # O(|entities|): broadcast ONCE, never closure-shipped
     for _ in range(iters):
         rref = ray.put(rank)
 
         def contrib(t: pa.Table) -> pa.Table:
             r = ray.get(rref)
+            dg = ray.get(dref)
             s = t.column("s").to_numpy()
             o = t.column("o").to_numpy()
-            w = r[s] / deg[s]  # deg[s] ≥ 1: s has this very out-edge
+            w = r[s] / dg[s]  # dg[s] ≥ 1: s has this very out-edge
             v = np.bincount(o, weights=w, minlength=n)
             return pa.table({"v": pa.array([v.tobytes()], pa.binary())})
 
@@ -246,8 +248,9 @@ def entity_pmi(sf_dir: str, min_cooc: int = 2):
         raise ValueError(
             "entity_pmi: entity-count table exceeds the driver bound "
             f"({mc.size_bytes()} B) — shard or raise VOCAB_BOUND deliberately")
-    parts = [ray.get(r) for r in mc.to_arrow_refs()]
-    tab = pa.concat_tables([p for p in parts if p.num_rows])
+    parts = ray.get(mc.to_arrow_refs())
+    tab = pa.concat_tables(
+        [p for p in parts if p.num_rows] or parts[:1])  # empty-stream guard
     ents = tab.column("ent").to_numpy(zero_copy_only=False)
     cnts = tab.column("c").to_numpy()
     order = np.argsort(ents)

@@ -157,8 +157,9 @@ def lm_score(sf_dir: str, v: int = LM_VOCAB_V):
     ctx_ref = ray.put(ctx)
 
     if (model.size_bytes() or 0) <= MODEL_BROADCAST_BOUND:
-        parts = [ray.get(r) for r in model.to_arrow_refs()]
-        tab = pa.concat_tables([p for p in parts if p.num_rows])
+        parts = ray.get(model.to_arrow_refs())
+        tab = pa.concat_tables(
+            [p for p in parts if p.num_rows] or parts[:1])  # empty guard
         mk = tab.column("key").to_numpy()
         mc = tab.column("cnt").to_numpy()
         order = np.argsort(mk)

@@ -323,3 +323,26 @@ def test_masked_spans_overflow_raises(ray_session, tmp_path):
     }))
     with pytest.raises(Exception, match="int64 hash bound"):
         _df(masked_spans(sf))
+
+
+# ------------------------------------------------- minhash empty-doc guard
+
+
+def test_dedup_minhash_empty_docs_no_crash(ray_session, tmp_path):
+    """Regression: ≥2 token-free docs share every LSH band bucket (their
+    empty shingle sets hash to identical all-max signatures) and used to
+    raise ZeroDivisionError in the exact-verify leg; now they are excluded
+    like the oracle's NULL-division rows, while a real dup pair still
+    verifies."""
+    from nativeextractor_ray.pipelines.dedup import dedup_minhash_pairs
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    sf = _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "   ", "", dup, dup]),
+    }))
+
+    got = _df(dedup_minhash_pairs(sf))
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (3, 4) in pairs or (4, 3) in pairs
+    assert all(a not in (0, 1, 2) and b not in (0, 1, 2) for a, b in pairs)
