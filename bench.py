@@ -424,23 +424,41 @@ def main_scaling() -> None:
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True, timeout=3600,
                 )
-                line = [l for l in p.stdout.strip().splitlines()
-                        if l.startswith("{")][-1]
-                r = json.loads(line)
+                lines = [l for l in p.stdout.strip().splitlines()
+                         if l.startswith("{")]
+                if not lines:
+                    # a failed leg must not kill the whole run — report it
+                    # and let best-of-N fall back to the surviving trial
+                    print(f"[scaling] {job}@{cpus} leg produced no JSON "
+                          f"(rc={p.returncode}); stderr tail:\n"
+                          + "\n".join(p.stderr.splitlines()[-15:]),
+                          file=sys.stderr)
+                    continue
+                r = json.loads(lines[-1])
                 # best-of-N: peak sustained throughput estimates capacity;
                 # shared-host noise only ever subtracts
                 if best is None or r["rate"] > best["rate"]:
                     best = r
             results[cpus] = best
+        if results[4] is None or results[16] is None:
+            print(f"[scaling] {job}: a level failed every trial — skipped",
+                  file=sys.stderr)
+            continue
         lo, hi = results[4], results[16]
         eff = (hi["rate"] / 16) / (lo["rate"] / 4)
         effs[job] = round(eff, 3)
         queries[f"{job}_rate@4"] = round(lo["rate"], 2)
         queries[f"{job}_rate@16"] = round(hi["rate"], 2)
         queries[f"{job}_efficiency"] = round(eff, 3)
+        # window-quality evidence: mean busy-loop M iters/s on the leg's
+        # cores — legs with unequal probes are clock-confounded
+        if "core_speed" in (lo or {}):
+            queries[f"{job}_corespeed@4"] = lo["core_speed"]
+            queries[f"{job}_corespeed@16"] = hi["core_speed"]
         if job == "headline":
             hi_turns = hi.get("turns")
-    headline_eff = effs.get("headline", next(iter(effs.values())))
+    headline_eff = effs.get("headline",
+                            next(iter(effs.values()), float("nan")))
     print(json.dumps({
         "metric": "scaling efficiency (4 -> 16 CPUs, fresh sessions)",
         "value": headline_eff,
@@ -464,7 +482,17 @@ def _loaded_socket_fixture() -> list:
     total = os.cpu_count() or NUM_CPUS
     if NUM_CPUS >= total:
         return []
-    os.sched_setaffinity(0, range(NUM_CPUS))
+    # STRIDE-sample the Ray cores across the whole socket instead of
+    # taking the first N: on this shared host, core speeds are visibly
+    # heterogeneous under co-tenant load (measured 7.2M loops/s on cores
+    # 0-29 vs 11.3M on 30-31 in one window), so "first 4" vs "first 16"
+    # compares different core-speed MIXES and fabricates super-/sub-linear
+    # artifacts.  Evenly-spaced cores give every leg the same expected
+    # mix — the homogeneous-node assumption a real N vs 4N cluster
+    # comparison rests on.
+    stride = total // NUM_CPUS
+    ray_cores = list(range(0, total, stride))[:NUM_CPUS]
+    os.sched_setaffinity(0, ray_cores)
     spin = (
         "import os,itertools,sys;"
         f"os.sched_setaffinity(0, [int(sys.argv[1])]);"
@@ -472,7 +500,7 @@ def _loaded_socket_fixture() -> list:
         "while True: c=(c+1)%1000003"
     )
     procs = []
-    for cpu in range(NUM_CPUS, total):
+    for cpu in sorted(set(range(total)) - set(ray_cores)):
         procs.append(subprocess.Popen(
             [sys.executable, "-c", spin, str(cpu)],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -527,10 +555,32 @@ def main_headline_only() -> None:
             "queries": {job: round(dt, 3)}, "sf": SF_DIR,
             "num_cpus": NUM_CPUS, "rate": round(n_docs / dt, 2),
         }
+    out["core_speed"] = _core_speed_probe()
     for p in spinners:
         p.kill()
     print(json.dumps(out))
     ray.shutdown()
+
+
+def _core_speed_probe(secs: float = 0.2) -> float:
+    """Objective window-quality signal reported with every scaling leg:
+    mean busy-loop rate (M iters/s) over this process's allowed cores.
+    External co-tenant load is invisible in /proc from this container but
+    shows up directly here — legs whose probes differ are not comparable
+    (the source of the confounded 1.4-2.3 'superlinear' readings)."""
+    import time as _t
+
+    allowed = sorted(os.sched_getaffinity(0))
+    rates = []
+    for cpu in allowed[: min(len(allowed), 4)]:
+        os.sched_setaffinity(0, [cpu])
+        t0 = _t.perf_counter()
+        c = 0
+        while _t.perf_counter() - t0 < secs:
+            c += 1
+        rates.append(c / secs / 1e6)
+    os.sched_setaffinity(0, allowed)
+    return round(sum(rates) / len(rates), 2)
 
 
 if __name__ == "__main__":
