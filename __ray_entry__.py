@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         quantiles,
         relational,
+        retrieval,
         similarity,
         textstats,
     )
@@ -56,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-3 late additions — never driver-checked, so first of all:
+        "bm25_topk": retrieval.bm25_topk,  # Okapi BM25 keyword top-k
+        "pricing_summary": relational.pricing_summary,  # TPC-H Q1 shape
         "masked_spans": curation.masked_spans,  # T5 span-corruption plan
         "domain_mix_temperature": curation.domain_mix_temperature,
         "sentence_split": curation.sentence_split,  # row-explosion flat_map
@@ -161,12 +164,15 @@ def oracle_sql() -> dict[str, str]:
         multimodal,
         quantiles,
         relational,
+        retrieval,
         similarity,
         textstats,
     )
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
+        "bm25_topk": retrieval.bm25_topk_sql(),
+        "pricing_summary": relational.pricing_summary_sql(),
         "masked_spans": curation.MASKED_SPANS_SQL,
         # thresholds computed once on the driver, embedded as literals
         # (pow() is not bit-reproducible across engines)

@@ -310,6 +310,8 @@ def run_suite() -> dict:
         "embedding_quantize": ("nativeextractor_ray.pipelines.similarity", "embedding_quantize"),
         "masked_spans": ("nativeextractor_ray.pipelines.curation", "masked_spans"),
         "domain_mix_temperature": ("nativeextractor_ray.pipelines.curation", "domain_mix_temperature"),
+        "bm25_topk": ("nativeextractor_ray.pipelines.retrieval", "bm25_topk"),
+        "pricing_summary": ("nativeextractor_ray.pipelines.relational", "pricing_summary"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -456,10 +456,12 @@ def curated_docs(sf_dir: str):
         })
 
     if (drop_ds.size_bytes() or 0) <= _dd.COMPONENT_BROADCAST_BOUND:
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
         drop = np.sort(np.concatenate(
             [t.column("doc_id").to_numpy()
-             for t in (ray.get(r) for r in drop_ds.to_arrow_refs())
-             if t.num_rows] or [np.array([], dtype=np.int64)]
+             for t in arrow_blocks(drop_ds)]
+            or [np.array([], dtype=np.int64)]
         ).astype(np.int64))
         dref = ray.put(drop)
 

@@ -99,9 +99,10 @@ def decontaminate(sf_dir: str, n: int = DECONTAM_N):
             "decontaminate: benchmark gram set exceeds the broadcast bound "
             f"({bench.size_bytes()} B) — the benchmark subset is supposed "
             "to be fixed-size; check BENCH_MOD / the benchmark predicate")
-    parts = [ray.get(r) for r in bench.to_arrow_refs()]
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
     bset = np.unique(np.concatenate(
-        [t.column("g").to_numpy() for t in parts if t.num_rows]
+        [t.column("g").to_numpy() for t in arrow_blocks(bench)]
         or [np.array([], dtype=np.int64)]))
     bref = ray.put(bset)
 
@@ -208,9 +209,10 @@ def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
 
     if (df_ds.size_bytes() or 0) <= bound:
         # broadcast path: the survivor set is Zipf-bounded (≤ grams/min_df)
-        parts = [ray.get(r) for r in df_ds.to_arrow_refs()]
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
         boiler = np.unique(np.concatenate(
-            [t.column("g").to_numpy() for t in parts if t.num_rows]
+            [t.column("g").to_numpy() for t in arrow_blocks(df_ds)]
             or [np.array([], dtype=np.int64)]))
         boil_ref = ray.put(boiler)
 

@@ -394,12 +394,13 @@ def _bloom_from_pairs(pairs_ds, n_pairs: int):
             t.column("doc_a").to_numpy(), t.column("doc_b").to_numpy()]))
         return pa.table({"doc_id": pa.array(u, pa.int64())})
 
-    for ref in pairs_ds.map_batches(
-            block_ids, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            filt.add(t.column("doc_id").to_numpy())
-        del t  # streamed fold: free before pulling the next block
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    # streamed fold: arrow_blocks pulls one block at a time
+    for t in arrow_blocks(pairs_ds.map_batches(
+            block_ids, batch_format="pyarrow")):
+        filt.add(t.column("doc_id").to_numpy())
+        del t
     return filt
 
 
@@ -451,8 +452,9 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
     if (cand.size_bytes() or 0) <= PAIR_DRIVER_BOUND:
         # Small side: pull pair blocks, dedup exactly on the driver, and
         # broadcast the candidate ids as a sorted array.
-        idt = [ray.get(r) for r in cand.to_arrow_refs()]
-        pair_tbls = [t.select(["doc_a", "doc_b"]) for t in idt if t.num_rows]
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
+        pair_tbls = [t.select(["doc_a", "doc_b"]) for t in arrow_blocks(cand)]
         if not pair_tbls:
             return _empty_pairs()
 
@@ -522,15 +524,15 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
         # flat columnar map, not a dict: (sorted ids, offsets, one buffer)
         # builds with numpy concatenates (the dict build was a serial
         # driver leg measured in seconds at sf1) and broadcasts compactly
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
         id_arrs, len_arrs, buf_parts = [], [], []
-        for r in shingles.to_arrow_refs():
-            t = ray.get(r)
-            if t.num_rows:
-                sh = t.column("sh")
-                id_arrs.append(t.column("doc_id").to_numpy())
-                len_arrs.append(
-                    pc.binary_length(sh).to_numpy().astype(np.int64) // 8)
-                buf_parts.append(b"".join(sh.to_pylist()))
+        for t in arrow_blocks(shingles):
+            sh = t.column("sh")
+            id_arrs.append(t.column("doc_id").to_numpy())
+            len_arrs.append(
+                pc.binary_length(sh).to_numpy().astype(np.int64) // 8)
+            buf_parts.append(b"".join(sh.to_pylist()))
             del t
         sh_ids = np.concatenate(id_arrs) if id_arrs else np.array([], np.int64)
         lens = (np.concatenate(len_arrs) if len_arrs
@@ -1132,9 +1134,9 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
 
         uf = UnionFind()
         members: dict[int, int] = {}
-        for t in (ray.get(r) for r in pairs.to_arrow_refs()):
-            if not t.num_rows:
-                continue
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
+        for t in arrow_blocks(pairs):
             for a, b in zip(t.column("doc_a").to_pylist(),
                             t.column("doc_b").to_pylist()):
                 uf.union(str(a), str(b))
@@ -1172,11 +1174,12 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
             return _label_by_merge(_docs(sf_dir, columns=("doc_id",)), comp_ds,
                                    _adaptive_nparts(sf_dir))
         # small side after all: stream blocks into flat arrays (no dict)
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
         by_node = {}
-        for t in (ray.get(r) for r in comp_ds.to_arrow_refs()):
-            if t.num_rows:
-                by_node.update(zip(t.column("node").to_pylist(),
-                                   t.column("component").to_pylist()))
+        for t in arrow_blocks(comp_ds):
+            by_node.update(zip(t.column("node").to_pylist(),
+                               t.column("component").to_pylist()))
 
     keys = np.array(sorted(by_node), dtype=np.int64)
     vals = np.array([by_node[int(k)] for k in keys], dtype=np.int64)
@@ -1486,13 +1489,13 @@ def dedup_incremental(sf_dir: str, mod: int = INCR_MOD):
     _KDT = np.dtype([("a", ">u8"), ("b", ">u8")])
 
     if (index.size_bytes() or 0) <= INCR_BROADCAST_BOUND:
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
         kas, kbs, cs = [], [], []
-        for r in index.to_arrow_refs():
-            t = ray.get(r)
-            if t.num_rows:
-                kas.append(t.column("ka").to_numpy())
-                kbs.append(t.column("kb").to_numpy())
-                cs.append(t.column("c").to_numpy())
+        for t in arrow_blocks(index):
+            kas.append(t.column("ka").to_numpy())
+            kbs.append(t.column("kb").to_numpy())
+            cs.append(t.column("c").to_numpy())
         if kas:
             keys = np.empty(sum(len(x) for x in kas), dtype=_KDT)
             keys["a"] = np.concatenate(kas)

@@ -36,6 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from nativeextractor_ray.functions.blocks import arrow_blocks
+
 N_EDGE_PARTS = 256
 VOCAB_BOUND = 256 << 20  # bytes of entity strings allowed on the driver
 PR_ITERS = 5
@@ -133,10 +135,9 @@ def _entity_ids(edges):
             "entity_pagerank: entity vocabulary exceeds the driver bound "
             f"({vocab.size_bytes()} B) — the rank vector no longer fits; "
             "shard the graph or raise VOCAB_BOUND deliberately")
-    parts = [ray.get(r) for r in vocab.to_arrow_refs()]
     names = np.unique(np.concatenate(
         [t.column("entity").to_numpy(zero_copy_only=False)
-         for t in parts if t.num_rows]
+         for t in arrow_blocks(vocab)]
         or [np.array([], dtype=object)]))
     return names
 
@@ -176,9 +177,8 @@ def entity_pagerank(sf_dir: str, iters: int = PR_ITERS,
                                        pa.binary())})
 
     deg = np.zeros(n, dtype=np.int64)
-    for ref in enc.map_batches(deg_partial,
-                               batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(enc.map_batches(deg_partial,
+                                          batch_format="pyarrow")):
         for b in t.column("v").to_pylist():
             deg += np.frombuffer(b, dtype=np.int64)
 
@@ -197,9 +197,8 @@ def entity_pagerank(sf_dir: str, iters: int = PR_ITERS,
             return pa.table({"v": pa.array([v.tobytes()], pa.binary())})
 
         acc = np.zeros(n)
-        for ref in enc.map_batches(contrib,
-                                   batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(enc.map_batches(contrib,
+                                              batch_format="pyarrow")):
             for b in t.column("v").to_pylist():
                 acc += np.frombuffer(b, dtype=np.float64)
         dangling = rank[deg == 0].sum()
@@ -248,11 +247,14 @@ def entity_pmi(sf_dir: str, min_cooc: int = 2):
         raise ValueError(
             "entity_pmi: entity-count table exceeds the driver bound "
             f"({mc.size_bytes()} B) — shard or raise VOCAB_BOUND deliberately")
-    parts = ray.get(mc.to_arrow_refs())
-    tab = pa.concat_tables(
-        [p for p in parts if p.num_rows] or parts[:1])  # empty-stream guard
-    ents = tab.column("ent").to_numpy(zero_copy_only=False)
-    cnts = tab.column("c").to_numpy()
+    parts = list(arrow_blocks(mc))
+    if parts:
+        tab = pa.concat_tables(parts)
+        ents = tab.column("ent").to_numpy(zero_copy_only=False)
+        cnts = tab.column("c").to_numpy()
+    else:  # empty-stream guard
+        ents = np.array([], dtype=object)
+        cnts = np.array([], dtype=np.int64)
     order = np.argsort(ents)
     cref = ray.put((ents[order], cnts[order]))
 

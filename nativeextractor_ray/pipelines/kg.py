@@ -141,11 +141,10 @@ def canonical_map(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
     counts = dict_only.groupby("surface").aggregate(Count(alias_name="n_mentions"))
-    tbl = counts.to_arrow_refs()
-    import ray
+    from nativeextractor_ray.functions.blocks import arrow_blocks
 
-    parts = [ray.get(r) for r in tbl]
-    surf_tbl = pa.concat_tables([p for p in parts if p.num_rows]) if parts else None
+    parts = list(arrow_blocks(counts))
+    surf_tbl = pa.concat_tables(parts) if parts else None
     if surf_tbl is None or surf_tbl.num_rows == 0:
         return pa.table(
             {"surface": pa.array([], pa.string()),

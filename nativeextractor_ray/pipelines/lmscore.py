@@ -132,9 +132,11 @@ def _ctx_vector(model, veff: int) -> np.ndarray:
         return pa.table({"v": pa.array([v.astype(np.int64).tobytes()],
                                        pa.binary())})
 
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
     ctx = np.zeros(veff, dtype=np.int64)
-    for ref in model.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
-        for b in ray.get(ref).column("v").to_pylist():
+    for t in arrow_blocks(model.map_batches(partial, batch_format="pyarrow")):
+        for b in t.column("v").to_pylist():
             ctx += np.frombuffer(b, dtype=np.int64)
     return ctx
 
@@ -157,11 +159,16 @@ def lm_score(sf_dir: str, v: int = LM_VOCAB_V):
     ctx_ref = ray.put(ctx)
 
     if (model.size_bytes() or 0) <= MODEL_BROADCAST_BOUND:
-        parts = ray.get(model.to_arrow_refs())
-        tab = pa.concat_tables(
-            [p for p in parts if p.num_rows] or parts[:1])  # empty guard
-        mk = tab.column("key").to_numpy()
-        mc = tab.column("cnt").to_numpy()
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
+        parts = list(arrow_blocks(model))
+        if parts:
+            tab = pa.concat_tables(parts)
+            mk = tab.column("key").to_numpy()
+            mc = tab.column("cnt").to_numpy()
+        else:  # empty corpus: empty model
+            mk = np.array([], dtype=np.int64)
+            mc = np.array([], dtype=np.int64)
         order = np.argsort(mk)
         mref = ray.put((mk[order], mc[order]))
 

@@ -275,9 +275,10 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
     key_ds = keys.map_batches(distinct_keys, batch_format="pyarrow")
 
     if (key_ds.size_bytes() or 0) <= SEMI_BROADCAST_BOUND:
-        parts = ray.get(key_ds.to_arrow_refs())  # one batched fetch
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
         arr = np.unique(np.concatenate(
-            [p.column("k").to_numpy() for p in parts if p.num_rows]
+            [p.column("k").to_numpy() for p in arrow_blocks(key_ds)]
             or [np.array([], np.int64)]))
         side = ray.put(arr)
 
@@ -375,3 +376,122 @@ CUSTOMERS_WITHOUT_ORDERS_SQL = f"""SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '{ANTI_PRIORITY}')"""
+
+
+# ------------------------------------------------- Q1-style pricing summary
+
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(sf_dir: str, cutoff: str = Q1_CUTOFF):
+    """TPC-H Q1-shaped pricing summary over ``lineitem`` — the canonical
+    wide-scan aggregate: filter on ship date, roll up per
+    ``(l_returnflag, l_linestatus)``.
+
+    Scale shape: ``lineitem`` is the LARGEST table, so everything reduces
+    inside ``map_batches`` first — each batch computes its own per-group
+    integer sums (6 groups), and only those partial rows (groups × blocks)
+    reach the tiny final ``groupby``.  The scan itself is column-pruned to
+    the 7 needed columns; nothing else leaves storage.
+
+    Float parity (oracle hash-checked): every money/quantity value is
+    converted to integer centi-units per ROW with explicit half-up
+    rounding (``floor(x + 0.5)`` — no engine rounding-mode ambiguity, cf.
+    ``similarity.embedding_quantize``), then summed exactly as int64;
+    averages are derived from the exact integer sums with one identical
+    float expression on both sides, rounded to 4 dp (the repo's
+    float-parity rule)."""
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem", [
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    cutoff_ts = np.datetime64(cutoff)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = t.column("l_shipdate").to_numpy() <= cutoff_ts
+        t = t.filter(pa.array(keep))
+        qty = t.column("l_quantity").to_numpy()
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        tax = t.column("l_tax").to_numpy()
+        tmp = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty_c": np.floor(qty * 100.0 + 0.5).astype(np.int64),
+            "base_c": np.floor(ep * 100.0 + 0.5).astype(np.int64),
+            "disc_c": np.floor(ep * (1.0 - disc) * 100.0 + 0.5
+                               ).astype(np.int64),
+            "charge_c": np.floor(ep * (1.0 - disc) * (1.0 + tax) * 100.0
+                                 + 0.5).astype(np.int64),
+            "disc_bp": np.floor(disc * 10000.0 + 0.5).astype(np.int64),
+        })
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+             ("charge_c", "sum"), ("disc_bp", "sum"), ("qty_c", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty_c": g.column("qty_c_sum"),
+            "sum_base_c": g.column("base_c_sum"),
+            "sum_disc_c": g.column("disc_c_sum"),
+            "sum_charge_c": g.column("charge_c_sum"),
+            "sum_disc_bp": g.column("disc_bp_sum"),
+            "n_rows": pc.cast(g.column("qty_c_count"), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"),
+                        Sum("sum_base_c", alias_name="sum_base_c"),
+                        Sum("sum_disc_c", alias_name="sum_disc_c"),
+                        Sum("sum_charge_c", alias_name="sum_charge_c"),
+                        Sum("sum_disc_bp", alias_name="sum_disc_bp"),
+                        Sum("n_rows", alias_name="n_rows")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_rows").to_numpy().astype(np.float64)
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty_c": t.column("sum_qty_c"),
+            "sum_base_c": t.column("sum_base_c"),
+            "sum_disc_c": t.column("sum_disc_c"),
+            "sum_charge_c": t.column("sum_charge_c"),
+            "avg_qty": np.round(
+                t.column("sum_qty_c").to_numpy() / 100.0 / n, 4),
+            "avg_price": np.round(
+                t.column("sum_base_c").to_numpy() / 100.0 / n, 4),
+            "avg_disc": np.round(
+                t.column("sum_disc_bp").to_numpy() / 10000.0 / n, 4),
+            "n_rows": t.column("n_rows"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_summary_sql(cutoff: str = Q1_CUTOFF) -> str:
+    return f"""WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS base_c,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS disc_c,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                    * 100.0 + 0.5) AS BIGINT) AS charge_c,
+         CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS disc_bp
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+       CAST(sum(base_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(disc_c) AS BIGINT) AS sum_disc_c,
+       CAST(sum(charge_c) AS BIGINT) AS sum_charge_c,
+       round(CAST(sum(qty_c) AS DOUBLE) / 100.0 / count(*), 4) AS avg_qty,
+       round(CAST(sum(base_c) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+       round(CAST(sum(disc_bp) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM c GROUP BY l_returnflag, l_linestatus"""

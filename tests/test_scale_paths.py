@@ -57,6 +57,24 @@ def test_clusters_distributed_label_merge_bit_identical(sf_dir, ray_session,
     assert forced == base
 
 
+def test_clusters_distributed_cc_small_component_map(sf_dir, ray_session,
+                                                     monkeypatch):
+    """The MIDDLE path: distributed CC (CC_DRIVER_MAX=-1) but the
+    component map still under COMPONENT_BROADCAST_BOUND, so it streams
+    back to the driver block by block.  Regression for the 500k-doc
+    scaling-run crash: the CC pipeline's sort/map_groups stages can leave
+    a *pandas* block in the materialized output even though the final
+    map_batches emitted Arrow, and the block stream must normalize it
+    (functions/blocks.arrow_blocks), not crash on ``.num_rows``."""
+    from nativeextractor_ray.pipelines import dedup
+
+    base = _cluster_rows(dedup.dedup_clusters(sf_dir))
+
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX", -1)  # broadcast bound kept
+    forced = _cluster_rows(dedup.dedup_clusters(sf_dir))
+    assert forced == base
+
+
 def test_curated_docs_anti_merge_bit_identical(sf_dir, ray_session,
                                                monkeypatch):
     """COMPONENT_BROADCAST_BOUND=0 forces curated_docs' drop application
