@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         retrieval,
         similarity,
+        sketches,
         textstats,
     )
     from nativeextractor_ray.sources.transcripts import transcripts_dataset
@@ -57,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-3 late additions — never driver-checked, so first of all:
+        "hll_users_by_type": sketches.hll_users_by_type,  # HLL vs exact
+        "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,  # BM25+dense RRF fuse
+        "shipping_priority_topk": relational.shipping_priority_topk,  # Q3
         "bm25_topk": retrieval.bm25_topk,  # Okapi BM25 keyword top-k
         "pricing_summary": relational.pricing_summary,  # TPC-H Q1 shape
         "masked_spans": curation.masked_spans,  # T5 span-corruption plan
@@ -166,11 +170,15 @@ def oracle_sql() -> dict[str, str]:
         relational,
         retrieval,
         similarity,
+        sketches,
         textstats,
     )
     from nativeextractor_ray.pipelines import oracles as o
 
     sqls = {
+        "hll_users_by_type": sketches.hll_users_by_type_sql(),
+        "hybrid_rrf_topk": retrieval.hybrid_rrf_topk_sql(),
+        "shipping_priority_topk": relational.shipping_priority_topk_sql(),
         "bm25_topk": retrieval.bm25_topk_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "masked_spans": curation.MASKED_SPANS_SQL,

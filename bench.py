@@ -312,6 +312,9 @@ def run_suite() -> dict:
         "domain_mix_temperature": ("nativeextractor_ray.pipelines.curation", "domain_mix_temperature"),
         "bm25_topk": ("nativeextractor_ray.pipelines.retrieval", "bm25_topk"),
         "pricing_summary": ("nativeextractor_ray.pipelines.relational", "pricing_summary"),
+        "hll_users_by_type": ("nativeextractor_ray.pipelines.sketches", "hll_users_by_type"),
+        "hybrid_rrf_topk": ("nativeextractor_ray.pipelines.retrieval", "hybrid_rrf_topk"),
+        "shipping_priority_topk": ("nativeextractor_ray.pipelines.relational", "shipping_priority_topk"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -495,3 +495,223 @@ SELECT l_returnflag, l_linestatus,
        round(CAST(sum(disc_bp) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM c GROUP BY l_returnflag, l_linestatus"""
+
+
+# ------------------------------------------- Q3-style shipping priority top-k
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+Q3_TOP_K = 10
+
+
+def shipping_priority_topk(sf_dir: str, segment: str = Q3_SEGMENT,
+                           date: str = Q3_DATE, k: int = Q3_TOP_K):
+    """TPC-H Q3-shaped three-table pipeline: revenue top-k of open orders
+    for one market segment — ``customer ⋈ orders ⋈ lineitem`` with
+    selective filters on every table, per-order revenue rollup, top-k.
+
+    Scale shape, in join-size order:
+
+    1. ``customer`` shrinks to segment custkeys and resolves against the
+       date-filtered ``orders`` as a SEMI join (:func:`semi_anti_join` —
+       broadcast under the bound, co-partitioned above; customer payloads
+       never move).
+    2. ``lineitem`` (the big table) never joins raw: the ship-date filter
+       + per-batch integer-cents revenue partials reduce it to
+       ``(l_orderkey, revenue_c)`` rows BEFORE its only shuffle, the
+       orderkey groupby.
+    3. The per-order revenue table picks up ``o_orderdate`` from the
+       doubly-filtered orders via the size-gated attach (broadcast
+       sorted-array probe under ``Q3_ATTACH_BOUND`` — the revenue side
+       never shuffles again — or a co-partitioned tagged-union merge
+       above it; the merge path is forced bit-identical in a pytest).
+       ``Dataset.join`` is deliberately NOT used here: its hash-shuffle
+       aggregator builds a zero-COLUMN table for a partition that
+       received no shards from one side, and pyarrow's join then fails
+       on the missing key field — any selective-filter join can produce
+       one-sided partitions.  Then one sort+limit(k).
+
+    Money parity: revenue in integer cents with explicit half-up
+    rounding per row (cf. :func:`pricing_summary`).
+
+    Output: ``(o_orderkey, revenue_c, o_orderdate)`` — revenue desc,
+    orderkey asc."""
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    cutoff = np.datetime64(date)
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t.column("c_mktsegment"), segment))
+                .select(["c_custkey"]))
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("o_orderdate").to_numpy() < cutoff))
+
+    orders_f = semi_anti_join(
+        orders.map_batches(open_orders, batch_format="pyarrow"),
+        cust.map_batches(seg_keys, batch_format="pyarrow"),
+        "o_custkey", anti=False, sf_dir=sf_dir,
+    )
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t.column("l_shipdate").to_numpy() > cutoff))
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        tmp = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "rev": np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64),
+        })
+        g = tmp.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "revenue_c": g.column("rev_sum")})
+
+    rev = (items.map_batches(rev_partial, batch_format="pyarrow")
+                .groupby("l_orderkey")
+                .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    # the aggregate can emit EMPTY blocks with no schema at all (observed
+    # on small inputs) — pin the schema so every downstream consumer sees
+    # the two typed columns
+    rev_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("revenue_c", pa.int64())])
+
+    def ensure_rev_schema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rev_schema.empty_table()
+        return t.select(["l_orderkey", "revenue_c"]).cast(rev_schema)
+
+    rev = rev.map_batches(ensure_rev_schema, batch_format="pyarrow")
+
+    joined = _attach_order_dates(rev, orders_f, sf_dir)
+    top = (joined.sort(["revenue_c", "o_orderkey"], descending=[True, False])
+                 .limit(k))
+    return top
+
+
+#: broadcast the filtered (orderkey, orderdate) side when its encoded size
+#: is under this bound; above it, both sides co-partition by orderkey hash
+#: (tests force 0 to drive the merge path)
+Q3_ATTACH_BOUND = 64 << 20
+
+
+def _attach_order_dates(rev, orders_f, sf_dir: str | None):
+    """Inner-attach ``o_orderdate`` onto ``(l_orderkey, revenue_c)`` rows.
+
+    Broadcast path: the doubly-filtered orders collect as ONE sorted
+    (key, date-µs) array pair, ``ray.put`` once; the revenue side — which
+    is already partitioned by orderkey from its groupby — streams through
+    a vectorized ``searchsorted`` probe with no further shuffle.  Merge
+    path: tagged union co-partitioned by ``hash(key) % P`` (the
+    :func:`semi_anti_join` shape — identical non-null columns on both
+    sides), one pandas inner merge per partition."""
+    import ray
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+
+    kd = orders_f.select_columns(["o_orderkey", "o_orderdate"])
+
+    if (kd.size_bytes() or 0) <= Q3_ATTACH_BOUND:
+        ks, dts = [], []
+        for t in arrow_blocks(kd):
+            ks.append(t.column("o_orderkey").to_numpy())
+            dts.append(t.column("o_orderdate").to_numpy()
+                       .astype("datetime64[us]").view(np.int64))
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        dd = np.concatenate(dts) if dts else np.array([], np.int64)
+        order = np.argsort(kk)
+        side = ray.put((kk[order], dd[order]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, dates = ray.get(side)
+            lk = t.column("l_orderkey").to_numpy()
+            if len(keys) == 0:
+                hit = np.zeros(len(lk), bool)
+            else:
+                pos = np.searchsorted(keys, lk)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == lk)
+            t = t.filter(pa.array(hit))
+            lk2 = t.column("l_orderkey").to_numpy()
+            dv = (dates[np.searchsorted(keys, lk2)] if t.num_rows
+                  else np.array([], np.int64))
+            return pa.table({
+                "o_orderkey": t.column("l_orderkey"),
+                "revenue_c": t.column("revenue_c"),
+                "o_orderdate": pa.array(dv.view("datetime64[us]")),
+            })
+
+        return rev.map_batches(probe, batch_format="pyarrow")
+
+    n_parts = adaptive_parts(sf_dir or ".", table="orders") if sf_dir else 64
+
+    # tagged union: identical non-null columns on BOTH sides (the
+    # semi_anti_join lesson — null padding widens int64 to float64 and
+    # one-sided partitions lose columns entirely)
+    def tag_rev(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "revenue_c": t.column("revenue_c"),
+            "date_us": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_rev": pa.array(np.ones(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    def tag_ord(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "revenue_c": pa.array(np.zeros(t.num_rows, np.int64)),
+            "date_us": pa.array(t.column("o_orderdate").to_numpy()
+                                .astype("datetime64[us]").view(np.int64)),
+            "is_rev": pa.array(np.zeros(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    rt = rev.map_batches(tag_rev, batch_format="pyarrow")
+    ot = kd.map_batches(tag_ord, batch_format="pyarrow")
+
+    def resolve(df):
+        import pandas as pd
+
+        r = df[df["is_rev"]][["k", "revenue_c"]]
+        o = df[~df["is_rev"]][["k", "date_us"]]
+        m = r.merge(o, on="k", how="inner")
+        return pd.DataFrame({
+            "o_orderkey": m["k"].to_numpy(),
+            "revenue_c": m["revenue_c"].to_numpy(),
+            "o_orderdate": pd.Series(
+                m["date_us"].to_numpy().astype(np.int64)
+                .view("datetime64[us]")),
+        })
+
+    return rt.union(ot).groupby("part").map_groups(
+        resolve, batch_format="pandas")
+
+
+def shipping_priority_topk_sql(segment: str = Q3_SEGMENT,
+                               date: str = Q3_DATE, k: int = Q3_TOP_K) -> str:
+    return f"""SELECT o.o_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{date}'
+  AND l.l_shipdate > TIMESTAMP '{date}'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_c DESC, o.o_orderkey LIMIT {k}"""
