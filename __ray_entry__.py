@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         decontam,
         dedup,
+        distributions,
         events,
         extract,
         graph,
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         sketches,
         textstats,
+        vectorstats,
     )
     from nativeextractor_ray.sources.transcripts import transcripts_dataset
 
@@ -61,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": sketches.hll_users_by_type,  # HLL vs exact
         "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,  # BM25+dense RRF fuse
         "shipping_priority_topk": relational.shipping_priority_topk,  # Q3
+        "order_count_distribution": distributions.order_count_distribution,
+        "embedding_dim_stats": vectorstats.embedding_dim_stats,
         "bm25_topk": retrieval.bm25_topk,  # Okapi BM25 keyword top-k
         "pricing_summary": relational.pricing_summary,  # TPC-H Q1 shape
         "masked_spans": curation.masked_spans,  # T5 span-corruption plan
@@ -173,9 +177,14 @@ def oracle_sql() -> dict[str, str]:
         sketches,
         textstats,
     )
+    from nativeextractor_ray.pipelines import distributions
     from nativeextractor_ray.pipelines import oracles as o
+    from nativeextractor_ray.pipelines import vectorstats
 
     sqls = {
+        "order_count_distribution":
+            distributions.order_count_distribution_sql(),
+        "embedding_dim_stats": vectorstats.embedding_dim_stats_sql(),
         "hll_users_by_type": sketches.hll_users_by_type_sql(),
         "hybrid_rrf_topk": retrieval.hybrid_rrf_topk_sql(),
         "shipping_priority_topk": relational.shipping_priority_topk_sql(),

@@ -315,6 +315,8 @@ def run_suite() -> dict:
         "hll_users_by_type": ("nativeextractor_ray.pipelines.sketches", "hll_users_by_type"),
         "hybrid_rrf_topk": ("nativeextractor_ray.pipelines.retrieval", "hybrid_rrf_topk"),
         "shipping_priority_topk": ("nativeextractor_ray.pipelines.relational", "shipping_priority_topk"),
+        "order_count_distribution": ("nativeextractor_ray.pipelines.distributions", "order_count_distribution"),
+        "embedding_dim_stats": ("nativeextractor_ray.pipelines.vectorstats", "embedding_dim_stats"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

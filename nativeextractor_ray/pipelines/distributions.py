@@ -1,0 +1,129 @@
+"""Distribution profiles — TPC-H Q13-shaped orders-per-customer histogram.
+
+The Q13 shape (``customer LEFT JOIN orders`` → per-customer count →
+count-of-counts) is the canonical *distribution* query, and the naive
+plan is a disaster at 100 TB: a customer×orders join that exists only to
+be collapsed twice.  :func:`order_count_distribution` never joins
+payloads at all:
+
+1. ``orders`` (the big side) reduces to per-batch ``(custkey, n)``
+   partials before its ONLY shuffle, the custkey groupby — 16-byte rows.
+2. The per-customer counts SEMI-join the customer key set
+   (:func:`~nativeextractor_ray.pipelines.relational.semi_anti_join` —
+   broadcast under the bound, co-partitioned above), which enforces the
+   LEFT side's domain without moving customer payloads.
+3. The zero bucket — customers with NO qualifying order — is pure
+   arithmetic: ``count(customer) − Σ custdist``, two scalar aggregates.
+   No null-extended join rows ever exist.
+4. The count-of-counts histogram folds per block first (distinct count
+   values are ≤ max orders per customer — tiny), then one final groupby.
+
+Reference scope note: the reference engine (nativeextractor) stops at
+mention extraction; this is part of the prompt-mandated analytical
+operator family (the same partial-aggregate economics as
+``kg.py::mention_counts``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: the Q13 flavor: exclude one order class so the distribution is not
+#: just "every customer, all their orders" (Q13's comment-filter analog)
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def order_count_distribution(
+        sf_dir: str, exclude_priority: str = Q13_EXCLUDE_PRIORITY) -> pa.Table:
+    """Histogram of how many non-``exclude_priority`` orders each
+    customer has, INCLUDING the zero bucket (customers with none).
+
+    Output: ``(c_count, custdist)`` — custdist desc, c_count desc."""
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.relational import semi_anti_join
+    from nativeextractor_ray.sources.tables import read_table
+
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+
+    # total customers: one tiny scalar aggregate (count rides blocks)
+    def n_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    n_customers = sum(
+        r["n"] for r in
+        cust.map_batches(n_partial, batch_format="pyarrow").take_all())
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("o_orderpriority"),
+                                  exclude_priority))
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "n": pc.cast(g.column("o_custkey_count"), pa.int64())})
+
+    per_cust = (orders.map_batches(count_partial, batch_format="pyarrow")
+                      .groupby("o_custkey")
+                      .aggregate(Sum("n", alias_name="c_count")))
+
+    # aggregates can emit schema-LESS empty blocks on small inputs (the
+    # Q3 lesson, relational.py::_attach_order_dates) — pin the schema
+    # before anything probes columns
+    pc_schema = pa.schema([("o_custkey", pa.int64()),
+                           ("c_count", pa.int64())])
+
+    def ensure_schema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pc_schema.empty_table()
+        return t.select(["o_custkey", "c_count"]).cast(pc_schema)
+
+    per_cust = per_cust.map_batches(ensure_schema, batch_format="pyarrow")
+
+    # LEFT-domain guard: drop counts whose custkey is not a customer
+    # (keys-only semi join — no payloads move either way)
+    per_cust = semi_anti_join(per_cust, cust, "o_custkey", anti=False,
+                              sf_dir=sf_dir)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_count").aggregate([("c_count", "count")])
+        return pa.table({
+            "c_count": pc.cast(g.column("c_count"), pa.int64()),
+            "custdist": pc.cast(g.column("c_count_count"), pa.int64())})
+
+    hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
+                    .groupby("c_count")
+                    .aggregate(Sum("custdist", alias_name="custdist")))
+
+    # finish: the histogram is ≤ max-orders-per-customer rows — tiny
+    counts, dists = [], []
+    for t in arrow_blocks(hist):
+        counts.extend(t.column("c_count").to_pylist())
+        dists.extend(t.column("custdist").to_pylist())
+    zero = n_customers - sum(dists)
+    if zero > 0:
+        counts.append(0)
+        dists.append(zero)
+    order = sorted(range(len(counts)),
+                   key=lambda i: (-dists[i], -counts[i]))
+    return pa.table({
+        "c_count": pa.array([int(counts[i]) for i in order], pa.int64()),
+        "custdist": pa.array([int(dists[i]) for i in order], pa.int64()),
+    })
+
+
+def order_count_distribution_sql(
+        exclude_priority: str = Q13_EXCLUDE_PRIORITY) -> str:
+    return f"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '{exclude_priority}'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""

@@ -1,0 +1,116 @@
+"""Per-dimension embedding statistics — the PCA/whitening prep pass.
+
+Feature-scaling, whitening and drift monitoring over an embedding column
+all start from exact per-dimension first/second moments.  At 100 TB the
+only sound shape is the one used here: each batch folds its vectors into
+ONE 64-row partial (dim, n, Σq, Σq²) — moments ride blocks, never rows —
+and a tiny ``groupby(dim)`` finishes.
+
+Float discipline (the ``events.value_outliers`` rule): values quantize
+to 1e-6 fixed point per element with explicit half-up rounding
+(float32→float64 widening is exact, so both engines quantize
+identically), per-batch sums stay within proven int64 bounds
+(``|q| ≤ 2^25`` asserted — loud raise, never silent wrap — so
+``Σ q² ≤ 4096·2^50 < 2^63`` per batch), and cross-block accumulation
+carries hi/lo int64 PAIRS reassembled as exact Python ints in the final
+per-dim group, so NO corpus size can overflow.  Mean/var then derive
+from the exact integer sums via one identical float expression on both
+engines and are emitted as INTEGER micro-units (1e-6) with explicit
+half-up ``floor(x·1e6 + 0.5)`` — engine ``round()`` implementations
+disagree on boundary doubles (observed: a 6-dp mean tie rounded
+-0.001744 by Python and -0.001743 by DuckDB), ``floor`` of the identical
+double cannot.
+
+Reference scope note: the reference engine (nativeextractor) has no
+vector ops; this is part of the prompt-mandated embedding operator
+family (similarity.py, dedup_embedding) — the stats pass that sizes
+those indexes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+EMB_DIM = 64
+QSCALE = 10**6
+QBOUND = 1 << 25  # |q| bound: keeps per-batch Σq² exactly in int64
+_LO_MASK = (1 << 62) - 1
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Exact per-dimension ``(dim, n_vecs, mean_micro, var_micro)`` over
+    ``embeddings.embedding`` (1-based ``dim``, population variance, both
+    stats in integer 1e-6 units)."""
+    from nativeextractor_ray.functions.vectors import embedding_matrix
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding")).astype(np.float64)
+        if m.shape[1] != EMB_DIM:
+            raise ValueError(
+                f"embedding_dim_stats: expected dim {EMB_DIM}, "
+                f"got {m.shape[1]}")
+        q = np.floor(m * float(QSCALE) + 0.5).astype(np.int64)
+        if q.size and np.abs(q).max() >= QBOUND:
+            raise ValueError(
+                "embedding_dim_stats: |value| exceeds the documented "
+                f"fixed-point bound ({QBOUND / QSCALE:.1f}) — Σq² exactness "
+                "no longer proven; rescale or lower QSCALE deliberately")
+        s1 = q.sum(axis=0)              # exact: |Σq| ≤ 4096·2^25 < 2^38
+        s2 = (q * q).sum(axis=0)        # exact: Σq² ≤ 4096·2^50 < 2^63
+        return pa.table({
+            "dim": pa.array(np.arange(1, EMB_DIM + 1), pa.int64()),
+            "n": pa.array(np.full(EMB_DIM, len(q), np.int64)),
+            "s1_hi": pa.array(s1 >> 62, pa.int64()),
+            "s1_lo": pa.array(s1 & _LO_MASK, pa.int64()),
+            "s2_hi": pa.array(s2 >> 62, pa.int64()),
+            "s2_lo": pa.array(s2 & _LO_MASK, pa.int64()),
+        })
+
+    def finish(g):
+        import pandas as pd
+
+        # exact Python-int reassembly — immune to any corpus size
+        s1 = sum((int(h) << 62) + int(l)
+                 for h, l in zip(g["s1_hi"], g["s1_lo"]))
+        s2 = sum((int(h) << 62) + int(l)
+                 for h, l in zip(g["s2_hi"], g["s2_lo"]))
+        n = int(g["n"].sum())
+        mean_raw = float(s1) / float(QSCALE) / n
+        var_raw = (float(s2) / float(QSCALE * QSCALE) / n
+                   - mean_raw * mean_raw)
+        return pd.DataFrame({
+            "dim": [int(g["dim"].iloc[0])],
+            "n_vecs": np.array([n], np.int64),
+            "mean_micro": np.array(
+                [np.floor(mean_raw * QSCALE + 0.5)], np.int64),
+            "var_micro": np.array(
+                [np.floor(var_raw * QSCALE + 0.5)], np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("dim")
+              .map_groups(finish, batch_format="pandas"))
+
+
+def embedding_dim_stats_sql() -> str:
+    return f"""WITH q AS (
+  SELECT CAST(r.dim AS BIGINT) AS dim,
+         -- the DOUBLE cast is load-bearing: DuckDB evaluates
+         -- FLOAT * <numeric literal> in FLOAT, quantizing differently
+         CAST(floor(CAST(list_extract(e.embedding, r.dim) AS DOUBLE)
+                    * {QSCALE}.0 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, range(1, {EMB_DIM + 1}) r(dim)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor((CAST(sum(q) AS DOUBLE) / {QSCALE}.0 / count(*))
+                  * {QSCALE}.0 + 0.5) AS BIGINT) AS mean_micro,
+       CAST(floor((CAST(sum(q * q) AS DOUBLE) / {QSCALE * QSCALE}.0
+                     / count(*)
+                   - (CAST(sum(q) AS DOUBLE) / {QSCALE}.0 / count(*))
+                     * (CAST(sum(q) AS DOUBLE) / {QSCALE}.0 / count(*)))
+                  * {QSCALE}.0 + 0.5) AS BIGINT) AS var_micro
+FROM q GROUP BY dim ORDER BY dim"""

@@ -165,6 +165,74 @@ def test_hybrid_rrf_hand_computed(ray_session, tmp_path):
     assert got.column("rnk").to_pylist() == list(range(1, len(order) + 1))
 
 
+# ----------------------------------------------------- embedding dim stats
+
+
+def _emb_fixture(tmp_path, rows: np.ndarray) -> str:
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(rows)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(rows), np.int32)),
+    }), tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_embedding_dim_stats_hand_computed(ray_session, tmp_path):
+    """Integer micro-unit moments on a planted matrix match an exact
+    rational computation (dim 1: values 1.0/-0.5/0.25; dim 2: zeros)."""
+    from nativeextractor_ray.pipelines.vectorstats import (
+        EMB_DIM, embedding_dim_stats)
+
+    rows = np.zeros((3, EMB_DIM), np.float32)
+    rows[:, 0] = [1.0, -0.5, 0.25]
+    got = embedding_dim_stats(_emb_fixture(tmp_path, rows)).to_pandas()
+    got = got.sort_values("dim").reset_index(drop=True)
+    assert list(got["n_vecs"]) == [3] * EMB_DIM
+    # dim 1: mean = 0.75/3 = 0.25 -> 250000 µ; var = E[x²]-mean²
+    #        = (1 + .25 + .0625)/3 - .0625 = 0.375 -> 375000 µ
+    assert got.loc[0, "mean_micro"] == 250000
+    assert got.loc[0, "var_micro"] == 375000
+    assert (got.loc[1:, "mean_micro"] == 0).all()
+    assert (got.loc[1:, "var_micro"] == 0).all()
+
+
+def test_embedding_dim_stats_block_split_invariant_and_bound(
+        ray_session, tmp_path):
+    """hi/lo pair accumulation is exact across any block split; values
+    beyond the fixed-point bound raise loudly instead of wrapping."""
+    import pytest
+
+    from nativeextractor_ray.pipelines import vectorstats
+    from nativeextractor_ray.sources import tables
+
+    rng = np.random.RandomState(3)
+    sf = _emb_fixture(
+        tmp_path, rng.randn(257, vectorstats.EMB_DIM).astype(np.float32))
+    results = []
+    orig = tables.read_table
+    for blocks in (1, 11):
+        def split_read(sf_dir, name, columns=None, _b=blocks, **kw):
+            return orig(sf_dir, name, columns, blocks=_b)
+        tables.read_table = split_read
+        try:
+            results.append(
+                vectorstats.embedding_dim_stats(sf).to_pandas()
+                .sort_values("dim").reset_index(drop=True))
+        finally:
+            tables.read_table = orig
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+    big = np.zeros((2, vectorstats.EMB_DIM), np.float32)
+    big[0, 0] = 1e9  # |q| = 1e15 >> 2^25
+    (tmp_path / "big").mkdir()
+    sf2 = _emb_fixture(tmp_path / "big", big)
+    with pytest.raises(Exception, match="fixed-point bound"):
+        vectorstats.embedding_dim_stats(sf2).to_pandas()
+
+
 # ----------------------------------------------------------- Q3 pipeline
 
 
@@ -214,6 +282,38 @@ def test_shipping_priority_planted_filters(ray_session, tmp_path):
     # revenue = 100.00 + 200.005 (half-up -> 20001) cents
     assert list(got["o_orderkey"]) == [10]
     assert list(got["revenue_c"]) == [10000 + 20001]
+
+
+def test_order_count_distribution_planted(ray_session, tmp_path):
+    """Zero bucket counts customers with no qualifying order; the
+    excluded priority doesn't count; an order whose custkey is not a
+    customer is outside the LEFT domain and must be dropped."""
+    from nativeextractor_ray.pipelines.distributions import (
+        order_count_distribution)
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(list("abcd")),
+        "c_nationkey": pa.array([0] * 4, pa.int32()),
+        "c_acctbal": pa.array([0.0] * 4),
+        "c_mktsegment": pa.array(["BUILDING"] * 4),
+    }), tmp_path / "customer.parquet")
+    cust = [1, 1, 1, 2, 4, 99]  # 99 is NOT a customer
+    prio = ["2-HIGH", "3-MEDIUM", "1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"]
+    ts = np.array([np.datetime64("2000-01-01")] * 6, dtype="datetime64[us]")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(6)), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 6),
+        "o_totalprice": pa.array([0.0] * 6),
+        "o_orderdate": pa.array(ts),
+        "o_orderpriority": pa.array(prio),
+    }), tmp_path / "orders.parquet")
+
+    got = order_count_distribution(str(tmp_path))
+    # cust 1 -> 2 non-urgent, cust 4 -> 1; cust 2 (urgent only) and 3 -> 0
+    assert got.to_pydict() == {"c_count": [0, 2, 1],
+                               "custdist": [2, 1, 1]}
 
 
 def test_shipping_priority_merge_path_bit_identical(ray_session, monkeypatch):
