@@ -18,17 +18,23 @@ from collections.abc import Iterator
 import pyarrow as pa
 
 
-def arrow_blocks(ds) -> Iterator[pa.Table]:
-    """Yield the blocks of ``ds`` as NON-EMPTY pyarrow Tables, fetched
-    one ref at a time (a streamed fold — each block is released before
-    the next is pulled).  Callers collecting tiny partials (the only
-    legitimate use — rows ∝ blocks/groups, never the corpus) keep their
-    own empty-stream guards for the all-blocks-empty case."""
+def arrow_blocks(ds, stream: bool = True) -> Iterator[pa.Table]:
+    """Yield the blocks of ``ds`` as NON-EMPTY pyarrow Tables.
+
+    ``stream=True`` (default) fetches one ref at a time — a streamed
+    fold where each block is released before the next is pulled; use it
+    when individual blocks are large (the bloom / shingle-buffer folds).
+    ``stream=False`` issues ONE batched ``ray.get`` for all refs — use
+    it for tiny-partials collection (rows ∝ blocks/groups, never the
+    corpus), where per-block round-trips would serialize the driver on
+    blocks × RPC latency.  Callers keep their own empty-stream guards
+    for the all-blocks-empty case."""
     import pandas as pd
     import ray
 
-    for ref in ds.to_arrow_refs():
-        b = ray.get(ref)
+    refs = ds.to_arrow_refs()
+    blocks = ray.get(refs) if not stream else (ray.get(r) for r in refs)
+    for b in blocks:
         if isinstance(b, pd.DataFrame):
             if not len(b):
                 continue

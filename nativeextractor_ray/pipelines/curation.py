@@ -460,7 +460,7 @@ def curated_docs(sf_dir: str):
 
         drop = np.sort(np.concatenate(
             [t.column("doc_id").to_numpy()
-             for t in arrow_blocks(drop_ds)]
+             for t in arrow_blocks(drop_ds, stream=False)]
             or [np.array([], dtype=np.int64)]
         ).astype(np.int64))
         dref = ray.put(drop)

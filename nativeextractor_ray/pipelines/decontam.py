@@ -102,7 +102,8 @@ def decontaminate(sf_dir: str, n: int = DECONTAM_N):
     from nativeextractor_ray.functions.blocks import arrow_blocks
 
     bset = np.unique(np.concatenate(
-        [t.column("g").to_numpy() for t in arrow_blocks(bench)]
+        [t.column("g").to_numpy()
+         for t in arrow_blocks(bench, stream=False)]
         or [np.array([], dtype=np.int64)]))
     bref = ray.put(bset)
 
@@ -212,7 +213,8 @@ def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
         from nativeextractor_ray.functions.blocks import arrow_blocks
 
         boiler = np.unique(np.concatenate(
-            [t.column("g").to_numpy() for t in arrow_blocks(df_ds)]
+            [t.column("g").to_numpy()
+             for t in arrow_blocks(df_ds, stream=False)]
             or [np.array([], dtype=np.int64)]))
         boil_ref = ray.put(boiler)
 

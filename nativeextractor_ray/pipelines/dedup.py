@@ -454,7 +454,8 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3)
         # broadcast the candidate ids as a sorted array.
         from nativeextractor_ray.functions.blocks import arrow_blocks
 
-        pair_tbls = [t.select(["doc_a", "doc_b"]) for t in arrow_blocks(cand)]
+        pair_tbls = [t.select(["doc_a", "doc_b"])
+                     for t in arrow_blocks(cand, stream=False)]
         if not pair_tbls:
             return _empty_pairs()
 
@@ -1136,7 +1137,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
         members: dict[int, int] = {}
         from nativeextractor_ray.functions.blocks import arrow_blocks
 
-        for t in arrow_blocks(pairs):
+        for t in arrow_blocks(pairs, stream=False):
             for a, b in zip(t.column("doc_a").to_pylist(),
                             t.column("doc_b").to_pylist()):
                 uf.union(str(a), str(b))
@@ -1177,7 +1178,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, shingle_n: int = 3):
         from nativeextractor_ray.functions.blocks import arrow_blocks
 
         by_node = {}
-        for t in arrow_blocks(comp_ds):
+        for t in arrow_blocks(comp_ds, stream=False):
             by_node.update(zip(t.column("node").to_pylist(),
                                t.column("component").to_pylist()))
 
@@ -1492,7 +1493,7 @@ def dedup_incremental(sf_dir: str, mod: int = INCR_MOD):
         from nativeextractor_ray.functions.blocks import arrow_blocks
 
         kas, kbs, cs = [], [], []
-        for t in arrow_blocks(index):
+        for t in arrow_blocks(index, stream=False):
             kas.append(t.column("ka").to_numpy())
             kbs.append(t.column("kb").to_numpy())
             cs.append(t.column("c").to_numpy())

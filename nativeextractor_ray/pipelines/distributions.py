@@ -26,7 +26,6 @@ operator family (the same partial-aggregate economics as
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -101,7 +100,7 @@ def order_count_distribution(
 
     # finish: the histogram is ≤ max-orders-per-customer rows — tiny
     counts, dists = [], []
-    for t in arrow_blocks(hist):
+    for t in arrow_blocks(hist, stream=False):
         counts.extend(t.column("c_count").to_pylist())
         dists.extend(t.column("custdist").to_pylist())
     zero = n_customers - sum(dists)

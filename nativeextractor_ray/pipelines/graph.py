@@ -137,7 +137,7 @@ def _entity_ids(edges):
             "shard the graph or raise VOCAB_BOUND deliberately")
     names = np.unique(np.concatenate(
         [t.column("entity").to_numpy(zero_copy_only=False)
-         for t in arrow_blocks(vocab)]
+         for t in arrow_blocks(vocab, stream=False)]
         or [np.array([], dtype=object)]))
     return names
 
@@ -247,7 +247,7 @@ def entity_pmi(sf_dir: str, min_cooc: int = 2):
         raise ValueError(
             "entity_pmi: entity-count table exceeds the driver bound "
             f"({mc.size_bytes()} B) — shard or raise VOCAB_BOUND deliberately")
-    parts = list(arrow_blocks(mc))
+    parts = list(arrow_blocks(mc, stream=False))
     if parts:
         tab = pa.concat_tables(parts)
         ents = tab.column("ent").to_numpy(zero_copy_only=False)

@@ -143,7 +143,7 @@ def canonical_map(sf_dir: str) -> pa.Table:
     counts = dict_only.groupby("surface").aggregate(Count(alias_name="n_mentions"))
     from nativeextractor_ray.functions.blocks import arrow_blocks
 
-    parts = list(arrow_blocks(counts))
+    parts = list(arrow_blocks(counts, stream=False))
     surf_tbl = pa.concat_tables(parts) if parts else None
     if surf_tbl is None or surf_tbl.num_rows == 0:
         return pa.table(

@@ -135,7 +135,8 @@ def _ctx_vector(model, veff: int) -> np.ndarray:
     from nativeextractor_ray.functions.blocks import arrow_blocks
 
     ctx = np.zeros(veff, dtype=np.int64)
-    for t in arrow_blocks(model.map_batches(partial, batch_format="pyarrow")):
+    for t in arrow_blocks(model.map_batches(partial, batch_format="pyarrow"),
+                          stream=False):
         for b in t.column("v").to_pylist():
             ctx += np.frombuffer(b, dtype=np.int64)
     return ctx
@@ -161,7 +162,7 @@ def lm_score(sf_dir: str, v: int = LM_VOCAB_V):
     if (model.size_bytes() or 0) <= MODEL_BROADCAST_BOUND:
         from nativeextractor_ray.functions.blocks import arrow_blocks
 
-        parts = list(arrow_blocks(model))
+        parts = list(arrow_blocks(model, stream=False))
         if parts:
             tab = pa.concat_tables(parts)
             mk = tab.column("key").to_numpy()

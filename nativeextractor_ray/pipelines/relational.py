@@ -278,7 +278,8 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
         from nativeextractor_ray.functions.blocks import arrow_blocks
 
         arr = np.unique(np.concatenate(
-            [p.column("k").to_numpy() for p in arrow_blocks(key_ds)]
+            [p.column("k").to_numpy()
+             for p in arrow_blocks(key_ds, stream=False)]
             or [np.array([], np.int64)]))
         side = ray.put(arr)
 
@@ -452,8 +453,28 @@ def pricing_summary(sf_dir: str, cutoff: str = Q1_CUTOFF):
                         Sum("sum_disc_bp", alias_name="sum_disc_bp"),
                         Sum("n_rows", alias_name="n_rows")))
 
+    # aggregates can emit schema-LESS empty blocks on small inputs (the
+    # _attach_order_dates lesson) — pin before finish probes columns
+    agg_cols = ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c",
+                "sum_disc_c", "sum_charge_c", "sum_disc_bp", "n_rows"]
+    agg_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("l_linestatus", pa.string())]
+        + [(c, pa.int64()) for c in agg_cols[2:]])
+
+    def ensure_agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        return t.select(agg_cols).cast(agg_schema)
+
     def finish(t: pa.Table) -> pa.Table:
         n = t.column("n_rows").to_numpy().astype(np.float64)
+
+        # explicit half-up floor of an IDENTICAL float expression on both
+        # engines — np.round (half-even) vs DuckDB round() (half-away)
+        # disagree on boundary doubles (the vectorstats lesson)
+        def r4(x):
+            return np.floor(x * 10000.0 + 0.5) / 10000.0
+
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
@@ -461,16 +482,14 @@ def pricing_summary(sf_dir: str, cutoff: str = Q1_CUTOFF):
             "sum_base_c": t.column("sum_base_c"),
             "sum_disc_c": t.column("sum_disc_c"),
             "sum_charge_c": t.column("sum_charge_c"),
-            "avg_qty": np.round(
-                t.column("sum_qty_c").to_numpy() / 100.0 / n, 4),
-            "avg_price": np.round(
-                t.column("sum_base_c").to_numpy() / 100.0 / n, 4),
-            "avg_disc": np.round(
-                t.column("sum_disc_bp").to_numpy() / 10000.0 / n, 4),
+            "avg_qty": r4(t.column("sum_qty_c").to_numpy() / 100.0 / n),
+            "avg_price": r4(t.column("sum_base_c").to_numpy() / 100.0 / n),
+            "avg_disc": r4(t.column("sum_disc_bp").to_numpy() / 10000.0 / n),
             "n_rows": t.column("n_rows"),
         })
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return (agg.map_batches(ensure_agg, batch_format="pyarrow")
+               .map_batches(finish, batch_format="pyarrow"))
 
 
 def pricing_summary_sql(cutoff: str = Q1_CUTOFF) -> str:
@@ -490,9 +509,12 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(base_c) AS BIGINT) AS sum_base_c,
        CAST(sum(disc_c) AS BIGINT) AS sum_disc_c,
        CAST(sum(charge_c) AS BIGINT) AS sum_charge_c,
-       round(CAST(sum(qty_c) AS DOUBLE) / 100.0 / count(*), 4) AS avg_qty,
-       round(CAST(sum(base_c) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
-       round(CAST(sum(disc_bp) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_disc,
+       floor((CAST(sum(qty_c) AS DOUBLE) / 100.0 / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+       floor((CAST(sum(base_c) AS DOUBLE) / 100.0 / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS avg_price,
+       floor((CAST(sum(disc_bp) AS DOUBLE) / 10000.0 / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS avg_disc,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM c GROUP BY l_returnflag, l_linestatus"""
 
@@ -626,7 +648,7 @@ def _attach_order_dates(rev, orders_f, sf_dir: str | None):
 
     if (kd.size_bytes() or 0) <= Q3_ATTACH_BOUND:
         ks, dts = [], []
-        for t in arrow_blocks(kd):
+        for t in arrow_blocks(kd, stream=False):
             ks.append(t.column("o_orderkey").to_numpy())
             dts.append(t.column("o_orderdate").to_numpy()
                        .astype("datetime64[us]").view(np.int64))

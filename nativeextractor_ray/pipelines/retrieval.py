@@ -80,6 +80,16 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = QUERY_TERMS,
     parts = ds.map_batches(stats, batch_format="pyarrow").take_all()
     n_docs = sum(r["n"] for r in parts)
     sum_dl = sum(r["sum_dl"] for r in parts)
+    if n_docs == 0 or sum_dl == 0:
+        # degenerate corpus (no docs / no tokens): no doc can score —
+        # short-circuit with the typed empty result (avgdl would be
+        # 0/undefined below)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64())}))
     df = np.array([sum(r[f"df_{i}"] for r in parts)
                    for i in range(len(terms))], dtype=np.float64)
     avgdl = sum_dl / n_docs
@@ -90,13 +100,18 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = QUERY_TERMS,
         doc_id = t.column("doc_id").to_numpy()
         norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
         score = np.zeros(t.num_rows, dtype=np.float64)
+        tf_any = np.zeros(t.num_rows, dtype=np.int64)
         for i, term in enumerate(terms):
             m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
-            tf = np.bincount(parent[m], minlength=t.num_rows
-                             ).astype(np.float64)
+            tfc = np.bincount(parent[m], minlength=t.num_rows)
+            tf_any += tfc
+            tf = tfc.astype(np.float64)
             score += idf[i] * tf * (BM25_K1 + 1.0) / (tf + norm)
         score = np.round(score, ROUND)
-        hit = score > 0.0
+        # candidacy = matched ANY query term (tf > 0), NOT score > 0:
+        # the SQL twin keeps a tf>0 doc whose score ROUNDS to 0, and at
+        # huge N a near-ubiquitous term's idf makes that reachable
+        hit = tf_any > 0
         doc_id, score = doc_id[hit], score[hit]
         # local top-k on (score desc, doc_id asc); global resolve below
         idx = np.lexsort((doc_id, -score))[:k]
@@ -149,14 +164,20 @@ def hybrid_rrf_topk(sf_dir: str, k: int = RRF_TOP_K) -> pa.Table:
 
     # ---- lexical leg: BM25 pool with ranks (streaming, see bm25_topk)
     bm = {}
-    for t in arrow_blocks(bm25_topk(sf_dir, k=RRF_POOL)):
+    for t in arrow_blocks(bm25_topk(sf_dir, k=RRF_POOL), stream=False):
         bm.update(zip(t.column("doc_id").to_pylist(),
                       t.column("rnk").to_pylist()))
 
     # ---- dense leg: cosine vs ONE deterministic query vector
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    qm = qt.filter(pc.equal(qt.column("vec_id"), RRF_QUERY_VEC_ID))
+    # row-group-pruned point read: only the query row reaches the driver
+    # (a bare read_table would materialize the whole embedding corpus)
+    qm = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", RRF_QUERY_VEC_ID)])
+    if qm.num_rows == 0:
+        raise ValueError(
+            f"hybrid_rrf_topk: query vector vec_id={RRF_QUERY_VEC_ID} "
+            "not present in embeddings")
     q = embedding_matrix(qm.column("embedding"))[0].astype(np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     qref = ray.put(q)
@@ -180,7 +201,7 @@ def hybrid_rrf_topk(sf_dir: str, k: int = RRF_TOP_K) -> pa.Table:
                .limit(RRF_POOL))
     cr = {}
     rank = 0
-    for t in arrow_blocks(dense.repartition(1)):
+    for t in arrow_blocks(dense.repartition(1), stream=False):
         for v in t.column("vec_id").to_pylist():
             rank += 1
             cr[v] = rank

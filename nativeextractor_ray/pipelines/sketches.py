@@ -111,6 +111,18 @@ def hll_users_by_type(sf_dir: str) -> pa.Table:
               .groupby(["event_type", "reg"])
               .aggregate(Max("rho", alias_name="rho")))
 
+    # aggregates can emit schema-LESS empty blocks on small inputs (the
+    # relational.py::_attach_order_dates lesson) — pin before probing
+    regs_schema = pa.schema([("event_type", pa.string()),
+                             ("reg", pa.int64()), ("rho", pa.int64())])
+
+    def ensure_regs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return regs_schema.empty_table()
+        return t.select(["event_type", "reg", "rho"]).cast(regs_schema)
+
+    regs = regs.map_batches(ensure_regs, batch_format="pyarrow")
+
     def est_partial(t: pa.Table) -> pa.Table:
         rho = t.column("rho").to_numpy()
         tmp = pa.table({
@@ -142,22 +154,31 @@ def hll_users_by_type(sf_dir: str) -> pa.Table:
         return pa.table({"event_type": g.column("event_type"),
                          "n": pc.cast(g.column("user_id_count"), pa.int64())})
 
+    pair_schema = pa.schema([("event_type", pa.string()),
+                             ("user_id", pa.int64())])
+
+    def ensure_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        return t.select(["event_type", "user_id"]).cast(pair_schema)
+
     exact = (ds.map_batches(pair_partial, batch_format="pyarrow")
                .groupby(["event_type", "user_id"])
                .aggregate(Count(alias_name="c"))
+               .map_batches(ensure_pairs, batch_format="pyarrow")
                .map_batches(count_partial, batch_format="pyarrow")
                .groupby("event_type")
                .aggregate(Sum("n", alias_name="n_exact")))
 
     # ---- finish: two ≤|types|-row tables ----
     by_type: dict[str, list] = {}
-    for t in arrow_blocks(est):
+    for t in arrow_blocks(est, stream=False):
         for et, pres, s in zip(t.column("event_type").to_pylist(),
                                t.column("present").to_pylist(),
                                t.column("s_present").to_pylist()):
             by_type[et] = [int(pres), int(s)]
     n_exact: dict[str, int] = {}
-    for t in arrow_blocks(exact):
+    for t in arrow_blocks(exact, stream=False):
         n_exact.update(zip(t.column("event_type").to_pylist(),
                            (int(x) for x in t.column("n_exact").to_pylist())))
 
