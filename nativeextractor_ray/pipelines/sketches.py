@@ -46,6 +46,19 @@ ROUND = 4
 #: lives per worker process (the minhash token-cache pattern)
 _H_CACHE: dict[int, int] = {}
 
+_T_CACHE: dict[str, int] = {}
+
+
+def _type_hash(name: str) -> int:
+    """53-bit md5 hash of a group name — packs with a 10-bit register
+    index into one non-negative int64 shuffle key."""
+    th = _T_CACHE.get(name)
+    if th is None:
+        th = int.from_bytes(
+            hashlib.md5(name.encode()).digest()[8:16], "little") >> 11
+        _T_CACHE[name] = th
+    return th
+
 
 def _reg_rho(uids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(register index, rho) per uid — md5-lower64-LE hashed, so the SQL
@@ -78,16 +91,18 @@ def hll_users_by_type(sf_dir: str) -> pa.Table:
 
     1. **Sketch leg (the 100-TB path)**: one streaming ``map_batches``
        pass folds each batch to per-(type, register) max-rho rows
-       (≤ types × 1024 per block), a tiny two-key ``groupby().max``
-       merges them, and per-block partials reduce the registers to one
-       ``(present, Σ 2^(50-rho))`` row per type.  Nothing proportional
-       to the corpus ever shuffles.
+       (≤ types × 1024 per block), and a tiny two-key ``groupby().max``
+       merges them into the ≤ types × 1024 register table.  Nothing
+       proportional to the corpus ever shuffles.
     2. **Exact leg (the path the sketch replaces, kept as the
        comparison column)**: per-batch distinct (type, user) pairs →
-       one pair-key shuffle → per-block counts → tiny sum.
+       one pair-key shuffle → per-block count partials.
 
-    The finish joins the two ≤|types|-row tables on the driver."""
-    from ray.data.aggregate import Count, Max, Sum
+    The finish reduces both BOUNDED streams on the driver (registers ≤
+    types × 1024 rows, count partials ∝ blocks × types — the
+    tiny-partials pattern); distributed finishes would add two groupby
+    shuffles of pure fixed overhead."""
+    from ray.data.aggregate import Count, Max
 
     from nativeextractor_ray.functions.blocks import arrow_blocks
     from nativeextractor_ray.sources.tables import read_table
@@ -95,55 +110,40 @@ def hll_users_by_type(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "events", ["event_type", "user_id"])
 
     # ---- sketch leg ----
+    # the register shuffle key is ONE packed int64 — hash54(type) in the
+    # high 53 bits, register in the low 10 — instead of the natural
+    # (event_type, reg) string pair: a string multi-key hash shuffle
+    # measured ~4× the cost of the int64 shuffle on the same rows, and
+    # this shuffle IS the sketch's scale path.  Names are recovered at
+    # the finish from the exact leg's output (same input, so the same
+    # type set), with a loud collision check.
     def reg_partial(t: pa.Table) -> pa.Table:
         pairs = (t.group_by(["event_type", "user_id"]).aggregate([]))
         uids = pairs.column("user_id").to_numpy()
         regs, rhos = _reg_rho(uids)
-        tmp = pa.table({"event_type": pairs.column("event_type"),
-                        "reg": pa.array(regs, pa.int64()),
+        th = np.fromiter(
+            (_type_hash(et) for et in
+             pairs.column("event_type").to_pylist()),
+            dtype=np.int64, count=pairs.num_rows)
+        tmp = pa.table({"k": pa.array((th << 10) | regs, pa.int64()),
                         "rho": pa.array(rhos, pa.int64())})
-        g = tmp.group_by(["event_type", "reg"]).aggregate([("rho", "max")])
-        return pa.table({"event_type": g.column("event_type"),
-                         "reg": g.column("reg"),
-                         "rho": g.column("rho_max")})
+        g = tmp.group_by("k").aggregate([("rho", "max")])
+        return pa.table({"k": g.column("k"), "rho": g.column("rho_max")})
 
     regs = (ds.map_batches(reg_partial, batch_format="pyarrow")
-              .groupby(["event_type", "reg"])
+              .groupby("k")
               .aggregate(Max("rho", alias_name="rho")))
 
     # aggregates can emit schema-LESS empty blocks on small inputs (the
     # relational.py::_attach_order_dates lesson) — pin before probing
-    regs_schema = pa.schema([("event_type", pa.string()),
-                             ("reg", pa.int64()), ("rho", pa.int64())])
+    regs_schema = pa.schema([("k", pa.int64()), ("rho", pa.int64())])
 
     def ensure_regs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return regs_schema.empty_table()
-        return t.select(["event_type", "reg", "rho"]).cast(regs_schema)
+        return t.select(["k", "rho"]).cast(regs_schema)
 
     regs = regs.map_batches(ensure_regs, batch_format="pyarrow")
-
-    def est_partial(t: pa.Table) -> pa.Table:
-        rho = t.column("rho").to_numpy()
-        tmp = pa.table({
-            "event_type": t.column("event_type"),
-            "present": pa.array(np.ones(t.num_rows, np.int64)),
-            # exact scaled 2^-rho terms: int64, no float accumulation
-            "s_present": pa.array(
-                np.left_shift(np.int64(1),
-                              (HLL_RHO_CAP - rho).astype(np.int64)),
-                pa.int64()),
-        })
-        g = tmp.group_by("event_type").aggregate(
-            [("present", "sum"), ("s_present", "sum")])
-        return pa.table({"event_type": g.column("event_type"),
-                         "present": g.column("present_sum"),
-                         "s_present": g.column("s_present_sum")})
-
-    est = (regs.map_batches(est_partial, batch_format="pyarrow")
-               .groupby("event_type")
-               .aggregate(Sum("present", alias_name="present"),
-                          Sum("s_present", alias_name="s_present")))
 
     # ---- exact leg ----
     def pair_partial(t: pa.Table) -> pa.Table:
@@ -166,21 +166,37 @@ def hll_users_by_type(sf_dir: str) -> pa.Table:
                .groupby(["event_type", "user_id"])
                .aggregate(Count(alias_name="c"))
                .map_batches(ensure_pairs, batch_format="pyarrow")
-               .map_batches(count_partial, batch_format="pyarrow")
-               .groupby("event_type")
-               .aggregate(Sum("n", alias_name="n_exact")))
+               .map_batches(count_partial, batch_format="pyarrow"))
 
-    # ---- finish: two ≤|types|-row tables ----
-    by_type: dict[str, list] = {}
-    for t in arrow_blocks(est, stream=False):
-        for et, pres, s in zip(t.column("event_type").to_pylist(),
-                               t.column("present").to_pylist(),
-                               t.column("s_present").to_pylist()):
-            by_type[et] = [int(pres), int(s)]
+    # ---- finish on the driver: both streams are BOUNDED — registers by
+    # types × 1024 rows, exact-count partials by blocks × types — so the
+    # two extra groupby shuffles a distributed finish would cost are pure
+    # fixed overhead (measured: they dominated the op's wall time)
     n_exact: dict[str, int] = {}
     for t in arrow_blocks(exact, stream=False):
-        n_exact.update(zip(t.column("event_type").to_pylist(),
-                           (int(x) for x in t.column("n_exact").to_pylist())))
+        for et, n in zip(t.column("event_type").to_pylist(),
+                         t.column("n").to_pylist()):
+            n_exact[et] = n_exact.get(et, 0) + int(n)
+
+    # hash54 → name map from the exact leg's (identical) type set
+    names: dict[int, str] = {}
+    for et in n_exact:
+        th = _type_hash(et)
+        if names.setdefault(th, et) != et:
+            raise ValueError(
+                "hll_users_by_type: event_type 53-bit hash collision "
+                f"between {names[th]!r} and {et!r} — widen the key")
+
+    by_hash: dict[int, list] = {}
+    for t in arrow_blocks(regs, stream=False):
+        rho = t.column("rho").to_numpy()
+        terms = np.left_shift(np.int64(1),
+                              (HLL_RHO_CAP - rho).astype(np.int64))
+        for k, term in zip(t.column("k").to_numpy() >> 10, terms):
+            acc = by_hash.setdefault(int(k), [0, 0])
+            acc[0] += 1
+            acc[1] += int(term)
+    by_type = {names[th]: acc for th, acc in by_hash.items()}
 
     types = sorted(by_type)
     ests, nregs = [], []
