@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority_topk": relational.shipping_priority_topk,  # Q3
         "order_count_distribution": distributions.order_count_distribution,
         "embedding_dim_stats": vectorstats.embedding_dim_stats,
+        "sample_k_per_source": curation.sample_k_per_source,
         "bm25_topk": retrieval.bm25_topk,  # Okapi BM25 keyword top-k
         "pricing_summary": relational.pricing_summary,  # TPC-H Q1 shape
         "masked_spans": curation.masked_spans,  # T5 span-corruption plan
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "order_count_distribution":
             distributions.order_count_distribution_sql(),
         "embedding_dim_stats": vectorstats.embedding_dim_stats_sql(),
+        "sample_k_per_source": curation.sample_k_per_source_sql(),
         "hll_users_by_type": sketches.hll_users_by_type_sql(),
         "hybrid_rrf_topk": retrieval.hybrid_rrf_topk_sql(),
         "shipping_priority_topk": relational.shipping_priority_topk_sql(),

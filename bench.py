@@ -317,6 +317,7 @@ def run_suite() -> dict:
         "shipping_priority_topk": ("nativeextractor_ray.pipelines.relational", "shipping_priority_topk"),
         "order_count_distribution": ("nativeextractor_ray.pipelines.distributions", "order_count_distribution"),
         "embedding_dim_stats": ("nativeextractor_ray.pipelines.vectorstats", "embedding_dim_stats"),
+        "sample_k_per_source": ("nativeextractor_ray.pipelines.curation", "sample_k_per_source"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -1147,3 +1147,82 @@ SELECT doc_id,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(span_len AS BIGINT) AS span_len
 FROM spans"""
+
+
+# -------------------------------------------------- per-source capped sample
+
+
+SAMPLE_K_PER_SOURCE = 10
+
+
+def sample_k_per_source(sf_dir: str, k: int = SAMPLE_K_PER_SOURCE):
+    """Deterministic k-per-source document sample: keep the ``k`` docs
+    with the SMALLEST ``md5(doc_id)`` hash per source — the per-domain
+    cap primitive for training mixes (cap every crawl domain at k docs)
+    and for building fixed eval slices.  Hash-ordering makes it an
+    order-free, append-stable "reservoir": re-running on a grown corpus
+    keeps a doc iff it still ranks in the k smallest, with no RNG state.
+
+    Hash parity: lower 8 md5 digest bytes little-endian of
+    ``str(doc_id)`` == DuckDB ``md5_number_lower(CAST(doc_id AS
+    VARCHAR))`` (the ``sketches.py`` precedent).
+
+    Scale shape (the ``top_events_per_user`` two-level grouped top-k):
+    every batch reduces to ≤ k rows per source BEFORE the shuffle
+    (k-smallest is associative), so the exchange moves O(sources × k)
+    rows, never the corpus; coarse source-hash partitions then resolve
+    exact ranks with one vectorized pandas pass each.
+
+    Output: ``(source, doc_id, rnk)`` — rnk 1..k by (hash, doc_id) asc."""
+    import hashlib
+
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def _hashes(ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[8:16], "little")
+             for i in ids),
+            dtype=np.uint64, count=len(ids))
+
+    order = dict(by=["source", "h", "doc_id"],
+                 ascending=[True, True, True], kind="stable")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["h"] = _hashes(df["doc_id"].to_numpy())
+        df = df.sort_values(**order)
+        top = df.groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("part", stable_part(t, ["source"], 64))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(**order)
+        out = df.groupby("source", sort=False).head(k).copy()
+        out["rnk"] = (out.groupby("source", sort=False).cumcount() + 1
+                      ).astype("int64")
+        return out[["source", "doc_id", "rnk"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(add_part, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(resolve, batch_format="pandas"))
+
+
+def sample_k_per_source_sql(k: int = SAMPLE_K_PER_SOURCE) -> str:
+    return f"""SELECT source, doc_id, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}"""

@@ -337,3 +337,47 @@ def test_shipping_priority_merge_path_bit_identical(ray_session, monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(base, forced)
+
+
+# ------------------------------------------------ capped per-source sample
+
+
+def test_sample_k_per_source_append_stable(ray_session, tmp_path):
+    """Hash-ordered sampling is an order-free reservoir: growing the
+    corpus keeps a doc iff it still ranks in the k smallest hashes —
+    the retained set of the small corpus is a superset of the big run's
+    picks restricted to old ids, and ranks are 1..k per source."""
+    import pandas as pd
+
+    from nativeextractor_ray.pipelines.curation import sample_k_per_source
+
+    def write(ids, srcs, d):
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["x"] * len(ids)),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([1] * len(ids), pa.int64()),
+        }), d / "documents.parquet")
+        return str(d)
+
+    rng = np.random.RandomState(11)
+    ids = list(rng.choice(10**6, 60, replace=False))
+    srcs = [f"s{i % 3}" for i in range(60)]
+    small = write(ids, srcs, tmp_path / "small")
+    big = write(ids + [10**6 + i for i in range(40)],
+                srcs + [f"s{i % 3}" for i in range(40)],
+                tmp_path / "big")
+
+    k = 5
+    got_small = sample_k_per_source(small, k=k).to_pandas()
+    got_big = sample_k_per_source(big, k=k).to_pandas()
+
+    for src, g in got_big.groupby("source"):
+        assert sorted(g["rnk"]) == list(range(1, k + 1))
+        old_picks = set(g["doc_id"]) & set(ids)
+        small_picks = set(
+            got_small[got_small["source"] == src]["doc_id"])
+        # every old id the big run kept was also kept by the small run
+        assert old_picks <= small_picks
