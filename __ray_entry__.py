@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sketches,
         textstats,
         vectorstats,
+        windows,
     )
     from nativeextractor_ray.sources.transcripts import transcripts_dataset
 
@@ -60,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-3 late additions — never driver-checked, so first of all:
+        "event_gaps": windows.event_gaps,  # LAG() OVER window shape
+        "user_running_value": windows.user_running_value,  # SUM() OVER
         "hll_users_by_type": sketches.hll_users_by_type,  # HLL vs exact
         "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,  # BM25+dense RRF fuse
         "shipping_priority_topk": relational.shipping_priority_topk,  # Q3
@@ -181,8 +184,11 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import distributions
     from nativeextractor_ray.pipelines import oracles as o
     from nativeextractor_ray.pipelines import vectorstats
+    from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "event_gaps": windows.event_gaps_sql(),
+        "user_running_value": windows.user_running_value_sql(),
         "order_count_distribution":
             distributions.order_count_distribution_sql(),
         "embedding_dim_stats": vectorstats.embedding_dim_stats_sql(),

@@ -318,6 +318,8 @@ def run_suite() -> dict:
         "order_count_distribution": ("nativeextractor_ray.pipelines.distributions", "order_count_distribution"),
         "embedding_dim_stats": ("nativeextractor_ray.pipelines.vectorstats", "embedding_dim_stats"),
         "sample_k_per_source": ("nativeextractor_ray.pipelines.curation", "sample_k_per_source"),
+        "event_gaps": ("nativeextractor_ray.pipelines.windows", "event_gaps"),
+        "user_running_value": ("nativeextractor_ray.pipelines.windows", "user_running_value"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

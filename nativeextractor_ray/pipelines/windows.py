@@ -1,0 +1,190 @@
+"""Per-key window functions — LAG gaps and running (cumulative) sums.
+
+SQL window functions (``LAG() OVER``, ``SUM() OVER (PARTITION BY …
+ORDER BY … ROWS UNBOUNDED PRECEDING)``) are the one relational family
+the repo had not yet expressed Ray-Data-first.  Both operators here use
+the same scale shape as :func:`~nativeextractor_ray.pipelines.events
+.errors_prior_window`:
+
+- ONE ``hash(user_id)`` shuffle of narrow prepared rows (ids, int64
+  timestamps, integer cents) — payloads never move twice, and no window
+  ever materializes more rows than its input.
+- Inside each partition a single ``np.lexsort`` on
+  ``(event_id, ts, user_id)`` establishes the exact SQL window order
+  (``PARTITION BY user_id ORDER BY ts, event_id`` — event_id breaks
+  timestamp ties deterministically), then the window itself is pure
+  vectorized numpy: a shifted diff masked on user boundaries for LAG,
+  a global cumsum minus a per-user offset for the running sum.  No
+  per-user Python loop, no per-user pandas ``apply``.
+
+Partitioning assumption (documented per the build rules): one user's
+rows fit one partition — the same bound every PARTITION-BY engine has.
+Skewed users cost sort time inside one partition, never a row blowup.
+
+Money parity with the oracle: values in integer cents with explicit
+half-up rounding (cf. ``relational.pricing_summary``); gaps in exact
+integer microseconds (``epoch_us`` on both engines).
+
+Reference scope note: the reference engine (nativeextractor,
+``src/extractor.c``) stops at mention extraction; this module is part
+of the prompt-mandated analytical operator family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: hash(user_id) partitions for the single window shuffle
+_WIN_PARTS = 64
+
+
+def _prep(sf_dir: str):
+    """Shared narrow projection: (event_id, user_id, ts_us, cents, part)."""
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                             pa.int64()),
+        })
+        return out.append_column("part", stable_part(out, ["user_id"],
+                                                     _WIN_PARTS))
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _window_order(df) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sort one partition into SQL window order and mark user boundaries.
+
+    Returns ``(order, uid_s, ts_s, new_user)`` where ``order`` indexes the
+    partition rows sorted by (user_id, ts_us, event_id) and ``new_user[i]``
+    is True where row i starts a new user run."""
+    uid = df["user_id"].to_numpy()
+    ts = df["ts_us"].to_numpy()
+    eid = df["event_id"].to_numpy()
+    order = np.lexsort((eid, ts, uid))
+    uid_s = uid[order]
+    new_user = np.empty(len(uid_s), dtype=bool)
+    if len(uid_s):
+        new_user[0] = True
+        np.not_equal(uid_s[1:], uid_s[:-1], out=new_user[1:])
+    return order, uid_s, ts[order], new_user
+
+
+# ------------------------------------------------------------------ LAG
+
+
+def event_gaps(sf_dir: str):
+    """Per-user inter-arrival (LAG) profile: for every user with ≥ 2
+    events, the number of gaps and the exact max / total gap in integer
+    microseconds under the window order (ts, event_id).
+
+    Output: ``(user_id, n_gaps, max_gap_us, sum_gap_us)``."""
+    import pandas as pd
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        order, uid_s, ts_s, new_user = _window_order(df)
+        if len(uid_s) == 0:
+            return pd_.DataFrame({
+                "user_id": np.array([], dtype=np.int64),
+                "n_gaps": np.array([], dtype=np.int64),
+                "max_gap_us": np.array([], dtype=np.int64),
+                "sum_gap_us": np.array([], dtype=np.int64)})
+        gap = np.empty(len(ts_s), dtype=np.int64)
+        gap[0] = 0
+        np.subtract(ts_s[1:], ts_s[:-1], out=gap[1:])
+        valid = ~new_user  # rows that HAVE a same-user predecessor
+        # reduce per user run: run ids from the boundary marks
+        run = np.cumsum(new_user) - 1
+        n_users = run[-1] + 1
+        n_gaps = np.bincount(run[valid], minlength=n_users)
+        sum_gap = np.bincount(run[valid], weights=gap[valid],
+                              minlength=n_users).astype(np.int64)
+        max_gap = np.zeros(n_users, dtype=np.int64)
+        if valid.any():
+            np.maximum.at(max_gap, run[valid], gap[valid])
+        keep = n_gaps > 0
+        users = uid_s[new_user]
+        return pd_.DataFrame({
+            "user_id": users[keep],
+            "n_gaps": n_gaps[keep].astype(np.int64),
+            "max_gap_us": max_gap[keep],
+            "sum_gap_us": sum_gap[keep]})
+
+    return (_prep(sf_dir)
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+def event_gaps_sql() -> str:
+    return """SELECT user_id,
+       CAST(count(*) AS BIGINT)      AS n_gaps,
+       CAST(max(gap) AS BIGINT)      AS max_gap_us,
+       CAST(sum(gap) AS BIGINT)      AS sum_gap_us
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events) g
+WHERE gap IS NOT NULL
+GROUP BY user_id"""
+
+
+# --------------------------------------------------------- running sum
+
+
+def user_running_value(sf_dir: str):
+    """Running per-user cumulative value (integer cents): each event row
+    annotated with the inclusive prefix sum of its user's values under
+    the window order (ts, event_id) — the classic
+    ``SUM() OVER (PARTITION BY … ORDER BY … ROWS UNBOUNDED PRECEDING)``.
+
+    The cumulative column is a single global ``np.cumsum`` over the
+    sorted partition minus a per-user base offset gathered at run
+    starts — O(n) flat numpy, no per-user segmentation.
+
+    Output: one row per event — ``(event_id, user_id, cum_cents)``."""
+    import pandas as pd
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        order, uid_s, _ts_s, new_user = _window_order(df)
+        if len(uid_s) == 0:
+            return pd_.DataFrame({
+                "event_id": np.array([], dtype=np.int64),
+                "user_id": np.array([], dtype=np.int64),
+                "cum_cents": np.array([], dtype=np.int64)})
+        cents_s = df["cents"].to_numpy()[order]
+        csum = np.cumsum(cents_s)
+        # base[i] = csum just BEFORE this row's user run started
+        starts = np.flatnonzero(new_user)
+        base_at_start = np.where(starts > 0, csum[starts - 1], 0)
+        run = np.cumsum(new_user) - 1
+        cum = csum - base_at_start[run]
+        return pd_.DataFrame({
+            "event_id": df["event_id"].to_numpy()[order],
+            "user_id": uid_s,
+            "cum_cents": cum.astype(np.int64)})
+
+    return (_prep(sf_dir)
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+def user_running_value_sql() -> str:
+    return """SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events"""
