@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 late additions — never driver-checked, so first of all:
         "event_gaps": windows.event_gaps,  # LAG() OVER window shape
         "user_running_value": windows.user_running_value,  # SUM() OVER
+        "local_supplier_volume": relational.local_supplier_volume,  # Q5
+        "rollup_report": relational.rollup_report,  # GROUPING SETS shape
         "hll_users_by_type": sketches.hll_users_by_type,  # HLL vs exact
         "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,  # BM25+dense RRF fuse
         "shipping_priority_topk": relational.shipping_priority_topk,  # Q3
@@ -189,6 +191,8 @@ def oracle_sql() -> dict[str, str]:
     sqls = {
         "event_gaps": windows.event_gaps_sql(),
         "user_running_value": windows.user_running_value_sql(),
+        "local_supplier_volume": relational.local_supplier_volume_sql(),
+        "rollup_report": relational.ROLLUP_REPORT_SQL,
         "order_count_distribution":
             distributions.order_count_distribution_sql(),
         "embedding_dim_stats": vectorstats.embedding_dim_stats_sql(),

@@ -320,6 +320,8 @@ def run_suite() -> dict:
         "sample_k_per_source": ("nativeextractor_ray.pipelines.curation", "sample_k_per_source"),
         "event_gaps": ("nativeextractor_ray.pipelines.windows", "event_gaps"),
         "user_running_value": ("nativeextractor_ray.pipelines.windows", "user_running_value"),
+        "local_supplier_volume": ("nativeextractor_ray.pipelines.relational", "local_supplier_volume"),
+        "rollup_report": ("nativeextractor_ray.pipelines.relational", "rollup_report"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -737,3 +737,252 @@ WHERE c.c_mktsegment = '{segment}'
   AND l.l_shipdate > TIMESTAMP '{date}'
 GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY revenue_c DESC, o.o_orderkey LIMIT {k}"""
+
+
+# ----------------------------------------------- Q5: local supplier volume
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1995-01-01"
+Q5_DATE_HI = "1999-01-01"
+
+
+def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
+                          date_lo: str = Q5_DATE_LO,
+                          date_hi: str = Q5_DATE_HI):
+    """TPC-H Q5-shaped multiway join: revenue per nation where the
+    customer's and the line's supplier's nation coincide, restricted to
+    one region and a date window.
+
+    Scale shape — ONE shuffle total for a 6-table join:
+
+    - region ⋈ nation collapses on the driver to a nationkey→name map
+      for the target region (25 rows).
+    - supplier and customer broadcast as ``suppkey→nationkey`` /
+      ``custkey→nationkey`` int64 arrays (``ray.put`` once, read per
+      actor).  Like :func:`orders_by_nation`, this assumes the DIM side
+      fits the object store (TPC-H customer is 1.5k rows/SF-GB;
+      ~15 GB of packed int64 at 100 TB — at that point swap the probe
+      for the :func:`order_priority_totals` ``Dataset.join`` path).
+    - orders filters on the date window and the region's customer
+      nations INSIDE ``map_batches`` — the join's only shuffled side is
+      this doubly-pruned (o_orderkey, cust_nation) projection.
+    - lineitem never shuffles whole either: projected to
+      (l_orderkey, l_suppkey, revenue cents) before the single
+      ``Dataset.join`` hash exchange.
+    - after the join, the local-supplier predicate
+      (supp_nation == cust_nation) and the per-nation rollup reduce
+      per batch; only tiny partials reach the final groupby.
+
+    Output: ``(n_name, revenue_c)`` — revenue in exact integer cents
+    (row-wise half-up ``floor(x*100+0.5)``, the repo float-parity rule).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table, target_parallelism
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}[region]
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+             if r["n_regionkey"] == rkey}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    s2n = np.full(int(pc.max(sup.column("s_suppkey")).as_py()) + 1, -1,
+                  dtype=np.int64)
+    s2n[sup.column("s_suppkey").to_numpy()] = (
+        sup.column("s_nationkey").to_numpy())
+    c2n = np.full(int(pc.max(cust.column("c_custkey")).as_py()) + 1, -1,
+                  dtype=np.int64)
+    c2n[cust.column("c_custkey").to_numpy()] = (
+        cust.column("c_nationkey").to_numpy())
+    side = ray.put((s2n, c2n, frozenset(names)))
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        _s2n, c2n_, nset = ray.get(side)
+        d = t.column("o_orderdate").to_numpy()
+        keep = (d >= lo) & (d < hi)
+        ck = t.column("o_custkey").to_numpy()[keep]
+        cn = c2n_[ck]
+        in_region = np.isin(cn, np.fromiter(nset, dtype=np.int64))
+        return pa.table({
+            "o_orderkey": pa.array(
+                t.column("o_orderkey").to_numpy()[keep][in_region]),
+            "cust_nation": pa.array(cn[in_region]),
+        })
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def prune_items(t: pa.Table) -> pa.Table:
+        s2n_, _c2n, _ = ray.get(side)
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "supp_nation": pa.array(s2n_[t.column("l_suppkey").to_numpy()]),
+            "rev_c": pa.array(np.floor(ep * (1.0 - disc) * 100.0 + 0.5)
+                              .astype(np.int64)),
+        })
+
+    joined = (orders.map_batches(prune_orders, batch_format="pyarrow")
+              .join(items.map_batches(prune_items, batch_format="pyarrow"),
+                    join_type="inner",
+                    num_partitions=target_parallelism(),
+                    on=("o_orderkey",),
+                    right_on=("l_orderkey",)))
+
+    name_map = ray.put(names)
+
+    def partial(t: pa.Table) -> pa.Table:
+        local = (t.column("cust_nation").to_numpy()
+                 == t.column("supp_nation").to_numpy())
+        t = t.filter(pa.array(local))
+        g = (pa.table({"nk": t.column("cust_nation"),
+                       "rev_c": t.column("rev_c")})
+             .group_by("nk").aggregate([("rev_c", "sum")]))
+        nm = ray.get(name_map)
+        return pa.table({
+            "n_name": pa.array([nm[k] for k in g.column("nk").to_pylist()],
+                               pa.string()),
+            "revenue_c": pc.cast(g.column("rev_c_sum"), pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+
+def local_supplier_volume_sql(region: str = Q5_REGION,
+                              date_lo: str = Q5_DATE_LO,
+                              date_hi: str = Q5_DATE_HI) -> str:
+    return f"""SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '{date_lo}'
+  AND o.o_orderdate < TIMESTAMP '{date_hi}'
+GROUP BY n.n_name"""
+
+
+# -------------------------------------------------- ROLLUP report
+
+
+def rollup_report(sf_dir: str):
+    """GROUP BY ROLLUP(nation, priority) over orders — the GROUPING-SETS
+    shape: per-(nation, priority) totals, per-nation subtotals, and the
+    grand total in one result, coarser levels marked with the sentinel
+    ``'ALL'`` (never a real nation/priority name) so the result stays
+    NULL-free for hash comparison.
+
+    Scale shape: ONE pass over orders computes the finest-grain partial
+    inside ``map_batches`` (nation × priority ≤ 125 groups); one tiny
+    groupby merges partials; the two coarser rollup levels are derived
+    from that ≤125-row table with plain Arrow on the driver — rollup
+    levels are aggregations OF the finest aggregate, never of the fact
+    table, so no second scan and no second shuffle.
+
+    Output: ``(n_name, o_orderpriority, n_orders, total_cents)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    c2n = np.full(int(pc.max(cust.column("c_custkey")).as_py()) + 1, -1,
+                  dtype=np.int64)
+    c2n[cust.column("c_custkey").to_numpy()] = (
+        cust.column("c_nationkey").to_numpy())
+    names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+    side = ray.put((c2n, names))
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c2n_, nm = ray.get(side)
+        nk = c2n_[t.column("o_custkey").to_numpy()]
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        tmp = pa.table({"nk": pa.array(nk),
+                        "o_orderpriority": t.column("o_orderpriority"),
+                        "cents": cents})
+        g = tmp.group_by(["nk", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "n_name": pa.array([nm[k] for k in g.column("nk").to_pylist()],
+                               pa.string()),
+            "o_orderpriority": g.column("o_orderpriority"),
+            "n_orders": pc.cast(g.column("cents_count"), pa.int64()),
+            "total_cents": pc.cast(g.column("cents_sum"), pa.int64()),
+        })
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["n_name", "o_orderpriority"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_cents", alias_name="total_cents")))
+
+    # ≤ |nations|×|priorities| rows — a bounded driver finish, like the
+    # HLL register merge (sketches.py)
+    import ray as _ray
+    parts = [_ray.get(r) for r in fine.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "o_orderpriority": pa.array([], pa.string()),
+                         "n_orders": pa.array([], pa.int64()),
+                         "total_cents": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts, promote_options="default")
+    t = t.select(["n_name", "o_orderpriority", "n_orders", "total_cents"])
+
+    by_nation = (t.group_by("n_name")
+                 .aggregate([("n_orders", "sum"), ("total_cents", "sum")]))
+    lvl1 = pa.table({
+        "n_name": by_nation.column("n_name"),
+        "o_orderpriority": pa.array(["ALL"] * by_nation.num_rows),
+        "n_orders": pc.cast(by_nation.column("n_orders_sum"), pa.int64()),
+        "total_cents": pc.cast(by_nation.column("total_cents_sum"),
+                               pa.int64()),
+    })
+    lvl2 = pa.table({
+        "n_name": pa.array(["ALL"]),
+        "o_orderpriority": pa.array(["ALL"]),
+        "n_orders": pa.array([int(pc.sum(t.column("n_orders")).as_py())],
+                             pa.int64()),
+        "total_cents": pa.array(
+            [int(pc.sum(t.column("total_cents")).as_py())], pa.int64()),
+    })
+    return pa.concat_tables([t, lvl1, lvl2])
+
+
+ROLLUP_REPORT_SQL = """SELECT coalesce(n.n_name, 'ALL') AS n_name,
+       coalesce(o.o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP(n.n_name, o.o_orderpriority)"""
