@@ -31,6 +31,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from nativeextractor_ray.pipelines import (
+        audit,
         bpe,
         classify,
         curation,
@@ -65,6 +66,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": windows.user_running_value,  # SUM() OVER
         "local_supplier_volume": relational.local_supplier_volume,  # Q5
         "rollup_report": relational.rollup_report,  # GROUPING SETS shape
+        "large_order_customers": relational.large_order_customers,  # Q18
+        "small_order_revenue": relational.small_order_revenue,  # Q17
+        "referential_audit": audit.referential_audit,  # FK orphan sweep
+        "user_event_pivot": events.user_event_pivot,  # conditional-agg pivot
         "hll_users_by_type": sketches.hll_users_by_type,  # HLL vs exact
         "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,  # BM25+dense RRF fuse
         "shipping_priority_topk": relational.shipping_priority_topk,  # Q3
@@ -167,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import (
+        audit,
         bpe,
         classify,
         curation,
@@ -193,6 +199,10 @@ def oracle_sql() -> dict[str, str]:
         "user_running_value": windows.user_running_value_sql(),
         "local_supplier_volume": relational.local_supplier_volume_sql(),
         "rollup_report": relational.ROLLUP_REPORT_SQL,
+        "large_order_customers": relational.large_order_customers_sql(),
+        "small_order_revenue": relational.SMALL_ORDER_REVENUE_SQL,
+        "referential_audit": audit.referential_audit_sql(),
+        "user_event_pivot": events.user_event_pivot_sql(),
         "order_count_distribution":
             distributions.order_count_distribution_sql(),
         "embedding_dim_stats": vectorstats.embedding_dim_stats_sql(),

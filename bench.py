@@ -322,6 +322,10 @@ def run_suite() -> dict:
         "user_running_value": ("nativeextractor_ray.pipelines.windows", "user_running_value"),
         "local_supplier_volume": ("nativeextractor_ray.pipelines.relational", "local_supplier_volume"),
         "rollup_report": ("nativeextractor_ray.pipelines.relational", "rollup_report"),
+        "large_order_customers": ("nativeextractor_ray.pipelines.relational", "large_order_customers"),
+        "small_order_revenue": ("nativeextractor_ray.pipelines.relational", "small_order_revenue"),
+        "referential_audit": ("nativeextractor_ray.pipelines.audit", "referential_audit"),
+        "user_event_pivot": ("nativeextractor_ray.pipelines.events", "user_event_pivot"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -625,3 +625,62 @@ SELECT c.event_id, c.event_type, c.value,
        round((c.cents - st.mean) / greatest(st.std, 1e-12), {ZROUND}) AS z_score
 FROM c JOIN st USING (event_type)
 WHERE abs((c.cents - st.mean) / greatest(st.std, 1e-12)) >= {Z_THRESH}"""
+
+
+# ------------------------------------------------------------------ pivot
+
+
+#: the fixed, bounded pivot column set — pivoting on an unbounded key is
+#: a schema explosion; a real engine requires the set up front, as here
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str):
+    """Wide pivot: one row per user, one count column per event type plus
+    the user's total value in integer cents — the
+    ``SUM(CASE WHEN type=t THEN 1 END)`` conditional-aggregation shape.
+
+    Scale shape: per-batch partial pivots (vectorized one-hot via
+    ``np.equal.outer``-free column compares) reduce each block to at most
+    |users-in-block| rows BEFORE the single user_id groupby; the pivot
+    never widens the shuffle beyond |PIVOT_TYPES|+2 int64 columns."""
+    import numpy as np
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "value"])
+    count_cols = [f"n_{t}" for t in PIVOT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"user_id": t.column("user_id")}
+        for typ, cname in zip(PIVOT_TYPES, count_cols):
+            cols[cname] = pc2.cast(pc2.equal(et, typ), pa.int64())
+        cols["value_c"] = pc2.cast(
+            pc2.round(pc2.multiply(t.column("value"), 100.0)), pa.int64())
+        tmp = pa.table(cols)
+        g = tmp.group_by("user_id").aggregate(
+            [(c, "sum") for c in count_cols] + [("value_c", "sum")])
+        out = {"user_id": g.column("user_id")}
+        for cname in count_cols:
+            out[cname] = pc2.cast(g.column(f"{cname}_sum"), pa.int64())
+        out["value_c"] = pc2.cast(g.column("value_c_sum"), pa.int64())
+        return pa.table(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(*[Sum(c, alias_name=c) for c in count_cols],
+                       Sum("value_c", alias_name="value_c")))
+
+
+def user_event_pivot_sql() -> str:
+    legs = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "
+        f"AS n_{t}" for t in PIVOT_TYPES)
+    return f"""SELECT user_id,
+       {legs},
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events
+GROUP BY user_id"""

@@ -986,3 +986,292 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY ROLLUP(n.n_name, o.o_orderpriority)"""
+
+
+# ------------------------------------------ Q18: large-order customers
+
+
+Q18_QTY_THRESHOLD = 250
+Q18_TOP_K = 100
+#: broadcast the hot (orderkey, qty) table when under this encoded size;
+#: above it, attach via the co-partitioned tagged-union merge (tests
+#: force 0 to drive the merge path)
+Q18_ATTACH_BOUND = 64 << 20
+
+
+def large_order_customers(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
+                          k: int = Q18_TOP_K):
+    """TPC-H Q18-shaped pipeline: customers whose orders total more than
+    ``threshold`` units — a HAVING-over-join shape where the filter is an
+    aggregate of the big table itself.
+
+    Scale shape:
+
+    1. ``lineitem`` reduces to exact per-order ``sum(l_quantity)``
+       (integer units — quantities are integral, so int64 sums are exact)
+       via per-batch partials + one orderkey groupby, then the
+       ``> threshold`` HAVING keeps only the hot orders (~0.1–1%).
+    2. ``orders`` resolves against the hot keys as a SEMI join
+       (:func:`semi_anti_join` — size-gated broadcast / co-partitioned).
+    3. The hot quantity rides onto the filtered orders through the same
+       size-gated attach as :func:`_attach_order_dates`: broadcast sorted
+       (key, qty) arrays under ``Q18_ATTACH_BOUND``, tagged-union
+       co-partitioned merge above it — the orders side never shuffles a
+       second time on the broadcast path.
+    4. ``c_name`` probes a broadcast customer dim (sorted custkey +
+       name array — the trie-probe shape), then ONE sort+limit(k).
+
+    Output: ``(c_name, c_custkey, o_orderkey, o_orderdate,
+    total_price_c, sum_qty)`` — totalprice desc, orderkey asc."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    items = read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "q": pa.array(t.column("l_quantity").to_numpy()
+                          .astype(np.int64)),
+        })
+        g = tmp.group_by("l_orderkey").aggregate([("q", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "sum_qty": pc.cast(g.column("q_sum"), pa.int64())})
+
+    qty_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("sum_qty", pa.int64())])
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return qty_schema.empty_table()
+        t = t.select(["l_orderkey", "sum_qty"]).cast(qty_schema)
+        return t.filter(pc.greater(t.column("sum_qty"), threshold))
+
+    # materialize: the HAVING output is the small side and feeds THREE
+    # consumers (semi-join keys, the size gate, the attach) — without it
+    # the lineitem aggregate would re-execute per consumer
+    hot = (items.map_batches(qty_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+           .map_batches(hot_only, batch_format="pyarrow")
+           .materialize())
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_totalprice"])
+    orders_f = semi_anti_join(
+        orders, hot.select_columns(["l_orderkey"]),
+        "o_orderkey", anti=False, sf_dir=sf_dir)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    ck = cust.column("c_custkey").to_numpy()
+    corder = np.argsort(ck)
+    cust_side = ray.put((ck[corder],
+                         cust.column("c_name").take(
+                             pa.array(corder)).combine_chunks()))
+
+    def finish_row(t: pa.Table, qv: np.ndarray) -> pa.Table:
+        keys, names = ray.get(cust_side)
+        cidx = np.searchsorted(keys, t.column("o_custkey").to_numpy())
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({
+            "c_name": names.take(pa.array(cidx)),
+            "c_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "total_price_c": price_c,
+            "sum_qty": pa.array(qv),
+        })
+
+    if (hot.size_bytes() or 0) <= Q18_ATTACH_BOUND:
+        hk, hq = [], []
+        for t in arrow_blocks(hot, stream=False):
+            hk.append(t.column("l_orderkey").to_numpy())
+            hq.append(t.column("sum_qty").to_numpy())
+        kk = np.concatenate(hk) if hk else np.array([], np.int64)
+        qq = np.concatenate(hq) if hq else np.array([], np.int64)
+        horder = np.argsort(kk)
+        hot_side = ray.put((kk[horder], qq[horder]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, qtys = ray.get(hot_side)
+            # semi-join already filtered to hot orders; lookup is total
+            pos = (np.searchsorted(keys, t.column("o_orderkey").to_numpy())
+                   if t.num_rows else np.array([], np.int64))
+            return finish_row(t, qtys[pos] if t.num_rows
+                              else np.array([], np.int64))
+
+        joined = orders_f.map_batches(probe, batch_format="pyarrow")
+    else:
+        n_parts = adaptive_parts(sf_dir, table="orders")
+
+        def tag_hot(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "k": t.column("l_orderkey"),
+                "o_custkey": pa.array(np.zeros(t.num_rows, np.int64)),
+                "date_us": pa.array(np.zeros(t.num_rows, np.int64)),
+                "price_c": pa.array(np.zeros(t.num_rows, np.int64)),
+                "sum_qty": t.column("sum_qty"),
+                "is_hot": pa.array(np.ones(t.num_rows, bool)),
+            })
+            return out.append_column("part",
+                                     stable_part(out, ["k"], n_parts))
+
+        def tag_ord(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "k": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "date_us": pa.array(t.column("o_orderdate").to_numpy()
+                                    .astype("datetime64[us]")
+                                    .view(np.int64)),
+                "price_c": pc.cast(pc.round(pc.multiply(
+                    t.column("o_totalprice"), 100.0)), pa.int64()),
+                "sum_qty": pa.array(np.zeros(t.num_rows, np.int64)),
+                "is_hot": pa.array(np.zeros(t.num_rows, bool)),
+            })
+            return out.append_column("part",
+                                     stable_part(out, ["k"], n_parts))
+
+        ht = hot.map_batches(tag_hot, batch_format="pyarrow")
+        ot = orders_f.map_batches(tag_ord, batch_format="pyarrow")
+
+        def resolve(df):
+            import pandas as pd
+
+            h = df[df["is_hot"]][["k", "sum_qty"]]
+            o = df[~df["is_hot"]][["k", "o_custkey", "date_us", "price_c"]]
+            m = o.merge(h, on="k", how="inner")
+            keys, names = ray.get(cust_side)
+            cidx = np.searchsorted(keys, m["o_custkey"].to_numpy())
+            return pd.DataFrame({
+                "c_name": names.take(pa.array(cidx)).to_pandas(),
+                "c_custkey": m["o_custkey"].to_numpy(),
+                "o_orderkey": m["k"].to_numpy(),
+                "o_orderdate": pd.Series(
+                    m["date_us"].to_numpy().astype(np.int64)
+                    .view("datetime64[us]")),
+                "total_price_c": m["price_c"].to_numpy(),
+                "sum_qty": m["sum_qty"].to_numpy(),
+            })
+
+        joined = ht.union(ot).groupby("part").map_groups(
+            resolve, batch_format="pandas")
+
+    return (joined.sort(["total_price_c", "o_orderkey"],
+                        descending=[True, False]).limit(k))
+
+
+def large_order_customers_sql(threshold: int = Q18_QTY_THRESHOLD,
+                              k: int = Q18_TOP_K) -> str:
+    return f"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_price_c,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING sum(CAST(l.l_quantity AS BIGINT)) > {threshold}
+ORDER BY total_price_c DESC, o.o_orderkey LIMIT {k}"""
+
+
+# -------------------------------- Q17: small-quantity-order revenue
+
+
+def small_order_revenue(sf_dir: str):
+    """TPC-H Q17-shaped correlated-aggregate filter: revenue from line
+    items whose quantity is below 20% of their part's average quantity,
+    rolled up per brand — the "compare each row against its group's own
+    aggregate" shape.
+
+    Scale shape: ONE fact shuffle total.  ``lineitem`` projects to
+    ``(l_partkey, qty, price_c)`` and co-partitions by
+    ``hash(partkey)``; inside each partition a vectorized pandas groupby
+    computes every part's exact ``(sum_qty, count)`` (integers —
+    quantities are integral), the correlated predicate evaluates
+    ALL-INTEGER (``5 * qty * cnt < sum_qty`` ⟺ ``qty < 0.2 * avg`` —
+    no float division, exact parity with the oracle), and only per-brand
+    partial rows leave the partition for the tiny final groupby.  The
+    brand lookup broadcasts the ``part`` dim once (``p_partkey →
+    p_brand``, the gazetteer shape).
+
+    Output: ``(p_brand, n_items, revenue_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    part_dim = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand"])
+    pk = part_dim.column("p_partkey").to_numpy()
+    porder = np.argsort(pk)
+    part_side = ray.put((pk[porder],
+                         part_dim.column("p_brand").take(
+                             pa.array(porder)).combine_chunks()))
+
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+    items = read_table(sf_dir, "lineitem",
+                       ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "qty": pa.array(t.column("l_quantity").to_numpy()
+                            .astype(np.int64)),
+            "price_c": pa.array(
+                np.floor(t.column("l_extendedprice").to_numpy() * 100.0
+                         + 0.5).astype(np.int64)),
+        })
+        return out.append_column("part",
+                                 stable_part(out, ["l_partkey"], n_parts))
+
+    def resolve(df):
+        import pandas as pd
+
+        g = df.groupby("l_partkey")["qty"].agg(["sum", "count"])
+        s = g["sum"].reindex(df["l_partkey"]).to_numpy()
+        c = g["count"].reindex(df["l_partkey"]).to_numpy()
+        keep = 5 * df["qty"].to_numpy() * c < s
+        kept = df[keep]
+        keys, brands = ray.get(part_side)
+        bidx = np.searchsorted(keys, kept["l_partkey"].to_numpy())
+        out = pd.DataFrame({
+            "p_brand": brands.take(pa.array(bidx)).to_pandas(),
+            "n_items": np.ones(len(kept), np.int64),
+            "revenue_c": kept["price_c"].to_numpy(),
+        })
+        p = out.groupby("p_brand", as_index=False).agg(
+            n_items=("n_items", "sum"), revenue_c=("revenue_c", "sum"))
+        return p
+
+    partials = (items.map_batches(prep, batch_format="pyarrow")
+                .groupby("part").map_groups(resolve, batch_format="pandas"))
+    return partials.groupby("p_brand").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_c", alias_name="revenue_c"))
+
+
+SMALL_ORDER_REVENUE_SQL = """WITH a AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN a ON a.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.c < a.s
+GROUP BY p.p_brand"""

@@ -1,0 +1,79 @@
+"""Planted-fixture tests for the Q18/Q17-shaped operators — exercises
+the paths the sf0.001 oracle gate can't see: the co-partitioned merge
+attach (broadcast bound forced to 0) bit-identical to the broadcast
+path, and the exact integer correlated predicate on a hand-built part.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _df(res) -> pd.DataFrame:
+    import ray
+
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    parts = [ray.get(r) for r in res.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows] or parts[:1]
+    return pa.concat_tables(parts, promote_options="default").to_pandas()
+
+
+def test_q18_merge_path_matches_broadcast(ray_session, monkeypatch):
+    """Force the tagged-union merge attach (bound 0) on sf0.001 and
+    require bit-identical output to the broadcast path."""
+    from nativeextractor_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["c_name", "c_custkey", "o_orderkey"]
+    base = _df(relational.large_order_customers(sf)).reset_index(drop=True)
+    monkeypatch.setattr(relational, "Q18_ATTACH_BOUND", 0)
+    monkeypatch.setattr(relational, "SEMI_BROADCAST_BOUND", 0)
+    forced = _df(relational.large_order_customers(sf)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0 and list(base.columns)[:3] == cols
+
+
+def test_q17_correlated_predicate_planted(ray_session, tmp_path):
+    """Hand-built part/lineitem: only rows strictly below 0.2x their
+    part's average quantity survive, and the boundary row (exactly 20%)
+    is excluded — the all-integer predicate has no float fuzz."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.relational import small_order_revenue
+
+    # part 1: qtys [1, 4, 5, 10] -> avg 5; 0.2*avg = 1 -> nothing < 1
+    #   (qty 1 is the boundary: 5*1*4 = 20 == sum 20 -> excluded)
+    # part 2: qtys [1, 9] -> avg 5; 1 < 1.0? 5*1*2=10 == sum 10 -> excluded
+    # part 3: qtys [1, 19, 20] -> sum 40, cnt 3; 5*1*3=15 < 40 -> kept
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["a", "b", "c"]),
+        "p_brand": pa.array(["Brand#A", "Brand#A", "Brand#B"]),
+        "p_type": pa.array(["t"] * 3),
+        "p_size": pa.array([1, 1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0, 1.0, 1.0]),
+    }), tmp_path / "part.parquet")
+    qty = [1, 4, 5, 10, 1, 9, 1, 19, 20]
+    pkey = [1, 1, 1, 1, 2, 2, 3, 3, 3]
+    n = len(qty)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array(pkey, pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([float(q) for q in qty]),
+        "l_extendedprice": pa.array([100.0 + i for i in range(n)]),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    got = _df(small_order_revenue(str(tmp_path)))
+    assert len(got) == 1
+    r = got.iloc[0]
+    # only part 3's qty-1 row survives: price 100+6=106 -> 10600 cents
+    assert r["p_brand"] == "Brand#B"
+    assert int(r["n_items"]) == 1 and int(r["revenue_c"]) == 10600
