@@ -70,6 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_order_revenue": relational.small_order_revenue,  # Q17
         "referential_audit": audit.referential_audit,  # FK orphan sweep
         "user_event_pivot": events.user_event_pivot,  # conditional-agg pivot
+        "first_touch": windows.first_touch,  # FIRST_VALUE / rn=1 shape
+        "event_value_rank": windows.event_value_rank,  # global ROW_NUMBER+NTILE
+        "order_fill_report": relational.order_fill_report,  # LEFT OUTER join
+        "daily_active_users": events.daily_active_users,  # grouped COUNT(DISTINCT)
+        "two_hop_counts": graph.two_hop_counts,  # KG self-join reachability
         "hll_users_by_type": sketches.hll_users_by_type,  # HLL vs exact
         "hybrid_rrf_topk": retrieval.hybrid_rrf_topk,  # BM25+dense RRF fuse
         "shipping_priority_topk": relational.shipping_priority_topk,  # Q3
@@ -203,6 +208,11 @@ def oracle_sql() -> dict[str, str]:
         "small_order_revenue": relational.SMALL_ORDER_REVENUE_SQL,
         "referential_audit": audit.referential_audit_sql(),
         "user_event_pivot": events.user_event_pivot_sql(),
+        "first_touch": windows.first_touch_sql(),
+        "event_value_rank": windows.event_value_rank_sql(),
+        "order_fill_report": relational.ORDER_FILL_REPORT_SQL,
+        "daily_active_users": events.daily_active_users_sql(),
+        "two_hop_counts": graph.two_hop_counts_sql(),
         "order_count_distribution":
             distributions.order_count_distribution_sql(),
         "embedding_dim_stats": vectorstats.embedding_dim_stats_sql(),

@@ -326,6 +326,11 @@ def run_suite() -> dict:
         "small_order_revenue": ("nativeextractor_ray.pipelines.relational", "small_order_revenue"),
         "referential_audit": ("nativeextractor_ray.pipelines.audit", "referential_audit"),
         "user_event_pivot": ("nativeextractor_ray.pipelines.events", "user_event_pivot"),
+        "first_touch": ("nativeextractor_ray.pipelines.windows", "first_touch"),
+        "event_value_rank": ("nativeextractor_ray.pipelines.windows", "event_value_rank"),
+        "order_fill_report": ("nativeextractor_ray.pipelines.relational", "order_fill_report"),
+        "daily_active_users": ("nativeextractor_ray.pipelines.events", "daily_active_users"),
+        "two_hop_counts": ("nativeextractor_ray.pipelines.graph", "two_hop_counts"),
     }
     out = {}
     for name, (mod, fn) in queries.items():
@@ -424,10 +429,14 @@ def main_scaling() -> None:
     effs: dict[str, float] = {}
     hi_turns = None
     for job in jobs:
-        results = {}
-        for cpus in (4, 16):
-            best = None
-            for _ in range(trials):
+        results = {4: None, 16: None}
+        # trials INTERLEAVE the levels (4,16,4,16,…) so both levels sample
+        # the same external-load windows — running all @4 legs then all
+        # @16 legs puts each level in a systematically different window
+        # and fabricates efficiency either way (observed both 0.33 and
+        # 1.7+ from window drift on this shared host)
+        for _ in range(trials):
+            for cpus in (4, 16):
                 env = dict(os.environ)
                 env["RAY_GRAFT_CPUS"] = str(cpus)
                 env["GRAFT_BENCH_HEADLINE_ONLY"] = "1"
@@ -453,9 +462,9 @@ def main_scaling() -> None:
                 r = json.loads(lines[-1])
                 # best-of-N: peak sustained throughput estimates capacity;
                 # shared-host noise only ever subtracts
+                best = results[cpus]
                 if best is None or r["rate"] > best["rate"]:
-                    best = r
-            results[cpus] = best
+                    results[cpus] = r
         if results[4] is None or results[16] is None:
             print(f"[scaling] {job}: a level failed every trial — skipped",
                   file=sys.stderr)

@@ -684,3 +684,49 @@ def user_event_pivot_sql() -> str:
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
 FROM events
 GROUP BY user_id"""
+
+
+# ----------------------------------------------- grouped COUNT(DISTINCT)
+
+
+def daily_active_users(sf_dir: str):
+    """Exact distinct users per UTC day — the grouped COUNT(DISTINCT)
+    shape (vs. ``hll_users_by_type``'s approximate sketch).
+
+    Scale shape: per-batch (day, user) dedup is the combiner — the
+    shuffle moves each (day, user) pair at most once per block, 16
+    bytes/row — then ONE composite groupby dedups globally and a
+    per-batch recount + tiny day groupby emits the counts.  No distinct
+    set ever materializes on one node beyond a (day, user) partition."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Count, Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+    us_per_day = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc2.cast(t.column("ts"), pa.int64()).to_numpy() // us_per_day
+        tmp = pa.table({"day": pa.array(day), "user_id": t.column("user_id")})
+        return tmp.group_by(["day", "user_id"]).aggregate([])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": t.column("day")})
+             .group_by("day").aggregate([([], "count_all")]))
+        return pa.table({"day": g.column("day"),
+                         "n_users": pc2.cast(g.column("count_all"),
+                                             pa.int64())})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["day", "user_id"]).aggregate(Count(alias_name="_c"))
+            .map_batches(day_partial, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def daily_active_users_sql() -> str:
+    return """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1"""

@@ -333,3 +333,75 @@ r{i} AS MATERIALIZED (SELECT n.entity,
               LEFT JOIN c{i} USING (entity))""")
     return (head + "".join(steps)
             + f"\nSELECT entity, round(r, 6) AS rank FROM r{iters}")
+
+
+# ------------------------------------------------------------- 2-hop
+
+
+def two_hop_counts(sf_dir: str):
+    """Exactly-2-hop reachability per source entity: for every subject
+    with at least one 2-step path, the number of DISTINCT entities
+    reachable in exactly two directed edges — the KG self-join
+    ("friends of friends") shape.
+
+    Scale shape: the distinct-edge Dataset (already deduped by
+    :func:`_edges`) self-joins on the bridge node with ``Dataset.join``
+    (hash exchange on the 8-byte bridge key, edge payloads are two
+    int-encodable strings); the (src, dst) pairs from the join dedup
+    through the same coarse hash-partitioned groupby as the edge dedup
+    — a 2-hop pair never materializes more than once per partition —
+    and a per-partition recount emits one row per source.  Self-loops
+    (src == dst after two hops) count like any other node, SQL-style.
+
+    Output: ``(subj, n_two_hop)``."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import target_parallelism
+
+    edges = _edges(sf_dir).materialize()  # feeds both join sides once
+
+    left = edges.map_batches(
+        lambda t: pa.table({"src": t.column("subj"),
+                            "mid": t.column("obj")}),
+        batch_format="pyarrow")
+    right = edges.map_batches(
+        lambda t: pa.table({"mid2": t.column("subj"),
+                            "dst": t.column("obj")}),
+        batch_format="pyarrow")
+
+    joined = left.join(right, join_type="inner",
+                       num_partitions=target_parallelism(),
+                       on=("mid",), right_on=("mid2",))
+
+    def project(t: pa.Table) -> pa.Table:
+        out = pa.table({"src": t.column("src"), "dst": t.column("dst")})
+        return out.append_column(
+            "part", stable_part(out, ["src", "dst"], N_EDGE_PARTS))
+
+    def count_per_src(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates(["src", "dst"])
+        g = d.groupby("src", as_index=False).size()
+        return g.rename(columns={"src": "subj", "size": "n_two_hop"})
+
+    # partitioning BY (src, dst) hash makes the in-partition dedup
+    # globally exact (each pair lands in exactly one partition); the
+    # per-partition src counts are partials over disjoint pair sets, so
+    # the tiny final groupby sums them into exact distinct counts
+    from ray.data.aggregate import Sum
+
+    partials = (joined.map_batches(project, batch_format="pyarrow")
+                .groupby("part").map_groups(count_per_src,
+                                            batch_format="pandas"))
+    return partials.groupby("subj").aggregate(
+        Sum("n_two_hop", alias_name="n_two_hop"))
+
+
+def two_hop_counts_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    return f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj, obj FROM t)
+SELECT a.subj, CAST(count(DISTINCT b.obj) AS BIGINT) AS n_two_hop
+FROM e a JOIN e b ON b.subj = a.obj
+GROUP BY a.subj"""

@@ -1275,3 +1275,157 @@ JOIN a ON a.l_partkey = l.l_partkey
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.c < a.s
 GROUP BY p.p_brand"""
+
+
+# ------------------------------------------- LEFT OUTER join report
+
+
+#: broadcast the per-order aggregate when under this encoded size;
+#: above it, co-partitioned tagged-union merge (tests force 0)
+FILL_ATTACH_BOUND = 64 << 20
+
+
+def order_fill_report(sf_dir: str):
+    """Per-order fulfillment report — the LEFT OUTER join shape: EVERY
+    order appears once, with its line count and total quantity, zero-
+    filled when no line items exist (the rows an inner join silently
+    drops).
+
+    Scale shape: ``lineitem`` reduces to per-order (n_items, sum_qty)
+    int64 partials + one orderkey groupby (16-byte rows shuffle, never
+    payloads); ``orders`` then streams through a size-gated attach —
+    broadcast sorted arrays with a missing→0 probe under
+    ``FILL_ATTACH_BOUND``, co-partitioned tagged-union LEFT merge above
+    it.  The orders side never shuffles on the broadcast path.
+
+    Output: ``(o_orderkey, o_orderstatus, n_items, sum_qty)``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    items = read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "q": pa.array(t.column("l_quantity").to_numpy()
+                          .astype(np.int64)),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = tmp.group_by("l_orderkey").aggregate(
+            [("one", "sum"), ("q", "sum")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "n_items": pc.cast(g.column("one_sum"), pa.int64()),
+            "sum_qty": pc.cast(g.column("q_sum"), pa.int64()),
+        })
+
+    agg_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("n_items", pa.int64()),
+                            ("sum_qty", pa.int64())])
+
+    def pin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        return t.select([f.name for f in agg_schema]).cast(agg_schema)
+
+    agg = (items.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("sum_qty", alias_name="sum_qty"))
+           .map_batches(pin, batch_format="pyarrow"))
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    if (agg.size_bytes() or 0) <= FILL_ATTACH_BOUND:
+        ks, ns, qs = [], [], []
+        for t in arrow_blocks(agg, stream=False):
+            ks.append(t.column("l_orderkey").to_numpy())
+            ns.append(t.column("n_items").to_numpy())
+            qs.append(t.column("sum_qty").to_numpy())
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        order = np.argsort(kk)
+        side = ray.put((kk[order],
+                        (np.concatenate(ns) if ns
+                         else np.array([], np.int64))[order],
+                        (np.concatenate(qs) if qs
+                         else np.array([], np.int64))[order]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, nv, qv = ray.get(side)
+            ok = t.column("o_orderkey").to_numpy()
+            if len(keys) == 0:
+                n_out = np.zeros(len(ok), np.int64)
+                q_out = np.zeros(len(ok), np.int64)
+            else:
+                pos = np.searchsorted(keys, ok)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == ok)
+                pos = np.minimum(pos, len(keys) - 1)
+                n_out = np.where(hit, nv[pos], 0)
+                q_out = np.where(hit, qv[pos], 0)
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "n_items": pa.array(n_out),
+                "sum_qty": pa.array(q_out),
+            })
+
+        return orders.map_batches(probe, batch_format="pyarrow")
+
+    n_parts = adaptive_parts(sf_dir, table="orders")
+
+    def tag_agg(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("l_orderkey"),
+            "o_orderstatus": pa.array([""] * t.num_rows, pa.string()),
+            "n_items": t.column("n_items"),
+            "sum_qty": t.column("sum_qty"),
+            "is_agg": pa.array(np.ones(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    def tag_ord(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("o_orderkey"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "n_items": pa.array(np.zeros(t.num_rows, np.int64)),
+            "sum_qty": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_agg": pa.array(np.zeros(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    at = agg.map_batches(tag_agg, batch_format="pyarrow")
+    ot = orders.map_batches(tag_ord, batch_format="pyarrow")
+
+    def resolve(df):
+        import pandas as pd
+
+        a = df[df["is_agg"]][["k", "n_items", "sum_qty"]]
+        o = df[~df["is_agg"]][["k", "o_orderstatus"]]
+        m = o.merge(a, on="k", how="left")
+        return pd.DataFrame({
+            "o_orderkey": m["k"].to_numpy(),
+            "o_orderstatus": m["o_orderstatus"].to_numpy(),
+            "n_items": m["n_items"].fillna(0).to_numpy(np.int64),
+            "sum_qty": m["sum_qty"].fillna(0).to_numpy(np.int64),
+        })
+
+    return at.union(ot).groupby("part").map_groups(
+        resolve, batch_format="pandas")
+
+
+ORDER_FILL_REPORT_SQL = """SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(coalesce(a.n_items, 0) AS BIGINT) AS n_items,
+       CAST(coalesce(a.sum_qty, 0) AS BIGINT) AS sum_qty
+FROM orders o
+LEFT JOIN (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey) a
+ON a.l_orderkey = o.o_orderkey"""

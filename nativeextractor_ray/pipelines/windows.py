@@ -1,10 +1,9 @@
-"""Per-key window functions — LAG gaps and running (cumulative) sums.
+"""SQL window functions, Ray-Data-first: LAG gaps, running (cumulative)
+sums, FIRST_VALUE first-touch, and global ROW_NUMBER / NTILE.
 
-SQL window functions (``LAG() OVER``, ``SUM() OVER (PARTITION BY …
-ORDER BY … ROWS UNBOUNDED PRECEDING)``) are the one relational family
-the repo had not yet expressed Ray-Data-first.  Both operators here use
-the same scale shape as :func:`~nativeextractor_ray.pipelines.events
-.errors_prior_window`:
+The per-key operators (``event_gaps``, ``user_running_value``,
+``first_touch``) use the same scale shape as
+:func:`~nativeextractor_ray.pipelines.events.errors_prior_window`:
 
 - ONE ``hash(user_id)`` shuffle of narrow prepared rows (ids, int64
   timestamps, integer cents) — payloads never move twice, and no window
@@ -188,3 +187,162 @@ def user_running_value_sql() -> str:
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
 FROM events"""
+
+
+# ------------------------------------------------------- FIRST_VALUE
+
+
+def first_touch(sf_dir: str):
+    """First-touch attribution: each user's FIRST event (window order
+    ts, event_id) with its type and value — the ``row_number() OVER
+    (PARTITION BY user ORDER BY …) = 1`` / FIRST_VALUE shape.
+
+    Same single hash(user_id) shuffle as the other window ops; inside a
+    partition the run-start mask from :func:`_window_order` IS the
+    row_number()=1 predicate — one lexsort, one boolean gather, no
+    per-user loop.
+
+    Output: ``(user_id, event_id, event_type, first_ts_us, value_c)``."""
+    import pandas as pd
+    import ray.data  # noqa: F401  (Dataset type)
+
+    import pyarrow.compute as pc2
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "ts_us": pc2.cast(t.column("ts"), pa.int64()),
+            "cents": pc2.cast(pc2.round(pc2.multiply(t.column("value"),
+                                                     100.0)), pa.int64()),
+        })
+        return out.append_column("part", stable_part(out, ["user_id"],
+                                                     _WIN_PARTS))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        order, uid_s, ts_s, new_user = _window_order(df)
+        first = order[new_user]
+        return pd_.DataFrame({
+            "user_id": uid_s[new_user],
+            "event_id": df["event_id"].to_numpy()[first],
+            "event_type": df["event_type"].to_numpy()[first],
+            "first_ts_us": ts_s[new_user],
+            "value_c": df["cents"].to_numpy()[first],
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+def first_touch_sql() -> str:
+    return """SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS first_ts_us,
+       CAST(round(value * 100) AS BIGINT) AS value_c
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1"""
+
+
+# ------------------------------------- global ROW_NUMBER / NTILE
+
+
+def event_value_rank(sf_dir: str, ntiles: int = 10):
+    """Global ranking: every event's exact ``row_number()`` and
+    ``NTILE(ntiles)`` bucket under the total order (value cents,
+    event_id) — the whole-dataset window that needs a GLOBAL prefix,
+    not a per-key one.
+
+    Scale shape — the :func:`~nativeextractor_ray.pipelines.curation
+    .pack_sequences` two-pass distributed prefix sum over a RANGE
+    partition: one narrow (event_id, cents) sort shuffle establishes the
+    total order across blocks; pass 1 pulls ONE (first-key, n_rows) row
+    per block to the driver and prefix-sums them into per-block row
+    offsets; pass 2 maps over the SAME materialized blocks adding
+    ``block_offset + arange`` — at 10^10 events the driver holds one row
+    per block, never per event.  NTILE sizes follow the SQL standard:
+    the first ``n % k`` buckets take ``n//k + 1`` rows.
+
+    Output: ``(event_id, rn, bucket)`` — rn 1-based, bucket 1..ntiles."""
+    import pyarrow.compute as pc2
+    import ray
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "cents": pc2.cast(pc2.round(pc2.multiply(t.column("value"),
+                                                     100.0)), pa.int64()),
+        })
+
+    ordered = (ds.map_batches(prep, batch_format="pyarrow")
+               .sort(["cents", "event_id"]).materialize())
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c0": pa.array([], pa.int64()),
+                             "e0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "c0": pa.array([t.column("cents")[0].as_py()], pa.int64()),
+            "e0": pa.array([t.column("event_id")[0].as_py()], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        })
+
+    partials = sorted(
+        ((r["c0"], r["e0"]), r["n"])
+        for r in ordered.map_batches(block_partial, batch_format="pyarrow",
+                                     batch_size=None).take_all())
+    offsets, acc = {}, 0
+    for key, n in partials:
+        offsets[key] = acc
+        acc += n
+    total = acc
+    off_ref = ray.put(offsets)
+
+    q, r = divmod(total, ntiles)
+    cut = (q + 1) * r  # 0-based row index where the smaller buckets start
+
+    out_schema = pa.schema([("event_id", pa.int64()), ("rn", pa.int64()),
+                            ("bucket", pa.int64())])
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        off = ray.get(off_ref)
+        base = off[(t.column("cents")[0].as_py(),
+                    t.column("event_id")[0].as_py())]
+        rn0 = base + np.arange(t.num_rows, dtype=np.int64)
+        if q == 0:
+            # fewer rows than buckets: every row its own bucket
+            bucket = rn0 + 1
+        else:
+            bucket = np.where(rn0 < cut, rn0 // (q + 1),
+                              r + (rn0 - cut) // q) + 1
+        return pa.table({"event_id": t.column("event_id"),
+                         "rn": pa.array(rn0 + 1),
+                         "bucket": pa.array(bucket)})
+
+    return ordered.map_batches(assign, batch_format="pyarrow",
+                               batch_size=None)
+
+
+def event_value_rank_sql(ntiles: int = 10) -> str:
+    return f"""SELECT event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(ntile({ntiles}) OVER w AS BIGINT) AS bucket
+FROM events
+WINDOW w AS (ORDER BY CAST(round(value * 100) AS BIGINT), event_id)"""

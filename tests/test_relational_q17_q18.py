@@ -77,3 +77,48 @@ def test_q17_correlated_predicate_planted(ray_session, tmp_path):
     # only part 3's qty-1 row survives: price 100+6=106 -> 10600 cents
     assert r["p_brand"] == "Brand#B"
     assert int(r["n_items"]) == 1 and int(r["revenue_c"]) == 10600
+
+
+def test_order_fill_report_left_outer_zero_fill(ray_session, tmp_path,
+                                                monkeypatch):
+    """Orders without any line items must appear with n_items=0 (the rows
+    an inner join drops), on BOTH the broadcast and merge paths."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines import relational
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "P"]),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+        "o_orderdate": pa.array([0, 0, 0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 3),
+    }), tmp_path / "orders.parquet")
+    # order 2 has NO line items
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 3], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+        "l_quantity": pa.array([2.0, 3.0, 7.0]),
+        "l_extendedprice": pa.array([1.0] * 3),
+        "l_discount": pa.array([0.0] * 3),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": pa.array(["N"] * 3),
+        "l_linestatus": pa.array(["O"] * 3),
+        "l_shipdate": pa.array([0] * 3, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    want = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_orderstatus": ["F", "O", "P"],
+        "n_items": [2, 0, 1],
+        "sum_qty": [5, 0, 7],
+    })
+    for bound in (None, 0):
+        if bound is not None:
+            monkeypatch.setattr(relational, "FILL_ATTACH_BOUND", bound)
+        got = _df(relational.order_fill_report(str(tmp_path))).sort_values(
+            "o_orderkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

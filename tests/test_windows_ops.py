@@ -108,3 +108,33 @@ def test_windows_user_cohesion_many_partitions(ray_session, tmp_path):
     want = df[["event_id", "user_id", "cum_cents"]].sort_values(
         "event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_value_rank_ntile_edges(ray_session, tmp_path):
+    """7 rows, 10 buckets (q=0: every row its own bucket) and 7 rows,
+    3 buckets (sizes 3/2/2 per the SQL standard), with tied values
+    broken by event_id."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.windows import event_value_rank
+
+    n = 7
+    pq.write_table(pa.table({
+        "event_id": pa.array([5, 3, 1, 2, 4, 7, 6], pa.int64()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["a"] * n),
+        # two ties at 2.0 -> order among them by event_id
+        "value": pa.array([2.0, 2.0, 1.0, 3.0, 0.5, 9.0, 4.0]),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+
+    got10 = _df(event_value_rank(str(tmp_path), ntiles=10)).sort_values(
+        "rn").reset_index(drop=True)
+    # order: (50,4) (100,1) (200,3) (200,5) (300,2) (400,6) (900,7)
+    assert list(got10["event_id"]) == [4, 1, 3, 5, 2, 6, 7]
+    assert list(got10["bucket"]) == [1, 2, 3, 4, 5, 6, 7]
+
+    got3 = _df(event_value_rank(str(tmp_path), ntiles=3)).sort_values(
+        "rn").reset_index(drop=True)
+    assert list(got3["bucket"]) == [1, 1, 1, 2, 2, 3, 3]
