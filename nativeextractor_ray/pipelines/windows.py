@@ -39,22 +39,28 @@ import pyarrow.compute as pc
 _WIN_PARTS = 64
 
 
-def _prep(sf_dir: str):
-    """Shared narrow projection: (event_id, user_id, ts_us, cents, part)."""
+def _prep(sf_dir: str, with_cents: bool = True):
+    """Shared narrow projection: (event_id, user_id, ts_us[, cents], part).
+
+    ``with_cents=False`` prunes the value column at the READ for windows
+    that only need timestamps (event_gaps)."""
     from nativeextractor_ray.functions.hashing import stable_part
     from nativeextractor_ray.sources.tables import read_table
 
-    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    cols = ["event_id", "ts", "user_id"] + (["value"] if with_cents else [])
+    ds = read_table(sf_dir, "events", cols)
 
     def prep(t: pa.Table) -> pa.Table:
-        out = pa.table({
+        out = {
             "event_id": t.column("event_id"),
             "user_id": t.column("user_id"),
             "ts_us": pc.cast(t.column("ts"), pa.int64()),
-            "cents": pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
-                             pa.int64()),
-        })
-        return out.append_column("part", stable_part(out, ["user_id"],
+        }
+        if with_cents:
+            out["cents"] = pc.cast(
+                pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        tbl = pa.table(out)
+        return tbl.append_column("part", stable_part(tbl, ["user_id"],
                                                      _WIN_PARTS))
 
     return ds.map_batches(prep, batch_format="pyarrow")
@@ -120,7 +126,7 @@ def event_gaps(sf_dir: str):
             "max_gap_us": max_gap[keep],
             "sum_gap_us": sum_gap[keep]})
 
-    return (_prep(sf_dir)
+    return (_prep(sf_dir, with_cents=False)
             .groupby("part")
             .map_groups(resolve, batch_format="pandas"))
 
