@@ -61,6 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the mentions_* family — in-repo oracle-parity green, but no driver
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
+        # round-3 final additions — newest first:
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,  # Count-Min + exact
+        "user_value_rank": windows.user_value_rank,  # RANK/DENSE_RANK ties
+        "event_transitions": windows.event_transitions,  # LEAD Markov counts
+        "label_centroids": vectorstats.label_centroids,  # per-class prototype
         # round-3 late additions — never driver-checked, so first of all:
         "event_gaps": windows.event_gaps,  # LAG() OVER window shape
         "user_running_value": windows.user_running_value,  # SUM() OVER
@@ -200,6 +205,10 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "cms_heavy_hitters": sketches.cms_heavy_hitters_sql(),
+        "user_value_rank": windows.user_value_rank_sql(),
+        "event_transitions": windows.event_transitions_sql(),
+        "label_centroids": vectorstats.label_centroids_sql(),
         "event_gaps": windows.event_gaps_sql(),
         "user_running_value": windows.user_running_value_sql(),
         "local_supplier_volume": relational.local_supplier_volume_sql(),

@@ -331,6 +331,10 @@ def run_suite() -> dict:
         "order_fill_report": ("nativeextractor_ray.pipelines.relational", "order_fill_report"),
         "daily_active_users": ("nativeextractor_ray.pipelines.events", "daily_active_users"),
         "two_hop_counts": ("nativeextractor_ray.pipelines.graph", "two_hop_counts"),
+        "cms_heavy_hitters": ("nativeextractor_ray.pipelines.sketches", "cms_heavy_hitters"),
+        "user_value_rank": ("nativeextractor_ray.pipelines.windows", "user_value_rank"),
+        "event_transitions": ("nativeextractor_ray.pipelines.windows", "event_transitions"),
+        "label_centroids": ("nativeextractor_ray.pipelines.vectorstats", "label_centroids"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

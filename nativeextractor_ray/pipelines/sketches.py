@@ -1,4 +1,5 @@
-"""Cardinality sketches — HyperLogLog distinct counting.
+"""Frequency/cardinality sketches — HyperLogLog distinct counting and
+Count-Min heavy hitters.
 
 At 100 TB, ``COUNT(DISTINCT user_id)`` per group is a full distinct-pair
 shuffle (every (group, user) pair moves).  The HLL sketch replaces that
@@ -277,3 +278,159 @@ SELECT event_type, n_exact, present AS n_regs,
                    / CAST(s_all AS DOUBLE)
               END, {ROUND}) AS hll_est
 FROM fin ORDER BY event_type"""
+
+
+# ------------------------------------------------------ Count-Min sketch
+
+
+CMS_D = 4                     # hash rows
+CMS_W = 512                   # counters per row
+#: heavy-hitter threshold as an exact rational fraction of N (8/1000 =
+#: 0.8%) — integer ceiling division on BOTH engines; a float literal
+#: would ceil differently (DuckDB parses 0.008 as exact DECIMAL, Python
+#: floats give 0.008·1000 = 8.000000000000002 → ceil 9)
+CMS_PHI_NUM = 8
+CMS_PHI_DEN = 1000
+
+#: per-process cache of the D per-row column indices for a user id —
+#: ids repeat across batches (the HLL _H_CACHE pattern)
+_CMS_CACHE: dict[int, tuple] = {}
+
+
+def _cms_cols(uids: np.ndarray, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(len(uids), d) int64 column indices — row-r hash is the md5
+    lower-64-LE of ``"{uid}:{r}"`` mod w, so the SQL twin recomputes the
+    identical placement with ``md5_number_lower``."""
+    out = np.empty((len(uids), d), dtype=np.int64)
+    for i, u in enumerate(uids):
+        u = int(u)
+        cols = _CMS_CACHE.get(u)
+        if cols is None:
+            cols = tuple(
+                int.from_bytes(
+                    hashlib.md5(f"{u}:{r}".encode()).digest()[8:16],
+                    "little") % w
+                for r in range(d))
+            if len(_CMS_CACHE) < (1 << 20):
+                _CMS_CACHE[u] = cols
+        out[i] = cols
+    return out
+
+
+def cms_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Heavy hitters: every user whose Count-Min ESTIMATE is ≥ ``phi·N``
+    events, with the exact count alongside (CMS guarantees est ≥ exact,
+    so no true heavy hitter is missed; collisions can only add FALSE
+    candidates, which the exact column exposes).
+
+    Output: ``(user_id, n_exact, cms_est)``.
+
+    Scale shape — the sketch makes the candidate set cheap so the exact
+    leg never shuffles the full key space:
+
+    1. **Counter pass (streaming)**: each batch folds its rows into
+       per-(row, column) count partials via ``np.bincount`` — at most
+       ``d × w`` rows per block regardless of corpus size — and one tiny
+       packed-int64-key ``groupby().sum`` merges them into the global
+       ``d × w`` counter table (the ``hll_users_by_type`` register
+       economics; counters are order-independent sums, so the merged
+       table is exact and deterministic).
+    2. **Candidate pass (streaming)**: the counter table (``d·w`` ints)
+       broadcasts once via ``ray.put``; each batch emits (user, partial
+       count) rows ONLY for users whose global CMS estimate clears the
+       threshold — the one ``groupby(user).sum`` shuffle moves candidate
+       rows, not the corpus key space.  est ≥ exact makes this filter
+       lossless for true heavy hitters.
+
+    The counter table is the only driver-side state: ``d × w`` int64s,
+    constant in the corpus (the HLL register bound argument)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    n_total = ds.count()
+    thresh = -(-n_total * CMS_PHI_NUM // CMS_PHI_DEN)  # exact ceil
+
+    # ---- pass 1: global d x w counter table ----
+    def counter_partial(t: pa.Table) -> pa.Table:
+        uids, cnts = np.unique(t.column("user_id").to_numpy(),
+                               return_counts=True)
+        cols = _cms_cols(uids)
+        ks, vs = [], []
+        for r in range(CMS_D):
+            acc = np.bincount(cols[:, r], weights=cnts, minlength=CMS_W)
+            nz = np.nonzero(acc)[0]
+            ks.append(r * CMS_W + nz)
+            vs.append(acc[nz].astype(np.int64))
+        return pa.table({"k": pa.array(np.concatenate(ks), pa.int64()),
+                         "cnt": pa.array(np.concatenate(vs), pa.int64())})
+
+    counters = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    merged = (ds.map_batches(counter_partial, batch_format="pyarrow")
+                .groupby("k").aggregate(Sum("cnt", alias_name="cnt")))
+    for t in arrow_blocks(merged, stream=False):
+        if t.num_rows:
+            counters[t.column("k").to_numpy()] += t.column("cnt").to_numpy()
+    cref = ray.put(counters)
+
+    def _est(uids: np.ndarray, ctrs: np.ndarray) -> np.ndarray:
+        cols = _cms_cols(uids)
+        ests = ctrs[np.arange(CMS_D) * CMS_W + cols]  # (n, d) gather
+        return ests.min(axis=1)
+
+    # ---- pass 2: candidate partials -> exact counts ----
+    def candidate_partial(t: pa.Table) -> pa.Table:
+        ctrs = ray.get(cref)
+        uids, cnts = np.unique(t.column("user_id").to_numpy(),
+                               return_counts=True)
+        keep = _est(uids, ctrs) >= thresh
+        return pa.table({"user_id": pa.array(uids[keep], pa.int64()),
+                         "n": pa.array(cnts[keep].astype(np.int64))})
+
+    exact = (ds.map_batches(candidate_partial, batch_format="pyarrow")
+               .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("n_exact", pa.int64()),
+                            ("cms_est", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ctrs = ray.get(cref)
+        uids = t.column("user_id").to_numpy()
+        return pa.table({"user_id": t.column("user_id"),
+                         "n_exact": pc.cast(t.column("n"), pa.int64()),
+                         "cms_est": pa.array(_est(uids, ctrs), pa.int64())})
+
+    return exact.map_batches(finish, batch_format="pyarrow")
+
+
+def cms_heavy_hitters_sql() -> str:
+    """SQL twin: replays the identical md5 column placement and the
+    identical global counters, then applies the same est ≥ ⌈phi·N⌉ gate."""
+    return f"""WITH ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+placement AS (
+  SELECT ex.user_id, r.range AS r,
+         md5_number_lower(CAST(ex.user_id AS VARCHAR) || ':'
+                          || CAST(r.range AS VARCHAR)) % {CMS_W} AS col
+  FROM ex, range({CMS_D}) r
+),
+counters AS (
+  SELECT p.r, p.col, sum(ex.cnt) AS cnt
+  FROM placement p JOIN ex USING (user_id)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.user_id, min(c.cnt) AS est
+  FROM placement p JOIN counters c ON c.r = p.r AND c.col = p.col
+  GROUP BY 1
+)
+SELECT ex.user_id, ex.n_exact, CAST(e.est AS BIGINT) AS cms_est
+FROM est e JOIN (SELECT user_id, cnt AS n_exact FROM ex) ex USING (user_id)
+WHERE e.est >= ((SELECT count(*) FROM events) * {CMS_PHI_NUM}
+                + {CMS_PHI_DEN - 1}) // {CMS_PHI_DEN}"""

@@ -114,3 +114,79 @@ SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
                      * (CAST(sum(q) AS DOUBLE) / {QSCALE}.0 / count(*)))
                   * {QSCALE}.0 + 0.5) AS BIGINT) AS var_micro
 FROM q GROUP BY dim ORDER BY dim"""
+
+
+def label_centroids(sf_dir: str):
+    """Per-label exact centroid — the class-prototype pass (SemDeDup's
+    cluster seeds, classifier prototypes, per-domain drift monitors all
+    start here).  Output long-form: ``(label, dim, n_vecs, mean_micro)``
+    with the same 1e-6 fixed-point discipline as
+    :func:`embedding_dim_stats`.
+
+    Scale shape: identical to the global pass, with the partial keyed by
+    (label, dim) — each batch folds to ``labels_in_batch × 64`` rows via
+    ONE ``np.add.at`` scatter (labels are factorized per batch, no
+    per-label loop), so the ``groupby((label, dim))`` shuffle moves
+    moment rows bounded by blocks × labels × 64, never vectors.  No join:
+    ``label`` rides the embeddings table itself."""
+    from nativeextractor_ray.functions.vectors import embedding_matrix
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding")).astype(np.float64)
+        if m.shape[1] != EMB_DIM:
+            raise ValueError(
+                f"label_centroids: expected dim {EMB_DIM}, got {m.shape[1]}")
+        q = np.floor(m * float(QSCALE) + 0.5).astype(np.int64)
+        if q.size and np.abs(q).max() >= QBOUND:
+            raise ValueError(
+                "label_centroids: |value| exceeds the documented "
+                f"fixed-point bound ({QBOUND / QSCALE:.1f})")
+        labels = t.column("label").to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k = len(uniq)
+        s1 = np.zeros((k, EMB_DIM), dtype=np.int64)
+        np.add.at(s1, inv, q)           # exact: |Σq| ≤ rows·2^25 per batch
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), EMB_DIM)),
+            "dim": pa.array(np.tile(np.arange(1, EMB_DIM + 1), k),
+                            pa.int64()),
+            "n": pa.array(np.repeat(n, EMB_DIM)),
+            "s1_hi": pa.array((s1 >> 62).ravel(), pa.int64()),
+            "s1_lo": pa.array((s1 & _LO_MASK).ravel(), pa.int64()),
+        })
+
+    def finish(g):
+        import pandas as pd
+
+        s1 = sum((int(h) << 62) + int(l)
+                 for h, l in zip(g["s1_hi"], g["s1_lo"]))
+        n = int(g["n"].sum())
+        mean_raw = float(s1) / float(QSCALE) / n
+        return pd.DataFrame({
+            "label": np.array([int(g["label"].iloc[0])], np.int64),
+            "dim": np.array([int(g["dim"].iloc[0])], np.int64),
+            "n_vecs": np.array([n], np.int64),
+            "mean_micro": np.array(
+                [np.floor(mean_raw * QSCALE + 0.5)], np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["label", "dim"])
+              .map_groups(finish, batch_format="pandas"))
+
+
+def label_centroids_sql() -> str:
+    return f"""WITH q AS (
+  SELECT CAST(e.label AS BIGINT) AS label, CAST(r.dim AS BIGINT) AS dim,
+         CAST(floor(CAST(list_extract(e.embedding, r.dim) AS DOUBLE)
+                    * {QSCALE}.0 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, range(1, {EMB_DIM + 1}) r(dim)
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor((CAST(sum(q) AS DOUBLE) / {QSCALE}.0 / count(*))
+                  * {QSCALE}.0 + 0.5) AS BIGINT) AS mean_micro
+FROM q GROUP BY label, dim"""

@@ -352,3 +352,188 @@ def event_value_rank_sql(ntiles: int = 10) -> str:
        CAST(ntile({ntiles}) OVER w AS BIGINT) AS bucket
 FROM events
 WINDOW w AS (ORDER BY CAST(round(value * 100) AS BIGINT), event_id)"""
+
+
+# ----------------------------------------------- RANK / DENSE_RANK
+
+
+def user_value_rank(sf_dir: str):
+    """Per-user ``RANK()`` and ``DENSE_RANK()`` of each event by value
+    (cents DESC) — the tie-preserving window shape ``event_value_rank``'s
+    total order deliberately avoids.  Ties share a rank; RANK skips the
+    tied slots, DENSE_RANK does not.
+
+    Same single hash(user_id) shuffle as the other per-key windows; both
+    ranks fall out of ONE lexsort plus two boundary masks — for each row,
+    ``RANK = pos(start of its tie run) - pos(start of its user run) + 1``
+    (two ``np.maximum.accumulate`` gathers) and ``DENSE_RANK = tie-run
+    ordinal within the user run`` (one cumsum re-based at user starts).
+    No per-user loop, no per-tie loop.
+
+    Output: one row per event — ``(event_id, user_id, rnk, drnk)``."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    # rank orders by value alone — no ts in the shuffle (cf. _prep,
+    # which the gap/cumsum windows use because they sort on time)
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "cents": pc.cast(pc.round(pc.multiply(t.column("value"),
+                                                  100.0)), pa.int64()),
+        })
+        return out.append_column("part", stable_part(out, ["user_id"],
+                                                     _WIN_PARTS))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        uid = df["user_id"].to_numpy()
+        cents = df["cents"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        # window order (user, cents DESC); eid last for a deterministic
+        # row order WITHIN a tie (ranks are tie-invariant, so any stable
+        # in-tie order yields the same output values)
+        order = np.lexsort((eid, -cents, uid))
+        uid_s, cents_s = uid[order], cents[order]
+        n = len(uid_s)
+        if n == 0:
+            return pd_.DataFrame({
+                "event_id": np.array([], dtype=np.int64),
+                "user_id": np.array([], dtype=np.int64),
+                "rnk": np.array([], dtype=np.int64),
+                "drnk": np.array([], dtype=np.int64)})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid_s[1:], uid_s[:-1], out=new_user[1:])
+        new_tie = new_user.copy()
+        new_tie[1:] |= cents_s[1:] != cents_s[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        user_start = np.maximum.accumulate(np.where(new_user, pos, 0))
+        tie_start = np.maximum.accumulate(np.where(new_tie, pos, 0))
+        rnk = tie_start - user_start + 1
+        tie_id = np.cumsum(new_tie)  # 1-based global tie-run ordinal
+        drnk = tie_id - np.maximum.accumulate(
+            np.where(new_user, tie_id, 0)) + 1
+        return pd_.DataFrame({
+            "event_id": eid[order],
+            "user_id": uid_s,
+            "rnk": rnk.astype(np.int64),
+            "drnk": drnk.astype(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+def user_value_rank_sql() -> str:
+    return """SELECT event_id, user_id,
+       CAST(rank() OVER w AS BIGINT)       AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(round(value * 100) AS BIGINT) DESC)"""
+
+
+# ------------------------------------------------- LEAD transitions
+
+
+def event_transitions(sf_dir: str):
+    """Per-user next-event transition matrix: counts of consecutive
+    ``(event_type -> next event_type)`` pairs under the window order
+    (ts, event_id) — the ``LEAD() OVER (PARTITION BY user ...)`` shape,
+    and the Markov-chain statistic sequence models train on.
+
+    Scale shape: the per-key window runs in the usual single
+    hash(user_id) shuffle; each partition then emits its LOCAL
+    (from, to, n) counts — at most types² rows per partition — and one
+    tiny types²-key ``groupby().sum`` merges them globally.  Corpus-sized
+    rows cross the wire once (the window shuffle), counts thereafter.
+
+    Output: ``(from_type, to_type, n)``."""
+    import pandas as pd
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id",
+                                       "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "ts_us": pc2.cast(t.column("ts"), pa.int64()),
+        })
+        return out.append_column("part", stable_part(out, ["user_id"],
+                                                     _WIN_PARTS))
+
+    def local_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        order, uid_s, _ts_s, new_user = _window_order(df)
+        if len(uid_s) < 2:
+            return pd_.DataFrame({"from_type": pd_.Series([], dtype=str),
+                                  "to_type": pd_.Series([], dtype=str),
+                                  "n": pd_.Series([], dtype=np.int64)})
+        et_s = df["event_type"].to_numpy()[order]
+        same = ~new_user[1:]  # consecutive rows of the SAME user
+        out = pd_.DataFrame({"from_type": et_s[:-1][same],
+                             "to_type": et_s[1:][same]})
+        g = out.groupby(["from_type", "to_type"], sort=False).size()
+        g = g.rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    out_schema = pa.schema([("from_type", pa.string()),
+                            ("to_type", pa.string()), ("n", pa.int64())])
+
+    # the aggregate must run over ARROW blocks: over pandas blocks it
+    # emits schema-LESS empty pandas blocks (names=[]) that bypass both
+    # map-fn batch conversion and to_arrow_refs (observed: raw empty
+    # DataFrames in the output stream) — so re-block the map_groups
+    # output to arrow first, and pin the post-aggregate schema (the
+    # hll_users_by_type ensure_regs pattern)
+    def to_arrow(df: "pd.DataFrame") -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+    merged = (ds.map_batches(prep, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(local_counts, batch_format="pandas")
+                .map_batches(to_arrow, batch_format="pandas")
+                .groupby(["from_type", "to_type"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    # finish on the driver: the merged matrix is BOUNDED by types² rows
+    # (the referential_audit / hll tiny-result precedent), and the
+    # string-multi-key aggregate emits schema-less empty pandas blocks
+    # that BYPASS any downstream map fn — arrow_blocks is the one
+    # normalization point that absorbs them
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    parts = [t.select(["from_type", "to_type", "n"]).cast(out_schema)
+             for t in arrow_blocks(merged, stream=False)]
+    tbl = (pa.concat_tables(parts) if parts else out_schema.empty_table())
+    return tbl.sort_by([("from_type", "ascending"),
+                        ("to_type", "ascending")])
+
+
+def event_transitions_sql() -> str:
+    return """SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events)
+WHERE to_type IS NOT NULL
+GROUP BY 1, 2"""
