@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_rank": windows.user_value_rank,  # RANK/DENSE_RANK ties
         "event_transitions": windows.event_transitions,  # LEAD Markov counts
         "label_centroids": vectorstats.label_centroids,  # per-class prototype
+        "percentiles_cont": quantiles.event_value_percentiles_cont,
         # round-3 late additions — never driver-checked, so first of all:
         "event_gaps": windows.event_gaps,  # LAG() OVER window shape
         "user_running_value": windows.user_running_value,  # SUM() OVER
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_rank": windows.user_value_rank_sql(),
         "event_transitions": windows.event_transitions_sql(),
         "label_centroids": vectorstats.label_centroids_sql(),
+        "percentiles_cont": quantiles.event_value_percentiles_cont_sql(),
         "event_gaps": windows.event_gaps_sql(),
         "user_running_value": windows.user_running_value_sql(),
         "local_supplier_volume": relational.local_supplier_volume_sql(),

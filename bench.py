@@ -335,6 +335,7 @@ def run_suite() -> dict:
         "user_value_rank": ("nativeextractor_ray.pipelines.windows", "user_value_rank"),
         "event_transitions": ("nativeextractor_ray.pipelines.windows", "event_transitions"),
         "label_centroids": ("nativeextractor_ray.pipelines.vectorstats", "label_centroids"),
+        "percentiles_cont": ("nativeextractor_ray.pipelines.quantiles", "event_value_percentiles_cont"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -38,14 +38,20 @@ MAX_ROUNDS = 40
 QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
-def _exact_quantiles(ds, col: str, qs, group_col: str | None = None):
+def _exact_quantiles(ds, col: str, qs, group_col: str | None = None,
+                     ranks=None):
     """Exact q-quantiles of ``ds[col]`` (value at 1-indexed rank
     ``ceil(q*n)`` of the sorted column), per group of ``group_col`` when
     given (group cardinality must be bounded — driver state is one
     interval per (group, q); the group column must be STRING-typed —
     target keys compare raw column values against driver-side str keys).
     Returns ``{(group, q): value}``; the group key is ``""`` when
-    ungrouped."""
+    ungrouped.
+
+    ``ranks`` (explicit 1-indexed ranks, e.g. from a PERCENTILE_CONT
+    position calculation) overrides ``qs``: targets become ``(group, k)``
+    and the same refinement kernel selects the k-th order statistic per
+    group directly."""
     import ray
 
     if group_col is not None:
@@ -93,10 +99,21 @@ def _exact_quantiles(ds, col: str, qs, group_col: str | None = None):
     # the k-th value, plus how many group values sit strictly below lo
     targets = {}
     for gkey, (n, glo, ghi) in stats.items():
-        for q in qs:
-            k = max(1, int(np.ceil(q * n)))
-            targets[(gkey, q)] = {"k": k, "lo": glo, "hi": ghi, "below": 0,
-                                  "in_range": n, "value": None}
+        if ranks is not None:
+            for k in sorted(set(ranks)):
+                if not 1 <= k <= n:
+                    raise ValueError(
+                        f"_exact_quantiles: rank {k} out of range for "
+                        f"group {gkey!r} with n={n}")
+                targets[(gkey, k)] = {"k": int(k), "lo": glo, "hi": ghi,
+                                      "below": 0, "in_range": n,
+                                      "value": None}
+        else:
+            for q in qs:
+                k = max(1, int(np.ceil(q * n)))
+                targets[(gkey, q)] = {"k": k, "lo": glo, "hi": ghi,
+                                      "below": 0, "in_range": n,
+                                      "value": None}
 
     def active():
         return {t: s for t, s in targets.items() if s["value"] is None}
@@ -275,3 +292,88 @@ s AS (
 SELECT lang, CAST(q AS DOUBLE) AS q, n_tokens
 FROM (VALUES {vals}) AS qs(q)
 JOIN s ON s.r = CAST(ceil(q * n) AS BIGINT)"""
+
+
+# -------------------------------------------------- PERCENTILE_CONT
+
+
+#: interpolated-percentile targets as EXACT rationals — position
+#: arithmetic ((n-1)·num ÷ den) stays in integers on both engines; a
+#: float q would floor differently at boundary positions (the
+#: cms_heavy_hitters threshold lesson)
+CONT_QS = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+
+
+def event_value_percentiles_cont(sf_dir: str) -> pa.Table:
+    """``PERCENTILE_CONT`` over ``events.value``: the SQL-standard
+    linearly-interpolated percentile at q = num/den for each entry of
+    :data:`CONT_QS`.
+
+    Position per the standard: ``pos = (n-1)·q``; the result
+    interpolates the order statistics at ranks ``floor(pos)+1`` and
+    ``floor(pos)+2`` by ``frac = pos - floor(pos)``.  Both ranks are
+    selected EXACTLY by the same histogram-refinement kernel as the
+    discrete quantiles (R+1 streaming scans, no global sort — see module
+    docstring); the only float arithmetic is the one interpolation
+    expression, written identically in the SQL twin and emitted in
+    floor-rounded integer micro-units (the repo's float-parity rule).
+
+    Output: ``(q_num, q_den, pct_micro)``."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["value"])
+    n = ds.count()
+    specs = []
+    need: set[int] = set()
+    for num, den in CONT_QS:
+        k0, rem = divmod((n - 1) * num, den)
+        specs.append((num, den, k0, rem))
+        need.add(k0 + 1)
+        if rem:
+            need.add(k0 + 2)
+    vals = _exact_quantiles(ds, "value", (), ranks=sorted(need))
+
+    out_num, out_den, out_micro = [], [], []
+    for num, den, k0, rem in specs:
+        lo = vals[("", k0 + 1)]
+        if rem:
+            hi = vals[("", k0 + 2)]
+            v = lo + (rem / den) * (hi - lo)
+        else:
+            v = lo
+        out_num.append(num)
+        out_den.append(den)
+        out_micro.append(int(np.floor(v * 1e6 + 0.5)))
+    return pa.table({
+        "q_num": pa.array(out_num, pa.int64()),
+        "q_den": pa.array(out_den, pa.int64()),
+        "pct_micro": pa.array(out_micro, pa.int64()),
+    })
+
+
+def event_value_percentiles_cont_sql() -> str:
+    """SQL twin: order statistics via ROW_NUMBER (not quantile_cont —
+    its internal position arithmetic is not spec-pinned), the identical
+    integer position split and the identical double interpolation."""
+    qs = ", ".join(f"({num}, {den})" for num, den in CONT_QS)
+    return f"""WITH o AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY value) AS rn
+  FROM events
+),
+qs(num, den) AS (VALUES {qs}),
+pos AS (
+  SELECT num, den,
+         ((SELECT count(*) FROM events) - 1) * num // den AS k0,
+         ((SELECT count(*) FROM events) - 1) * num % den  AS rem
+  FROM qs
+)
+SELECT CAST(p.num AS BIGINT) AS q_num, CAST(p.den AS BIGINT) AS q_den,
+       CAST(floor(
+         CASE WHEN p.rem = 0 THEN lo.v
+              ELSE lo.v + (CAST(p.rem AS DOUBLE) / CAST(p.den AS DOUBLE))
+                          * (hi.v - lo.v) END
+         * 1000000.0 + 0.5) AS BIGINT) AS pct_micro
+FROM pos p
+JOIN o lo ON lo.rn = p.k0 + 1
+LEFT JOIN o hi ON hi.rn = p.k0 + 2"""

@@ -163,3 +163,29 @@ def test_label_centroids_planted(ray_session, tmp_path):
     assert g.loc[(7, 2), "mean_micro"] == 0
     assert g.loc[(9, 1), "mean_micro"] == 0
     assert len(g) == 2 * EMB_DIM
+
+
+# ------------------------------------------------- percentiles_cont
+
+
+def test_percentiles_cont_planted(ray_session, tmp_path):
+    """n=4 values 10,20,30,40: every CONT_QS position interpolates to a
+    hand-computed value (pos = (n-1)*q; v = lo + frac*(hi-lo))."""
+    from nativeextractor_ray.pipelines.quantiles import (
+        event_value_percentiles_cont)
+
+    sf = _events(tmp_path, [
+        (1, 1, 1000, "a", 10.0),
+        (2, 1, 2000, "a", 30.0),
+        (3, 2, 3000, "a", 20.0),
+        (4, 2, 4000, "a", 40.0),
+    ])
+    got = _df(event_value_percentiles_cont(sf))
+    by_q = {(r.q_num, r.q_den): r.pct_micro for r in got.itertuples()}
+    assert by_q == {
+        (1, 4): 17_500_000,    # pos 0.75 -> 10 + .75*(20-10)
+        (1, 2): 25_000_000,    # pos 1.5  -> 20 + .5*(30-20)
+        (3, 4): 32_500_000,    # pos 2.25 -> 30 + .25*(40-30)
+        (9, 10): 37_000_000,   # pos 2.7  -> 30 + .7*(40-30)
+        (99, 100): 39_700_000, # pos 2.97 -> 30 + .97*(40-30)
+    }
