@@ -100,9 +100,17 @@ def main() -> None:
                     cols.append(col)
             replicas.append(pa.table(dict(zip(t.schema.names, cols))))
         big = pa.concat_tables(replicas)
+        # SMALL row groups are load-bearing for scaling measurements: Ray
+        # fuses ReadParquet->MapBatches into one task PER FRAGMENT, and a
+        # parquet row group is unsplittable — a single 500k-row group made
+        # the whole map side of the doc pipelines run on ONE core at every
+        # parallelism level (measured: 4->16 CPUs "efficiency" 0.30-0.37,
+        # an input-layout artifact).  A real 100-TB corpus is thousands of
+        # files; 8k-row groups reproduce that fan-out in one file.
         pq.write_table(big, f"{dst}/{name}.parquet",
-                       row_group_size=1 << 20)
-        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+                       row_group_size=8192)
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows "
+              f"({(big.num_rows + 8191) // 8192} row groups)")
 
 
 if __name__ == "__main__":
