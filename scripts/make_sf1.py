@@ -7,7 +7,7 @@ This script builds it: each table is replicated ``FACTOR`` times with every
 key column shifted by ``replica * (max(key in its home table) + 1)``, so
 referential integrity (orders->customer, lineitem->orders/part/supplier)
 is preserved exactly and the derived transcripts/conv distributions keep
-their shape.  No RNG anywhere — byte-identical output on every run.
+their shape.  All randomness is counter-based Philox with fixed keys — byte-identical output on every run.
 
 Usage:  python scripts/make_sf1.py [SRC_DIR] [DST_DIR] [FACTOR] [TABLES]
 Defaults: /root/testdata/sf0.1 -> /tmp/nxr_sf1, factor 10, all tables.
@@ -86,16 +86,43 @@ def main() -> None:
                     shifted = pc.add(col, k * stride(field.name))
                     cols.append(shifted.cast(field.type))
                 elif name == "documents" and field.name == "text":
-                    # Deterministic per-replica salt token: WITHOUT it every
-                    # replica group is a factor-member EXACT-dup clique and
-                    # in-bucket LSH pair counts grow quadratically with the
-                    # factor (396M raw pairs at factor 100) — a degenerate
-                    # corpus, not a scaled one.  One prefixed token makes
-                    # replicas distinct while keeping the SOURCE corpus's
-                    # near-dup density constant per replica, which is the
-                    # property a scaling measurement needs.
-                    cols.append(pc.binary_join_element_wise(
-                        pa.scalar(f"r{k}"), col, " "))
+                    # Replica text must NOT form factor-member near-dup
+                    # cliques.  The first attempt (one prefixed salt token)
+                    # left replicas at 3-gram Jaccard ~0.9 (one token of
+                    # ~60 changed), so LSH correctly bucketed all FACTOR
+                    # replicas of every source doc together: 353M candidate
+                    # pairs / 8 GB materialized at factor 100 — a ~99%%
+                    # near-dup corpus whose pair stage is disk-spill-bound
+                    # at every CPU count (a single-box artifact: a real
+                    # N-node cluster scales spill disks with nodes).  Now
+                    # most replicas get an independent WORD PERMUTATION
+                    # (word adjacency destroyed -> shingle overlap ~0 ->
+                    # NOT near-dups), and every 8th (doc_id + k) keeps the
+                    # light salt to plant a ~12%% near-dup population — the
+                    # realistic mix a scaling measurement should exercise.
+                    # The permutation must be structureless BETWEEN
+                    # replicas (a fixed stride makes replica k+1 a cyclic
+                    # ROTATION of replica k, which shares all but n-1
+                    # shingles — cliques again): Philox is counter-based
+                    # and keyed per (doc, replica), so it is deterministic,
+                    # byte-identical across runs, and unrelated across k.
+                    import numpy as np
+
+                    ids_np = t.column("doc_id").to_numpy()
+                    texts = col.to_pylist()
+                    out_txt = []
+                    for did, txt in zip(ids_np, texts):
+                        if (int(did) + k) % 8 == 0:
+                            out_txt.append(f"r{k} {txt}")
+                        else:
+                            w = txt.split(" ")
+                            m = len(w)
+                            if m > 3:
+                                perm = np.random.Generator(np.random.Philox(
+                                    key=(int(did) << 20) | k)).permutation(m)
+                                w = [w[j] for j in perm]
+                            out_txt.append(f"r{k} " + " ".join(w))
+                    cols.append(pa.array(out_txt, field.type))
                 else:
                     cols.append(col)
             replicas.append(pa.table(dict(zip(t.schema.names, cols))))
