@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_degree": graph.entity_degree,  # distinct-edge degree profile
         "entity_pagerank": graph.entity_pagerank,  # K-iter power iteration
         "entity_pmi": graph.entity_pmi,  # co-occurrence PMI
+        "triangle_counts": graph.triangle_counts,  # degree-ordered triangles
         "lm_score": lmscore.lm_score,  # bigram LM quality scoring
         "dedup_semantic": dedup.dedup_semantic,  # SemDeDup: k-means + cosine
         "domain_mix": curation.domain_mix,  # uniform-mixture rebalancing
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_degree": graph.entity_degree_sql(),
         "entity_pagerank": graph.entity_pagerank_sql(),
         "entity_pmi": graph.entity_pmi_sql(),
+        "triangle_counts": graph.triangle_counts_sql(),
         "lm_score": lmscore.lm_score_sql(),
         # deterministic trained centroids as SQL literals (ann_ivf pattern)
         "dedup_semantic": dedup.dedup_semantic_sql(),

@@ -359,7 +359,8 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             log_to_driver=False)
     head = _best_of(run_headline)
     ment = _best_of(run_mentions_throughput)
     gaz = _best_of(run_gazetteer)
@@ -551,7 +552,8 @@ def main_headline_only() -> None:
         if os.environ.get("GRAFT_SCALING_LOADED") == "1"
         else []
     )
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             log_to_driver=False)
     # warm-up: fill worker-process import caches so the measured run sees
     # steady-state workers, not cold python startup
     if job == "headline":

@@ -118,15 +118,17 @@ FROM n LEFT JOIN od USING (entity) LEFT JOIN id_ USING (entity)"""
 # ---------------------------------------------------------------- pagerank
 
 
-def _entity_ids(edges):
-    """Collect the bounded entity vocabulary from a (subj, obj) edge
-    Dataset → sorted numpy string array (size-gated)."""
+def _entity_ids(edges, cols: tuple[str, str] = ("subj", "obj")):
+    """Collect the bounded entity vocabulary from an edge Dataset →
+    sorted numpy string array (size-gated)."""
     import ray
+
+    ca, cb = cols
 
     def ents(t: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array([
-            t.column("subj").combine_chunks(),
-            t.column("obj").combine_chunks()]))
+            t.column(ca).combine_chunks(),
+            t.column(cb).combine_chunks()]))
         return pa.table({"entity": u})
 
     vocab = edges.map_batches(ents, batch_format="pyarrow").materialize()
@@ -405,3 +407,225 @@ e AS (SELECT DISTINCT subj, obj FROM t)
 SELECT a.subj, CAST(count(DISTINCT b.obj) AS BIGINT) AS n_two_hop
 FROM e a JOIN e b ON b.subj = a.obj
 GROUP BY a.subj"""
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _pair_enum(starts: np.ndarray, sizes: np.ndarray):
+    """All i<j index pairs within contiguous groups, batched by group
+    SIZE so the Python loop runs O(#distinct sizes) (the dedup.py
+    ``_minhash_partition_pairs`` template).  Returns (ia, ib) into the
+    flat sorted array."""
+    ia_parts, ib_parts = [], []
+    for size in np.unique(sizes):
+        if size < 2:
+            continue
+        sel = np.nonzero(sizes == size)[0]
+        ti, tj = np.triu_indices(int(size), 1)
+        ia_parts.append((starts[sel][:, None] + ti[None, :]).ravel())
+        ib_parts.append((starts[sel][:, None] + tj[None, :]).ravel())
+    if not ia_parts:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
+def triangle_counts(sf_dir: str):
+    """Per-entity triangle participation over the UNDIRECTED KG: for
+    every entity in at least one triangle, the number of triangles it
+    belongs to — the clustering-coefficient numerator and the classic
+    MapReduce graph benchmark (Cohen 2009; Chiba–Nishizeki node ordering).
+
+    Scale shape — degree-ordered edge orientation bounds the blow-up:
+
+    - distinct directed edges (from :func:`_edges`) symmetrize to
+      canonical undirected pairs (``u < v``, loops dropped) through the
+      same coarse hash-partitioned dedup — never collected;
+    - the degree vector is O(|entities|) (vocabulary-bounded, same
+      size-gated argument as :func:`entity_pagerank`) and broadcasts
+      once via ``ray.put``; each edge is oriented from its lower
+      (degree, id)-ranked endpoint to the higher.  In that DAG every
+      node's out-degree is ≤ √(2m) STRUCTURALLY (an apex with out-degree
+      d has d neighbors of degree ≥ d, so d² ≤ Σdeg = 2m) — wedge
+      generation is O(Σ out_deg²) ≤ O(m^1.5) total and no single apex
+      can explode a partition, without any skew cap or sampling;
+    - wedges (apex → two out-neighbors, probe pair canonicalized by the
+      same rank order) co-partition with the oriented edges by
+      ``hash(pair) % P`` in ONE tagged union shuffle; in-partition the
+      probe is a packed-int64 ``searchsorted`` membership test — every
+      triangle has exactly ONE apex (its rank-minimum vertex), so each
+      is found exactly once, no post-dedup needed;
+    - per-partition entity credit (+1 to all three corners) folds to one
+      O(|entities|) ``bincount`` vector row per partition, summed on the
+      driver — the pagerank contrib-vector economics.
+
+    Oracle: triangles enumerated by a 3-way self-join on the canonical
+    undirected edge set (``LEAST``/``GREATEST`` — binary collation,
+    matching Arrow's UTF-8 compare), corners exploded by UNION ALL.
+
+    Output: ``(entity, n_tri)`` for entities with ``n_tri ≥ 1``."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, o = t.column("subj"), t.column("obj")
+        lt = pc.less(s, o)
+        out = pa.table({"u": pc.if_else(lt, s, o),
+                        "v": pc.if_else(lt, o, s)})
+        out = out.filter(pc.not_equal(out.column("u"), out.column("v")))
+        return out.append_column(
+            "part", stable_part(out, ["u", "v"], N_EDGE_PARTS))
+
+    def dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    und = (_edges(sf_dir)
+           .map_batches(canon, batch_format="pyarrow")
+           .groupby("part").map_groups(dedup, batch_format="pandas")
+           .materialize())  # feeds vocab, degree and orient passes
+
+    names = _entity_ids(und, cols=("u", "v"))
+    n = names.size
+    empty = pa.table({"entity": pa.array([], pa.string()),
+                      "n_tri": pa.array([], pa.int64())})
+    if n == 0:
+        return ray.data.from_arrow(empty)
+    if n >= (1 << 31):
+        raise ValueError("triangle_counts: entity id space exceeds the "
+                         "packed-key bound (2^31)")
+    names_ref = ray.put(names)
+
+    def encode(t: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        a = np.searchsorted(nm, t.column("u").to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nm, t.column("v").to_numpy(zero_copy_only=False))
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    enc = und.map_batches(encode, batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = (np.bincount(t.column("a").to_numpy(), minlength=n)
+             + np.bincount(t.column("b").to_numpy(), minlength=n))
+        return pa.table({"v": pa.array([v.astype(np.int64).tobytes()],
+                                       pa.binary())})
+
+    deg = np.zeros(n, dtype=np.int64)
+    for t in arrow_blocks(enc.map_batches(deg_partial,
+                                          batch_format="pyarrow")):
+        for blob in t.column("v").to_pylist():
+            deg += np.frombuffer(blob, dtype=np.int64)
+
+    # total order: rank by (degree, id); rank_of[i] = position of node i
+    rank_of = np.empty(n, dtype=np.int64)
+    rank_of[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    rank_ref = ray.put(rank_of)
+
+    def orient(t: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        fwd = r[a] < r[b]  # ranks are a total order: never equal
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
+        return pa.table({"s": pa.array(src, pa.int64()),
+                         "d": pa.array(dst, pa.int64()),
+                         "part": pa.array(src % N_EDGE_PARTS, pa.int64())})
+
+    oriented = enc.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        # all apexes of one s-partition: out-neighbor pairs, probe pair
+        # canonicalized by rank (out-neighbors sort by rank within apex)
+        r = ray.get(rank_ref)
+        s = df["s"].to_numpy()
+        d = df["d"].to_numpy()
+        order = np.lexsort((r[d], s))
+        s_s, d_s = s[order], d[order]
+        brk = np.nonzero(np.diff(s_s))[0] + 1
+        starts = np.concatenate(([0], brk))
+        sizes = np.diff(np.concatenate((starts, [len(s_s)])))
+        ia, ib = _pair_enum(starts, sizes)
+        if not len(ia):
+            return pd.DataFrame({"pa_": pd.array([], dtype="int64"),
+                                 "pb_": pd.array([], dtype="int64"),
+                                 "apex": pd.array([], dtype="int64")})
+        return pd.DataFrame({"pa_": d_s[ia], "pb_": d_s[ib],
+                             "apex": s_s[ia]})
+
+    wedge_ds = (oriented.groupby("part")
+                .map_groups(wedges, batch_format="pandas"))
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        key = ((t.column("pa_").to_numpy() << np.int64(31))
+               | t.column("pb_").to_numpy())
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "apex": t.column("apex"),
+            "is_edge": pa.array(np.zeros(t.num_rows, bool)),
+            "part2": pa.array(key % N_EDGE_PARTS, pa.int64())})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        key = ((t.column("s").to_numpy() << np.int64(31))
+               | t.column("d").to_numpy())
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "apex": pa.array(np.full(t.num_rows, -1), pa.int64()),
+            "is_edge": pa.array(np.ones(t.num_rows, bool)),
+            "part2": pa.array(key % N_EDGE_PARTS, pa.int64())})
+
+    both = (wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
+            .union(oriented.map_batches(tag_edge, batch_format="pyarrow")))
+
+    def close_and_credit(df: "pd.DataFrame") -> "pd.DataFrame":
+        ek = np.sort(df.loc[df["is_edge"], "key"].to_numpy())
+        w = df[~df["is_edge"]]
+        if not len(w) or not len(ek):
+            return pd.DataFrame({"v": pd.array([], dtype=object)})
+        wk = w["key"].to_numpy()
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+        if not hit.any():
+            return pd.DataFrame({"v": pd.array([], dtype=object)})
+        apex = w["apex"].to_numpy()[hit]
+        kk = wk[hit]
+        credit = (np.bincount(apex, minlength=n)
+                  + np.bincount(kk >> np.int64(31), minlength=n)
+                  + np.bincount(kk & np.int64((1 << 31) - 1), minlength=n))
+        return pd.DataFrame({"v": [credit.astype(np.int64).tobytes()]})
+
+    tri = np.zeros(n, dtype=np.int64)
+    for t in arrow_blocks(both.groupby("part2")
+                          .map_groups(close_and_credit,
+                                      batch_format="pandas")):
+        for blob in t.column("v").to_pylist():
+            tri += np.frombuffer(blob, dtype=np.int64)
+
+    nz = np.nonzero(tri)[0]
+    if not nz.size:
+        return ray.data.from_arrow(empty)
+    out = pa.table({"entity": pa.array(names[nz], pa.string()),
+                    "n_tri": pa.array(tri[nz], pa.int64())})
+    CHUNK = 65536
+    return ray.data.from_arrow(
+        [out.slice(i, CHUNK) for i in range(0, out.num_rows, CHUNK)] or [out])
+
+
+def triangle_counts_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    return f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+      FROM t WHERE subj <> obj),
+tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e a JOIN e b ON b.u = a.v
+                 JOIN e c ON c.u = a.u AND c.v = b.v)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT x AS entity FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY entity"""

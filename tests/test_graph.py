@@ -90,3 +90,82 @@ def test_vocab_bound_raises(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "VOCAB_BOUND", 0)
     with pytest.raises(ValueError, match="driver bound"):
         _run_pagerank_on_edges([("a", "b")], ray_session)
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _triangles_dense(edges):
+    """Brute-force per-entity triangle counts over the undirected,
+    loop-free canonicalization of a directed edge list."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in und for x in e})
+    from itertools import combinations
+
+    cnt = {v: 0 for v in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in und and (y, z) in und and (x, z) in und):
+            cnt[x] += 1
+            cnt[y] += 1
+            cnt[z] += 1
+    return {v: c for v, c in cnt.items() if c}
+
+
+def _run_triangles_on_edges(edges, ray_session):
+    import unittest.mock as mock
+
+    import ray
+    import ray.data
+
+    tbl = pa.table({
+        "subj": pa.array([a for a, _ in edges], pa.string()),
+        "obj": pa.array([b for _, b in edges], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["subj", "obj"])[["subj", "obj"]]
+
+    with mock.patch.object(graph, "_edges",
+                           lambda sf: ds.map_batches(
+                               dedup, batch_format="pandas")):
+        res = graph.triangle_counts("unused")
+    parts = [ray.get(r) for r in res.to_arrow_refs()]
+    out = pa.concat_tables([p for p in parts if p.num_rows]
+                           or parts[:1]).to_pandas()
+    return dict(zip(out["entity"], out["n_tri"]))
+
+
+@pytest.mark.parametrize("case", [
+    # one triangle, mixed directions + a reverse duplicate edge
+    [("a", "b"), ("c", "b"), ("a", "c"), ("b", "a")],
+    # two triangles sharing edge (a, b)
+    [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b")],
+    # K4: every vertex in 3 triangles
+    [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+    # square without diagonal: zero triangles
+    [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+    # self-loops and a dangling spoke never close a triangle
+    [("a", "a"), ("a", "b"), ("b", "c"), ("c", "a"), ("c", "c"), ("c", "e")],
+    # star: zero triangles (empty result)
+    [("hub", f"leaf{i}") for i in range(8)],
+])
+def test_triangles_match_dense_reference(case, ray_session):
+    got = _run_triangles_on_edges(case, ray_session)
+    want = _triangles_dense(case)
+    assert got == want
+
+
+def test_triangles_random_graph(ray_session):
+    """Seeded Erdős–Rényi-ish digraph, brute-force cross-check — hits the
+    size-batched wedge enumeration with heterogeneous out-degrees."""
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = []
+    for a in range(24):
+        for b in range(24):
+            if a != b and rng.random() < 0.18:
+                edges.append((nodes[a], nodes[b]))
+    got = _run_triangles_on_edges(edges, ray_session)
+    want = _triangles_dense(edges)
+    assert got == want
