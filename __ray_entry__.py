@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 late additions — never driver-checked, so first of all:
         "event_gaps": windows.event_gaps,  # LAG() OVER window shape
         "user_running_value": windows.user_running_value,  # SUM() OVER
+        "user_rolling_sum": windows.user_rolling_sum,  # ROWS k PRECEDING
+        "new_users_daily": windows.new_users_daily,  # cumulative DAU growth
         "local_supplier_volume": relational.local_supplier_volume,  # Q5
         "rollup_report": relational.rollup_report,  # GROUPING SETS shape
         "large_order_customers": relational.large_order_customers,  # Q18
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_cont": quantiles.event_value_percentiles_cont_sql(),
         "event_gaps": windows.event_gaps_sql(),
         "user_running_value": windows.user_running_value_sql(),
+        "user_rolling_sum": windows.user_rolling_sum_sql(),
+        "new_users_daily": windows.new_users_daily_sql(),
         "local_supplier_volume": relational.local_supplier_volume_sql(),
         "rollup_report": relational.ROLLUP_REPORT_SQL,
         "large_order_customers": relational.large_order_customers_sql(),

@@ -537,3 +537,137 @@ FROM (
   FROM events)
 WHERE to_type IS NOT NULL
 GROUP BY 1, 2"""
+
+
+# --------------------------------------------------- fixed ROWS window
+
+ROLL_K = 3  # preceding rows in the rolling window (k+1 rows total)
+
+
+def user_rolling_sum(sf_dir: str, k: int = ROLL_K):
+    """Fixed-width rolling sum per user — ``SUM() OVER (PARTITION BY
+    user ORDER BY ts, event_id ROWS BETWEEN k PRECEDING AND CURRENT
+    ROW)`` in exact integer cents; the moving-average / burst-detection
+    window shape.
+
+    Same single-pass economics as :func:`user_running_value`: one global
+    ``np.cumsum`` over the (user, ts, event_id)-sorted partition; each
+    row subtracts the prefix just before its window start ``j = i -
+    min(local_pos, k)`` — ``j`` never crosses the user-run boundary by
+    construction, so no per-user segmentation and no padding rows.
+
+    Output: one row per event — ``(event_id, user_id, roll_cents)``."""
+    import pandas as pd
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        order, uid_s, _ts_s, new_user = _window_order(df)
+        if len(uid_s) == 0:
+            return pd_.DataFrame({
+                "event_id": np.array([], dtype=np.int64),
+                "user_id": np.array([], dtype=np.int64),
+                "roll_cents": np.array([], dtype=np.int64)})
+        cents_s = df["cents"].to_numpy()[order]
+        csum = np.cumsum(cents_s)
+        run = np.cumsum(new_user) - 1
+        starts = np.flatnonzero(new_user)
+        idx = np.arange(len(uid_s))
+        local = idx - starts[run]
+        j = idx - np.minimum(local, k)
+        prev = np.where(j > 0, csum[np.maximum(j - 1, 0)], 0)
+        return pd_.DataFrame({
+            "event_id": df["event_id"].to_numpy()[order],
+            "user_id": uid_s,
+            "roll_cents": (csum - prev).astype(np.int64)})
+
+    return (_prep(sf_dir)
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+def user_rolling_sum_sql(k: int = ROLL_K) -> str:
+    return f"""SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT
+       ) AS roll_cents
+FROM events"""
+
+
+# --------------------------------------------- cumulative new users
+
+
+def new_users_daily(sf_dir: str):
+    """Daily acquisition curve: per calendar day, the number of users
+    whose FIRST event falls on that day, plus the running cumulative —
+    the growth-dashboard query (cumulative COUNT(DISTINCT) by day).
+
+    Scale shape: per-batch (user, min ts) partials → one user-keyed
+    groupby().min → per-batch day-count partials → one day-keyed
+    groupby().sum.  Only the DAY table (calendar-bounded: one row per
+    day with ≥1 new user) is collected for the ordered prefix sum — the
+    same bounded-domain argument as the quantile histogram collects.
+
+    Output: ``(day, new_users, cum_users)``, day as date32."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def per_batch_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("ts", "min")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "ts_us": pc.cast(g.column("ts_min"), pa.int64())})
+
+    first = (ds.map_batches(per_batch_min, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("ts_us", alias_name="ts_us")))
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        d = pc.floor(pc.divide(t.column("ts_us"), US_PER_DAY))
+        g = pa.table({"day_i": pc.cast(d, pa.int64())}) \
+            .group_by("day_i").aggregate([("day_i", "count")])
+        return pa.table({
+            "day_i": g.column("day_i"),
+            "new_users": pc.cast(g.column("day_i_count"), pa.int64())})
+
+    per_day = (first.map_batches(day_counts, batch_format="pyarrow")
+               .groupby("day_i")
+               .aggregate(Sum("new_users", alias_name="new_users")))
+
+    parts = [t for t in arrow_blocks(per_day) if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "day": pa.array([], pa.date32()),
+            "new_users": pa.array([], pa.int64()),
+            "cum_users": pa.array([], pa.int64())}))
+    tbl = pa.concat_tables(parts)
+    day_i = tbl.column("day_i").to_numpy()
+    nu = tbl.column("new_users").to_numpy()
+    o = np.argsort(day_i)
+    day_i, nu = day_i[o], nu[o]
+    out = pa.table({
+        "day": pa.array(day_i.astype("datetime64[D]")),
+        "new_users": pa.array(nu, pa.int64()),
+        "cum_users": pa.array(np.cumsum(nu), pa.int64())})
+    return ray.data.from_arrow(out)
+
+
+def new_users_daily_sql() -> str:
+    return """WITH f AS (
+  SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
+d AS (
+  SELECT CAST(date_trunc('day', fts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS new_users
+  FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM d"""

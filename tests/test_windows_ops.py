@@ -138,3 +138,66 @@ def test_event_value_rank_ntile_edges(ray_session, tmp_path):
     got3 = _df(event_value_rank(str(tmp_path), ntiles=3)).sort_values(
         "rn").reset_index(drop=True)
     assert list(got3["bucket"]) == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_user_rolling_sum_planted(ray_session, tmp_path):
+    """Hand-computed k=2 windows: a 5-event user whose windows saturate
+    at k+1 rows, a 1-event user (window = itself), ties by event_id."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.windows import user_rolling_sum
+
+    ts = pa.array([1, 1, 2, 3, 4, 9], pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array([11, 10, 12, 13, 14, 20], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a"] * 6),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 7.0]),
+        "props": pa.array(["{}"] * 6),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = _df(user_rolling_sum(str(tmp_path), k=2)).sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    # user 1 window order by (ts, event_id): eid 10(200), 11(100),
+    # 12(300), 13(400), 14(500); k=2 rolling sums:
+    # 10: 200; 11: 200+100=300; 12: 200+100+300=600;
+    # 13: 100+300+400=800; 14: 300+400+500=1200; user 2: 700
+    want = pd.DataFrame({
+        "event_id": [10, 11, 12, 13, 14, 20],
+        "user_id": [1, 1, 1, 1, 1, 2],
+        "roll_cents": [200, 300, 600, 800, 1200, 700],
+    })
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "roll_cents"]], want,
+        check_dtype=False)
+
+
+def test_new_users_daily_planted(ray_session, tmp_path):
+    """Three users first seen across two days (one user's LATER events on
+    a later day must not re-count them); cumulative is a prefix sum."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.pipelines.windows import new_users_daily
+
+    day = 86_400_000_000
+    ts = pa.array([10, day + 5, 20, 2 * day + 1, 2 * day + 2],
+                  pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = _df(new_users_daily(str(tmp_path))).reset_index(drop=True)
+    assert list(got["new_users"]) == [2, 1]
+    assert list(got["cum_users"]) == [2, 3]
+    import datetime
+
+    assert list(got["day"]) == [datetime.date(1970, 1, 1),
+                                datetime.date(1970, 1, 3)]
