@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split": curation.sentence_split,  # row-explosion flat_map
         "value_outliers": events.value_outliers,  # per-type z-score gate
         "anti_join_customers": relational.customers_without_orders,
+        "late_shipment_priority": relational.late_shipment_priority,  # Q4 EXISTS
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,
         "top_terms_tfidf": textstats.top_terms_tfidf,  # vocabulary analysis
+        "lexical_diversity": textstats.lexical_diversity,  # per-doc TTR
+        "term_freq_histogram": textstats.term_freq_histogram,  # Zipf curve
         "inverted_index": textstats.inverted_index,  # term -> capped postings
         "tokenize_ids": textstats.tokenize_ids,  # bounded vocab + id sequences
         "source_report": textstats.source_report,  # per-source report card
@@ -245,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_split": curation.SENTENCE_SPLIT_SQL,
         "value_outliers": events.VALUE_OUTLIERS_SQL,
         "anti_join_customers": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "late_shipment_priority": relational.late_shipment_priority_sql(),
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES
@@ -303,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "doc_fingerprint_winnow": textstats.WINNOW_SQL,
         "top_terms_tfidf": textstats.top_terms_tfidf_sql(),
+        "lexical_diversity": textstats.lexical_diversity_sql(),
+        "term_freq_histogram": textstats.term_freq_histogram_sql(),
         "inverted_index": textstats.inverted_index_sql(),
         "tokenize_ids": textstats.tokenize_ids_sql(),
         "source_report": textstats.source_report_sql(),

@@ -1429,3 +1429,86 @@ LEFT JOIN (
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey) a
 ON a.l_orderkey = o.o_orderkey"""
+
+
+# ------------------------------------------------ Q4 shape: EXISTS count
+
+_Q4_PARTS = 64
+
+
+def late_shipment_priority(sf_dir: str):
+    """TPC-H Q4 shape — order-priority checking with a correlated EXISTS:
+    per ``o_orderpriority``, how many orders have AT LEAST ONE lineitem
+    shipped after the order date (``EXISTS (… WHERE l_orderkey =
+    o_orderkey AND l_shipdate > o_orderdate)``).
+
+    The EXISTS collapses algebraically: ``∃ l: ship > odate  ⟺
+    max(ship) > odate`` — so lineitem reduces to per-order MAX partials
+    inside each batch (16 bytes/row, dates as int64 µs) BEFORE its only
+    shuffle, and the correlated subquery becomes one co-partitioned
+    tagged-union merge keyed by ``hash(orderkey) % P`` (the
+    ``_attach_order_dates`` merge shape).  Per-partition priority counts
+    are partials; the final groupby sees ≤ 5·P rows.
+
+    Output: ``(o_orderpriority, n_orders)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    od = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        out = pa.table({
+            "k": pc.cast(g.column("l_orderkey"), pa.int64()),
+            "date_us": pa.array(g.column("l_shipdate_max").to_numpy()
+                                .astype("datetime64[us]").view(np.int64)),
+            "prio": pa.array([""] * g.num_rows, pa.string()),
+            "is_li": pa.array(np.ones(g.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], _Q4_PARTS))
+
+    def od_tag(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "date_us": pa.array(t.column("o_orderdate").to_numpy()
+                                .astype("datetime64[us]").view(np.int64)),
+            "prio": t.column("o_orderpriority"),
+            "is_li": pa.array(np.zeros(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], _Q4_PARTS))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        l = df[df["is_li"]]
+        ship = l.groupby("k", sort=False)["date_us"].max()
+        o = df[~df["is_li"]]
+        m = o.merge(ship.rename("ship_us"), left_on="k",
+                    right_index=True, how="inner")
+        late = m[m["ship_us"] > m["date_us"]]
+        g = late.groupby("prio", sort=False).size()
+        return pd_.DataFrame({
+            "o_orderpriority": g.index.to_numpy(object),
+            "n_orders": g.to_numpy(np.int64)})
+
+    both = (li.map_batches(li_partial, batch_format="pyarrow")
+            .union(od.map_batches(od_tag, batch_format="pyarrow")))
+    return (both.groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_orders", alias_name="n_orders")))
+
+
+def late_shipment_priority_sql() -> str:
+    return """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority"""

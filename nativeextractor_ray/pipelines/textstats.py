@@ -707,3 +707,130 @@ def source_report_sql(min_tokens: int = 10) -> str:
   CAST(sum(CASE WHEN len(regexp_extract_all(text, '{TOKEN_RE}')) >= {min_tokens}
            THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass
 FROM documents GROUP BY source"""
+
+
+# ------------------------------------------------------ lexical diversity
+
+
+def lexical_diversity(sf_dir: str):
+    """Per-document type-token ratio — the n-gram-diversity /
+    memorization-risk signal (low TTR = highly repetitive or templated
+    text, a standard pretraining-data quality gate alongside the Gopher
+    repetition rules).
+
+    ``ttr_micro = (n_distinct · 10⁶) / n_tokens`` as an EXACT half-up
+    integer on both engines (``(2·d·10⁶ + n) // (2n)`` — no float, no
+    rounding-mode ambiguity).  Tokens are the same whitespace split as
+    the TF-IDF family (empty strings dropped); zero-token docs are
+    excluded, matching the SQL ``WHERE n_tokens > 0``.
+
+    Scale shape: a document never spans batches, so one Arrow C++
+    ``group_by(doc_id)`` per batch is EXACT — pure streaming map, no
+    shuffle at all.  Output: ``(doc_id, n_tokens, n_distinct,
+    ttr_micro)``."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        g = (pa.table({"doc_id": t.column("doc_id").take(parent),
+                       "term": flat})
+             .group_by("doc_id")
+             .aggregate([("term", "count"), ("term", "count_distinct")]))
+        n = pc.cast(g.column("term_count"), pa.int64()).to_numpy()
+        d = pc.cast(g.column("term_count_distinct"), pa.int64()).to_numpy()
+        ttr = (2 * d * 1_000_000 + n) // (2 * n)  # n ≥ 1 by construction
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_distinct": pa.array(d, pa.int64()),
+            "ttr_micro": pa.array(ttr, pa.int64())})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def lexical_diversity_sql() -> str:
+    return """WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST((2 * n_distinct * 1000000 + n_tokens) // (2 * n_tokens)
+            AS BIGINT) AS ttr_micro
+FROM agg WHERE n_tokens > 0"""
+
+
+# --------------------------------------------------- term-frequency Zipf
+
+
+_ZIPF_PARTS = 64
+
+
+def term_freq_histogram(sf_dir: str):
+    """Corpus-wide Zipf profile: for every corpus frequency ``f``, the
+    number of DISTINCT terms occurring exactly ``f`` times — the
+    count-of-counts curve used to sanity-check tokenizers, spot boiler-
+    plate spikes and size vocabulary cut-offs.
+
+    Scale shape: per-batch (term, count) Arrow partials → ONE coarse
+    hash(term) shuffle (each term's partials colocate, so the per-
+    partition sum is the exact corpus tf) → per-partition count-of-
+    counts folds the vocabulary away (≤ distinct-f rows leave each
+    partition) → a tiny final ``groupby(freq)`` sum.  The vocabulary
+    never sits on one node; the result is O(distinct frequencies) —
+    hundreds of rows for any corpus.
+
+    Output: ``(freq, n_terms)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [("term", "count")])
+        out = pa.table({
+            "term": g.column("term"),
+            "tf": pc.cast(g.column("term_count"), pa.int64())})
+        return out.append_column(
+            "part", stable_part(out, ["term"], _ZIPF_PARTS))
+
+    def count_of_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        tf = df.groupby("term", sort=False)["tf"].sum()
+        vc = tf.value_counts()
+        return pd_.DataFrame({
+            "freq": vc.index.to_numpy(np.int64),
+            "n_terms": vc.to_numpy(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(count_of_counts, batch_format="pandas")
+            .groupby("freq")
+            .aggregate(Sum("n_terms", alias_name="n_terms")))
+
+
+def term_freq_histogram_sql() -> str:
+    return """WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term)
+SELECT freq, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY freq"""

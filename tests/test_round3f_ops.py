@@ -1,0 +1,105 @@
+"""Planted-fixture tests for the round-3f operators (triangle counting
+is covered in test_graph.py): lexical_diversity's exact half-up TTR,
+term_freq_histogram's count-of-counts across batch boundaries, the Q4
+EXISTS collapse (max-shipdate vs orderdate), and the rolling-window /
+growth-curve ops are in test_windows_ops.py."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _df(res) -> pd.DataFrame:
+    import ray
+
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    parts = [ray.get(r) for r in res.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows] or parts[:1]
+    return pa.concat_tables(parts, promote_options="default").to_pandas()
+
+
+def _docs(tmp_path, texts: list[str]) -> str:
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_lexical_diversity_planted(ray_session, tmp_path):
+    from nativeextractor_ray.pipelines.textstats import lexical_diversity
+
+    sf = _docs(tmp_path, [
+        "a b c",          # 3/3 -> 1_000_000
+        "a a a",          # 1/3 -> (2e6+3)//6 = 333333 (half-up of 333333.3)
+        "x y x",          # 2/3 -> (4e6+3)//6 = 666667 (half-up of 666666.7)
+        "  a   b  ",      # empties dropped: 2 tokens 2 distinct
+        "",               # zero tokens: excluded
+    ])
+    got = _df(lexical_diversity(sf)).sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [1, 2, 3, 4]
+    assert list(got["n_tokens"]) == [3, 3, 3, 2]
+    assert list(got["n_distinct"]) == [3, 1, 2, 2]
+    assert list(got["ttr_micro"]) == [1_000_000, 333333, 666667, 1_000_000]
+
+
+def test_term_freq_histogram_planted(ray_session, tmp_path):
+    """Term counts must merge ACROSS documents (and hence across batch
+    partials) before the count-of-counts."""
+    from nativeextractor_ray.pipelines.textstats import term_freq_histogram
+
+    sf = _docs(tmp_path, [
+        "apple apple banana",
+        "apple cherry banana",
+        "durian",
+    ])
+    # tf: apple=3, banana=2, cherry=1, durian=1 -> freq 1:2 terms, 2:1, 3:1
+    got = _df(term_freq_histogram(sf)).sort_values("freq").reset_index(drop=True)
+    assert list(got["freq"]) == [1, 2, 3]
+    assert list(got["n_terms"]) == [2, 1, 1]
+
+
+def test_late_shipment_priority_planted(ray_session, tmp_path):
+    """EXISTS collapse edge cases: ship == orderdate does NOT count,
+    multiple late lineitems count the order ONCE, lineitem-less orders
+    never count."""
+    from nativeextractor_ray.pipelines.relational import late_shipment_priority
+
+    d = lambda s: np.datetime64(s, "D")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([1.0] * 4),
+        "o_orderdate": pa.array(
+            np.array([d("2024-01-10")] * 4, dtype="datetime64[D]")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "2-HIGH", "2-HIGH"]),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 4, pa.int64()),
+        "l_suppkey": pa.array([1] * 4, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0] * 4),
+        "l_extendedprice": pa.array([1.0] * 4),
+        "l_discount": pa.array([0.0] * 4),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["N"] * 4),
+        "l_linestatus": pa.array(["O"] * 4),
+        # order 1: two LATE lineitems (counted once); order 2: ship ==
+        # orderdate (NOT late); order 3: late; order 4: no lineitems
+        "l_shipdate": pa.array(np.array(
+            [d("2024-01-11"), d("2024-02-01"),
+             d("2024-01-10"), d("2024-01-20")], dtype="datetime64[D]")),
+    }), tmp_path / "lineitem.parquet")
+
+    got = _df(late_shipment_priority(str(tmp_path))).sort_values(
+        "o_orderpriority").reset_index(drop=True)
+    assert list(got["o_orderpriority"]) == ["1-URGENT", "2-HIGH"]
+    assert list(got["n_orders"]) == [1, 1]
