@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": events.value_outliers,  # per-type z-score gate
         "anti_join_customers": relational.customers_without_orders,
         "late_shipment_priority": relational.late_shipment_priority,  # Q4 EXISTS
+        "promo_revenue_share": relational.promo_revenue_share,  # Q14 ratio
+        "late_event_stats": windows.late_event_stats,  # watermark lateness
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -249,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers": events.VALUE_OUTLIERS_SQL,
         "anti_join_customers": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "late_shipment_priority": relational.late_shipment_priority_sql(),
+        "promo_revenue_share": relational.promo_revenue_share_sql(),
+        "late_event_stats": windows.late_event_stats_sql(),
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

@@ -336,6 +336,14 @@ def run_suite() -> dict:
         "event_transitions": ("nativeextractor_ray.pipelines.windows", "event_transitions"),
         "label_centroids": ("nativeextractor_ray.pipelines.vectorstats", "label_centroids"),
         "percentiles_cont": ("nativeextractor_ray.pipelines.quantiles", "event_value_percentiles_cont"),
+        "triangle_counts": ("nativeextractor_ray.pipelines.graph", "triangle_counts"),
+        "user_rolling_sum": ("nativeextractor_ray.pipelines.windows", "user_rolling_sum"),
+        "new_users_daily": ("nativeextractor_ray.pipelines.windows", "new_users_daily"),
+        "lexical_diversity": ("nativeextractor_ray.pipelines.textstats", "lexical_diversity"),
+        "term_freq_histogram": ("nativeextractor_ray.pipelines.textstats", "term_freq_histogram"),
+        "late_shipment_priority": ("nativeextractor_ray.pipelines.relational", "late_shipment_priority"),
+        "promo_revenue_share": ("nativeextractor_ray.pipelines.relational", "promo_revenue_share"),
+        "late_event_stats": ("nativeextractor_ray.pipelines.windows", "late_event_stats"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -1512,3 +1512,94 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate)
 GROUP BY o_orderpriority"""
+
+
+# --------------------------------------------- Q14 shape: promo share
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape — promotion effect by ship month: the share of
+    lineitem revenue attributable to promotional parts, per calendar
+    month of ``l_shipdate``.
+
+    Scale shape: the part dimension collapses to ONE broadcast boolean
+    array indexed by partkey (``ray.put`` once — the
+    :func:`orders_by_nation` dense-array probe); lineitem streams
+    through a single ``map_batches`` pass that folds each batch to ≤
+    months rows of integer-cents partials (revenue with the repo's
+    half-up ``floor(x·100 + 0.5)`` rule); one tiny month groupby; the
+    share is an EXACT half-up micro ratio ``(2·promo·10⁶ + total) //
+    (2·total)`` — integer arithmetic end to end, no float parity risk.
+
+    Output: ``(month, promo_rev_c, total_rev_c, promo_share_micro)``
+    with month as 'YYYY-MM'."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    part = pq_.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    promo = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=bool)
+    promo[pk] = np.asarray(
+        pc.starts_with(part.column("p_type"), "PROMO"))
+    side = ray.put(promo)
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = ray.get(side)
+        rev = np.floor(
+            t.column("l_extendedprice").to_numpy()
+            * (1.0 - t.column("l_discount").to_numpy()) * 100.0
+            + 0.5).astype(np.int64)
+        is_p = flags[t.column("l_partkey").to_numpy()]
+        d = t.column("l_shipdate").to_numpy().astype("datetime64[M]")
+        month = np.datetime_as_string(d, unit="M")
+        g = pa.table({
+            "month": pa.array(month, pa.string()),
+            "promo_rev_c": pa.array(np.where(is_p, rev, 0), pa.int64()),
+            "total_rev_c": pa.array(rev, pa.int64()),
+        }).group_by("month").aggregate([("promo_rev_c", "sum"),
+                                        ("total_rev_c", "sum")])
+        return pa.table({
+            "month": g.column("month"),
+            "promo_rev_c": g.column("promo_rev_c_sum"),
+            "total_rev_c": g.column("total_rev_c_sum")})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Sum("promo_rev_c", alias_name="promo_rev_c"),
+                      Sum("total_rev_c", alias_name="total_rev_c")))
+
+    def share(t: pa.Table) -> pa.Table:
+        p = t.column("promo_rev_c").to_numpy()
+        tot = t.column("total_rev_c").to_numpy()
+        sh = (2 * p * 1_000_000 + tot) // (2 * tot)  # total ≥ 1 cent/month
+        return t.append_column("promo_share_micro", pa.array(sh, pa.int64()))
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+def promo_revenue_share_sql() -> str:
+    return """WITH li AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rev_c,
+         p.p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+agg AS (
+  SELECT month,
+         CAST(sum(CASE WHEN is_promo THEN rev_c ELSE 0 END) AS BIGINT)
+           AS promo_rev_c,
+         CAST(sum(rev_c) AS BIGINT) AS total_rev_c
+  FROM li GROUP BY month)
+SELECT month, promo_rev_c, total_rev_c,
+       CAST((2 * promo_rev_c * 1000000 + total_rev_c)
+            // (2 * total_rev_c) AS BIGINT) AS promo_share_micro
+FROM agg"""

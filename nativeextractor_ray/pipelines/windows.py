@@ -671,3 +671,98 @@ SELECT day, new_users,
        CAST(sum(new_users) OVER (ORDER BY day
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
 FROM d"""
+
+
+# ---------------------------------------------- watermark lateness
+
+
+def late_event_stats(sf_dir: str):
+    """Out-of-order arrival profile per event type — the statistic that
+    sizes a streaming engine's WATERMARK: treating ``event_id`` as the
+    arrival sequence, an event is LATE when its timestamp precedes the
+    maximum timestamp its user had already produced (``ts < max(ts) OVER
+    (PARTITION BY user ORDER BY event_id ROWS … 1 PRECEDING)``), and the
+    max lateness bounds the reorder buffer a tumbling window needs.
+
+    Scale shape: one hash(user) shuffle; in-partition lexsort by (user,
+    event_id) + a C-level grouped ``cummax`` (then shift-within-run) —
+    no per-row Python; per-partition per-type partials (events/late
+    counts, max lateness) leave ≤ types rows per partition; the final
+    groupby sums counts and maxes the lateness.
+
+    Output: ``(event_type, n_events, n_late, max_lateness_us)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id",
+                                       "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+        return tbl.append_column("part", stable_part(tbl, ["user_id"],
+                                                     _WIN_PARTS))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        order = np.lexsort((eid, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        et_s = df["event_type"].to_numpy()[order]
+        new_user = np.empty(len(uid_s), dtype=bool)
+        if len(uid_s):
+            new_user[0] = True
+            np.not_equal(uid_s[1:], uid_s[:-1], out=new_user[1:])
+        run = np.cumsum(new_user) - 1
+        cmax = pd_.Series(ts_s).groupby(run).cummax().to_numpy()
+        prev_max = np.empty_like(cmax)
+        prev_max[1:] = cmax[:-1]
+        has_prev = ~new_user
+        lateness = np.where(has_prev, prev_max - ts_s, 0)
+        late = lateness > 0
+        g = pd_.DataFrame({
+            "event_type": et_s,
+            "one": np.ones(len(et_s), np.int64),
+            "late": late.astype(np.int64),
+            "lateness": np.where(late, lateness, 0).astype(np.int64),
+        }).groupby("event_type", sort=False).agg(
+            n_events=("one", "sum"), n_late=("late", "sum"),
+            max_lateness_us=("lateness", "max")).reset_index()
+        return g
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_late", alias_name="n_late"),
+                       Max("max_lateness_us", alias_name="max_lateness_us")))
+
+
+def late_event_stats_sql() -> str:
+    return """WITH w AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_max IS NOT NULL AND ts_us < prev_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN prev_max IS NOT NULL
+                              AND prev_max > ts_us
+                         THEN prev_max - ts_us END), 0) AS BIGINT
+       ) AS max_lateness_us
+FROM w GROUP BY event_type"""

@@ -103,3 +103,73 @@ def test_late_shipment_priority_planted(ray_session, tmp_path):
         "o_orderpriority").reset_index(drop=True)
     assert list(got["o_orderpriority"]) == ["1-URGENT", "2-HIGH"]
     assert list(got["n_orders"]) == [1, 1]
+
+
+def test_late_event_stats_planted(ray_session, tmp_path):
+    """event_id is the arrival order: user 1 arrives ts 100, 50, 200,
+    150 -> two late events (lateness 50 each); user 2 in order; a
+    single-event user contributes no lateness."""
+    from nativeextractor_ray.pipelines.windows import late_event_stats
+
+    rows = [
+        # (event_id, user_id, ts_us, type)
+        (1, 1, 100, "a"), (2, 1, 50, "a"), (3, 1, 200, "b"),
+        (4, 1, 150, "b"),
+        (5, 2, 10, "a"), (6, 2, 20, "a"),
+        (7, 3, 999, "b"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), tmp_path / "events.parquet")
+
+    got = _df(late_event_stats(str(tmp_path))).sort_values(
+        "event_type").reset_index(drop=True)
+    assert list(got["event_type"]) == ["a", "b"]
+    assert list(got["n_events"]) == [4, 3]
+    assert list(got["n_late"]) == [1, 1]
+    assert list(got["max_lateness_us"]) == [50, 50]
+
+
+def test_promo_revenue_share_planted(ray_session, tmp_path):
+    """Known-ratio months incl. a half-up rounding boundary and a month
+    with zero promo revenue."""
+    from nativeextractor_ray.pipelines.relational import promo_revenue_share
+
+    d = lambda s: np.datetime64(s, "D")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["x", "y"]),
+        "p_brand": pa.array(["B", "B"]),
+        "p_type": pa.array(["PROMO", "STANDARD"]),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0, 1.0]),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1], pa.int64()),
+        "l_quantity": pa.array([1.0] * 3),
+        # Jan: promo 1.00, standard 2.00 -> share 100/300 = 333333.33
+        # -> half-up micro 333333; Feb: no promo -> 0
+        "l_extendedprice": pa.array([1.0, 2.0, 5.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": pa.array(["N"] * 3),
+        "l_linestatus": pa.array(["O"] * 3),
+        "l_shipdate": pa.array(np.array(
+            [d("2024-01-05"), d("2024-01-20"), d("2024-02-01")],
+            dtype="datetime64[D]")),
+    }), tmp_path / "lineitem.parquet")
+
+    got = _df(promo_revenue_share(str(tmp_path))).sort_values(
+        "month").reset_index(drop=True)
+    assert list(got["month"]) == ["2024-01", "2024-02"]
+    assert list(got["promo_rev_c"]) == [100, 0]
+    assert list(got["total_rev_c"]) == [300, 500]
+    assert list(got["promo_share_micro"]) == [333333, 0]
