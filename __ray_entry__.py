@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": relational.late_shipment_priority,  # Q4 EXISTS
         "promo_revenue_share": relational.promo_revenue_share,  # Q14 ratio
         "late_event_stats": windows.late_event_stats,  # watermark lateness
+        "winsorized_value_mean": quantiles.winsorized_value_mean,  # robust mean
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "late_shipment_priority": relational.late_shipment_priority_sql(),
         "promo_revenue_share": relational.promo_revenue_share_sql(),
         "late_event_stats": windows.late_event_stats_sql(),
+        "winsorized_value_mean": quantiles.winsorized_value_mean_sql(),
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

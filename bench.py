@@ -344,6 +344,7 @@ def run_suite() -> dict:
         "late_shipment_priority": ("nativeextractor_ray.pipelines.relational", "late_shipment_priority"),
         "promo_revenue_share": ("nativeextractor_ray.pipelines.relational", "promo_revenue_share"),
         "late_event_stats": ("nativeextractor_ray.pipelines.windows", "late_event_stats"),
+        "winsorized_value_mean": ("nativeextractor_ray.pipelines.quantiles", "winsorized_value_mean"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

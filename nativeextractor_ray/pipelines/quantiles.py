@@ -377,3 +377,119 @@ SELECT CAST(p.num AS BIGINT) AS q_num, CAST(p.den AS BIGINT) AS q_den,
 FROM pos p
 JOIN o lo ON lo.rn = p.k0 + 1
 LEFT JOIN o hi ON hi.rn = p.k0 + 2"""
+
+
+# ---------------------------------------------------- winsorized mean
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_value_mean(sf_dir: str, lo: float = WINSOR_LO,
+                          hi: float = WINSOR_HI):
+    """Winsorized mean of ``events.value`` per event type — the
+    outlier-robust aggregate (clip at the exact per-group [p05, p95]
+    order statistics, then average): what a metrics pipeline reports
+    when a handful of corrupt readings would otherwise drag the mean.
+
+    Composition: the per-group clip bounds come from the SAME exact
+    histogram-refinement kernel as :func:`token_quantiles_by_lang`
+    (R+1 streaming scans, no group on one node); they broadcast as a
+    tiny per-type dict; ONE more streaming pass clips each batch,
+    converts to half-up integer cents and folds per-type (n, sum)
+    partials; the final mean is an exact half-up micro ratio computed
+    in unbounded Python ints over the per-type table (≤ types rows) —
+    no overflow bound to document.
+
+    Output: ``(event_type, n, sum_clipped_c, mean_micro_c)``."""
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"]).materialize()
+    got = _exact_quantiles(ds, "value", (lo, hi), group_col="event_type")
+    bounds = {}
+    for (g, q), v in got.items():
+        lo_v, hi_v = bounds.get(g, (None, None))
+        if q == lo:
+            bounds[g] = (v, hi_v)
+        else:
+            bounds[g] = (lo_v, v)
+    bref = ray.put(bounds)
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy()
+        keep = ~np.isnan(v)
+        et, v = et[keep], v[keep]
+        # vectorized bound lookup via factorize over the (few) types
+        import pandas as pd_
+
+        codes, uniq = pd_.factorize(et, sort=False)
+        lo_a = np.array([b[u][0] for u in uniq], dtype=np.float64)
+        hi_a = np.array([b[u][1] for u in uniq], dtype=np.float64)
+        clipped = np.minimum(np.maximum(v, lo_a[codes]), hi_a[codes])
+        cents = np.floor(clipped * 100.0 + 0.5).astype(np.int64)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(codes, weights=cents,
+                        minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(uniq, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "sum_clipped_c": pa.array(s, pa.int64())})
+
+    agg = (ds.map_batches(clip_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_clipped_c", alias_name="sum_clipped_c")))
+
+    rows = [t for t in arrow_blocks(agg) if t.num_rows]
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "sum_clipped_c": pa.array([], pa.int64()),
+            "mean_micro_c": pa.array([], pa.int64())}))
+    tbl = pa.concat_tables(rows)
+    # exact half-up micro mean in unbounded Python ints (types-bounded)
+    mean = [(2 * s * 1_000_000 + n) // (2 * n) if s >= 0
+            else -((2 * (-s) * 1_000_000 + n) // (2 * n))
+            for s, n in zip(tbl.column("sum_clipped_c").to_pylist(),
+                            tbl.column("n").to_pylist())]
+    return ray.data.from_arrow(tbl.append_column(
+        "mean_micro_c", pa.array(mean, pa.int64())))
+
+
+def winsorized_value_mean_sql(lo: float = WINSOR_LO,
+                              hi: float = WINSOR_HI) -> str:
+    return f"""WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type,
+         max(CASE WHEN r = CAST(ceil({lo} * n) AS BIGINT)
+             THEN value END) AS lo_v,
+         max(CASE WHEN r = CAST(ceil({hi} * n) AS BIGINT)
+             THEN value END) AS hi_v
+  FROM s GROUP BY event_type),
+c AS (
+  SELECT e.event_type,
+         CAST(floor(least(greatest(e.value, b.lo_v), b.hi_v) * 100.0 + 0.5)
+              AS BIGINT) AS cents
+  FROM events e JOIN b USING (event_type) WHERE e.value IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_clipped_c,
+       CAST(CASE WHEN sum(cents) >= 0
+            THEN (2 * CAST(sum(cents) AS HUGEINT) * 1000000 + count(*))
+                 // (2 * count(*))
+            ELSE -((2 * CAST(-sum(cents) AS HUGEINT) * 1000000 + count(*))
+                 // (2 * count(*))) END AS BIGINT) AS mean_micro_c
+FROM c GROUP BY event_type"""

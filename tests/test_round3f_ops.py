@@ -173,3 +173,30 @@ def test_promo_revenue_share_planted(ray_session, tmp_path):
     assert list(got["promo_rev_c"]) == [100, 0]
     assert list(got["total_rev_c"]) == [300, 500]
     assert list(got["promo_share_micro"]) == [333333, 0]
+
+
+def test_winsorized_value_mean_planted(ray_session, tmp_path):
+    """20 values per type: the p05/p95 clip (ranks ceil(.05*20)=1,
+    ceil(.95*20)=19) must tame one huge outlier; hand-computed mean."""
+    from nativeextractor_ray.pipelines.quantiles import winsorized_value_mean
+
+    vals = list(range(1, 20)) + [10_000]  # 1..19 then an outlier
+    rows = [(i + 1, 1, 1000 + i, "a", float(v)) for i, v in enumerate(vals)]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    }), tmp_path / "events.parquet")
+
+    got = _df(winsorized_value_mean(str(tmp_path))).reset_index(drop=True)
+    assert list(got["event_type"]) == ["a"]
+    assert list(got["n"]) == [20]
+    # clip bounds: lo = value at rank 1 = 1, hi = value at rank 19 = 19
+    # -> the outlier clips to 19; sum = (1..19) + 19 = 190 + 19 = 209
+    assert list(got["sum_clipped_c"]) == [20900]
+    # mean = 209/20 = 10.45 -> 1045 cents-micro*? mean_micro_c =
+    # half-up(20900/20 * 1e6 / 1e0) = 20900*1e6/20 = 1_045_000_000
+    assert list(got["mean_micro_c"]) == [1_045_000_000]
