@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,
         "top_terms_tfidf": textstats.top_terms_tfidf,  # vocabulary analysis
         "lexical_diversity": textstats.lexical_diversity,  # per-doc TTR
+        "lang_confusion": textstats.lang_confusion,  # lang metadata audit
         "term_freq_histogram": textstats.term_freq_histogram,  # Zipf curve
         "inverted_index": textstats.inverted_index,  # term -> capped postings
         "tokenize_ids": textstats.tokenize_ids,  # bounded vocab + id sequences
@@ -314,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_winnow": textstats.WINNOW_SQL,
         "top_terms_tfidf": textstats.top_terms_tfidf_sql(),
         "lexical_diversity": textstats.lexical_diversity_sql(),
+        "lang_confusion": textstats.lang_confusion_sql(),
         "term_freq_histogram": textstats.term_freq_histogram_sql(),
         "inverted_index": textstats.inverted_index_sql(),
         "tokenize_ids": textstats.tokenize_ids_sql(),

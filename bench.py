@@ -345,6 +345,7 @@ def run_suite() -> dict:
         "promo_revenue_share": ("nativeextractor_ray.pipelines.relational", "promo_revenue_share"),
         "late_event_stats": ("nativeextractor_ray.pipelines.windows", "late_event_stats"),
         "winsorized_value_mean": ("nativeextractor_ray.pipelines.quantiles", "winsorized_value_mean"),
+        "lang_confusion": ("nativeextractor_ray.pipelines.textstats", "lang_confusion"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -108,7 +108,10 @@ def lang_id(sf_dir: str):
     return _docs(sf_dir).map_batches(pred, batch_format="pyarrow")
 
 
-def _lang_sql() -> str:
+def _lang_sql_parts() -> tuple[str, str, str]:
+    """(marker-count columns, priority-argmax CASE, greatest expr) — the
+    SQL replay of the lang_id heuristic, shared by lang_id and the
+    confusion matrix."""
     cols = ",\n  ".join(
         f"len(regexp_extract_all(text, '{pat}')) AS c_{lang}"
         for lang, pat in LANG_MARKERS
@@ -121,6 +124,11 @@ def _lang_sql() -> str:
     # priority = first branch that is a (weak) maximum and nonzero
     case = "CASE " + " ".join(cases) + " ELSE 'und' END"
     great = "greatest(" + ", ".join(f"c_{l}" for l in order) + ")"
+    return cols, case, great
+
+
+def _lang_sql() -> str:
+    cols, case, great = _lang_sql_parts()
     return f"""WITH c AS (
   SELECT doc_id,
   {cols}
@@ -834,3 +842,57 @@ def term_freq_histogram_sql() -> str:
   FROM documents),
 tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term)
 SELECT freq, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY freq"""
+
+
+# ------------------------------------------------- lang confusion matrix
+
+
+def lang_confusion(sf_dir: str):
+    """Declared-vs-predicted language confusion matrix — the metadata
+    audit that decides whether a source's self-reported ``lang`` tags
+    can be trusted (mislabeled corpora poison per-language sampling
+    rates and tokenizer training mixes).
+
+    Scale shape: the same vectorized marker-count argmax as
+    :func:`lang_id`, folded per batch to ≤ |langs|² partial rows by an
+    Arrow C++ two-key group_by; one tiny final groupby.  No text ever
+    shuffles.
+
+    Output: ``(lang, pred_lang, n_docs)``."""
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        counts = np.stack(
+            [_count(txt, pat).to_numpy() for _, pat in LANG_MARKERS])
+        best = np.argmax(counts, axis=0)
+        score = counts[best, np.arange(counts.shape[1])]
+        langs = np.array([l for l, _ in LANG_MARKERS], dtype=object)
+        out = np.where(score > 0, langs[best], "und")
+        g = pa.table({
+            "lang": t.column("lang"),
+            "pred_lang": pa.array(out.tolist(), pa.string()),
+        }).group_by(["lang", "pred_lang"]).aggregate([("pred_lang", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "pred_lang": g.column("pred_lang"),
+            "n_docs": pc.cast(g.column("pred_lang_count"), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def lang_confusion_sql() -> str:
+    cols, case, _great = _lang_sql_parts()
+    return f"""WITH c AS (
+  SELECT lang,
+  {cols}
+  FROM documents
+)
+SELECT lang, {case} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM c GROUP BY 1, 2"""

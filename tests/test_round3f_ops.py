@@ -200,3 +200,29 @@ def test_winsorized_value_mean_planted(ray_session, tmp_path):
     # mean = 209/20 = 10.45 -> 1045 cents-micro*? mean_micro_c =
     # half-up(20900/20 * 1e6 / 1e0) = 20900*1e6/20 = 1_045_000_000
     assert list(got["mean_micro_c"]) == [1_045_000_000]
+
+
+def test_lang_confusion_planted(ray_session, tmp_path):
+    """Declared tags disagree with the marker argmax: an 'en'-tagged
+    German text lands in (en, de); no markers -> 'und'."""
+    from nativeextractor_ray.pipelines.textstats import lang_confusion
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog is of note",   # en -> en
+            "der hund und die katze ist da",    # en-tagged, de-predicted
+            "xyz qqq zzz",                      # no markers -> und
+            "el perro y los gatos es grande",   # es -> es
+        ]),
+        "lang": pa.array(["en", "en", "en", "es"]),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([30] * 4, pa.int64()),
+    }), tmp_path / "documents.parquet")
+
+    got = _df(lang_confusion(str(tmp_path))).sort_values(
+        ["lang", "pred_lang"]).reset_index(drop=True)
+    want = {("en", "en"): 1, ("en", "de"): 1, ("en", "und"): 1,
+            ("es", "es"): 1}
+    assert dict(zip(zip(got["lang"], got["pred_lang"]),
+                    got["n_docs"])) == want
