@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": relational.promo_revenue_share,  # Q14 ratio
         "late_event_stats": windows.late_event_stats,  # watermark lateness
         "winsorized_value_mean": quantiles.winsorized_value_mean,  # robust mean
+        "triangle_counts": graph.triangle_counts,  # degree-ordered triangles
+        "lexical_diversity": textstats.lexical_diversity,  # per-doc TTR
+        "term_freq_histogram": textstats.term_freq_histogram,  # Zipf curve
+        "lang_confusion": textstats.lang_confusion,  # lang metadata audit
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -117,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_degree": graph.entity_degree,  # distinct-edge degree profile
         "entity_pagerank": graph.entity_pagerank,  # K-iter power iteration
         "entity_pmi": graph.entity_pmi,  # co-occurrence PMI
-        "triangle_counts": graph.triangle_counts,  # degree-ordered triangles
         "lm_score": lmscore.lm_score,  # bigram LM quality scoring
         "dedup_semantic": dedup.dedup_semantic,  # SemDeDup: k-means + cosine
         "domain_mix": curation.domain_mix,  # uniform-mixture rebalancing
@@ -173,9 +176,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "doc_fingerprint_winnow": textstats.doc_fingerprint_winnow,
         "top_terms_tfidf": textstats.top_terms_tfidf,  # vocabulary analysis
-        "lexical_diversity": textstats.lexical_diversity,  # per-doc TTR
-        "lang_confusion": textstats.lang_confusion,  # lang metadata audit
-        "term_freq_histogram": textstats.term_freq_histogram,  # Zipf curve
         "inverted_index": textstats.inverted_index,  # term -> capped postings
         "tokenize_ids": textstats.tokenize_ids,  # bounded vocab + id sequences
         "source_report": textstats.source_report,  # per-source report card
@@ -256,6 +256,10 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": relational.promo_revenue_share_sql(),
         "late_event_stats": windows.late_event_stats_sql(),
         "winsorized_value_mean": quantiles.winsorized_value_mean_sql(),
+        "triangle_counts": graph.triangle_counts_sql(),
+        "lexical_diversity": textstats.lexical_diversity_sql(),
+        "term_freq_histogram": textstats.term_freq_histogram_sql(),
+        "lang_confusion": textstats.lang_confusion_sql(),
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES
@@ -314,9 +318,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "doc_fingerprint_winnow": textstats.WINNOW_SQL,
         "top_terms_tfidf": textstats.top_terms_tfidf_sql(),
-        "lexical_diversity": textstats.lexical_diversity_sql(),
-        "lang_confusion": textstats.lang_confusion_sql(),
-        "term_freq_histogram": textstats.term_freq_histogram_sql(),
         "inverted_index": textstats.inverted_index_sql(),
         "tokenize_ids": textstats.tokenize_ids_sql(),
         "source_report": textstats.source_report_sql(),
@@ -332,7 +333,6 @@ def oracle_sql() -> dict[str, str]:
         "entity_degree": graph.entity_degree_sql(),
         "entity_pagerank": graph.entity_pagerank_sql(),
         "entity_pmi": graph.entity_pmi_sql(),
-        "triangle_counts": graph.triangle_counts_sql(),
         "lm_score": lmscore.lm_score_sql(),
         # deterministic trained centroids as SQL literals (ann_ivf pattern)
         "dedup_semantic": dedup.dedup_semantic_sql(),
