@@ -112,6 +112,31 @@ def partition_redact(sf_dir: str, pid: int, n_partitions: int, replicate: int = 
     return ds.map_batches(red, batch_format="pyarrow")
 
 
+def partition_quality_gate(sf_dir: str, pid: int, n_partitions: int,
+                           replicate: int = 1):
+    """Per-partition quality gate (doc_id % n_partitions slice): emits the
+    per-doc pass/fail verdict so the manifest counter sums the PASS count
+    — the curation front gate as a resumable stage (slices are disjoint,
+    finalize is a concat)."""
+    import pyarrow.compute as pc_
+
+    from nativeextractor_ray.pipelines.textstats import TOKEN_RE, _count
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        t2 = t.filter(pa.array(ids % n_partitions == pid))
+        n_tokens = _count(t2.column("text"), TOKEN_RE)
+        passed = pc_.cast(pc_.greater_equal(n_tokens, 10), pa.int64())
+        return pa.table({"doc_id": t2.column("doc_id"),
+                         "n_tokens": pc_.cast(n_tokens, pa.int64()),
+                         "n_pass": passed})
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 #: checkpointable pipelines: name -> (partition factory, finalize combiner,
 #: weight column summed into the manifest counters or None)
 def _finalize_concat(ds):
@@ -131,6 +156,8 @@ def _pipelines():
         "dedup_exact": (partition_dedup_exact, combine_exact_partials, "n_dups"),
         # disjoint doc slices -> concat; counters sum redactions
         "redact": (partition_redact, _finalize_concat, "n_redacted"),
+        # disjoint doc slices -> concat; counters sum gate passes
+        "quality_gate": (partition_quality_gate, _finalize_concat, "n_pass"),
     }
 
 

@@ -207,3 +207,39 @@ def test_overlapped_run_equals_serial(sf_dir, tmp_path, ray_session):
         _to_df_cols(finalize(b, pipeline="redact"), cols),
         check_dtype=False,
     )
+
+
+def test_quality_gate_killed_run_resumes(sf_dir, out_dir, ray_session):
+    """Checkpointed curation front gate: kill mid-run, resume, output +
+    manifest pass counter equal the direct whole-table gate."""
+    import pytest
+
+    from nativeextractor_ray.state.checkpoint import finalize, run_partitioned
+
+    with pytest.raises(RuntimeError):
+        run_partitioned(sf_dir, out_dir, n_partitions=4,
+                        pipeline="quality_gate", fail_after=2)
+    summary = run_partitioned(sf_dir, out_dir, n_partitions=4,
+                              pipeline="quality_gate")
+    got = _to_df_cols(finalize(out_dir, pipeline="quality_gate"),
+                      ["doc_id", "n_tokens", "n_pass"])
+
+    import pyarrow as pa2
+    import pyarrow.compute as pc2
+
+    from nativeextractor_ray.pipelines.textstats import TOKEN_RE, _count
+    from nativeextractor_ray.sources.tables import read_table
+
+    def gate(t):
+        n_tokens = _count(t.column("text"), TOKEN_RE)
+        return pa2.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc2.cast(n_tokens, pa2.int64()),
+            "n_pass": pc2.cast(pc2.greater_equal(n_tokens, 10), pa2.int64())})
+
+    direct = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow")
+    want = _to_df_cols(direct, ["doc_id", "n_tokens", "n_pass"])
+    assert got.equals(want)
+    # manifest weight counter sums the pass column across partitions
+    assert summary["counters"]["weight_total"] == int(want["n_pass"].sum())
