@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": textstats.lexical_diversity,  # per-doc TTR
         "term_freq_histogram": textstats.term_freq_histogram,  # Zipf curve
         "lang_confusion": textstats.lang_confusion,  # lang metadata audit
+        "turn_role_transitions": kg.turn_role_transitions,  # turn-taking matrix
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         textstats,
     )
     from nativeextractor_ray.pipelines import distributions
+    from nativeextractor_ray.pipelines import kg
     from nativeextractor_ray.pipelines import oracles as o
     from nativeextractor_ray.pipelines import vectorstats
     from nativeextractor_ray.pipelines import windows
@@ -260,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": textstats.lexical_diversity_sql(),
         "term_freq_histogram": textstats.term_freq_histogram_sql(),
         "lang_confusion": textstats.lang_confusion_sql(),
+        "turn_role_transitions": kg.turn_role_transitions_sql(),
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

@@ -346,6 +346,7 @@ def run_suite() -> dict:
         "late_event_stats": ("nativeextractor_ray.pipelines.windows", "late_event_stats"),
         "winsorized_value_mean": ("nativeextractor_ray.pipelines.quantiles", "winsorized_value_mean"),
         "lang_confusion": ("nativeextractor_ray.pipelines.textstats", "lang_confusion"),
+        "turn_role_transitions": ("nativeextractor_ray.pipelines.kg", "turn_role_transitions"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

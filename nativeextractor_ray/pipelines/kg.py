@@ -422,3 +422,77 @@ def conv_stats(sf_dir: str):
         Max("ts", alias_name="last_ts"),
         Max("turn_idx", alias_name="max_turn"),
     )
+
+
+def turn_role_transitions(sf_dir: str):
+    """Conversation turn-taking matrix: counts of (from_role, to_role)
+    over consecutive turns within each conversation under ``turn_idx``
+    order — the structural fingerprint that separates user↔assistant
+    chat from tool-calling agent traces (and catches corrupt transcripts
+    whose role sequence is impossible).
+
+    Scale shape: the :func:`~nativeextractor_ray.pipelines.windows.event_transitions`
+    economics over the transcripts table — one hash(conv_id) shuffle
+    (columns pruned to conv_id/turn_idx/role), in-partition lexsort +
+    shifted compare masked at conversation boundaries, per-partition
+    (from, to) count partials (≤ roles² rows each), one tiny final
+    groupby.
+
+    Output: ``(from_role, to_role, n)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    ds = transcripts_dataset(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "role": t.column("role"),
+        })
+        return tbl.append_column(
+            "part", stable_part(tbl, ["conv_id"], 64))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy()
+        order = np.lexsort((idx, conv))
+        conv_s = conv[order]
+        role_s = df["role"].to_numpy()[order]
+        if len(conv_s) < 2:
+            return pd_.DataFrame({"from_role": [], "to_role": [],
+                                  "n": np.array([], np.int64)})
+        same = conv_s[1:] == conv_s[:-1]
+        g = pd_.DataFrame({
+            "from_role": role_s[:-1][same],
+            "to_role": role_s[1:][same],
+        }).groupby(["from_role", "to_role"], sort=False).size().reset_index(
+            name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby(["from_role", "to_role"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def turn_role_transitions_sql() -> str:
+    from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"""WITH t AS ({TRANSCRIPTS_SQL}),
+w AS (
+  SELECT role AS from_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS to_role
+  FROM t)
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE to_role IS NOT NULL
+GROUP BY 1, 2"""

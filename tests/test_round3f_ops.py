@@ -226,3 +226,31 @@ def test_lang_confusion_planted(ray_session, tmp_path):
             ("es", "es"): 1}
     assert dict(zip(zip(got["lang"], got["pred_lang"]),
                     got["n_docs"])) == want
+
+
+def test_turn_role_transitions_planted(ray_session, tmp_path):
+    """Hand-planted conversations via a mocked transcripts source: a
+    user→assistant→tool→assistant conv and a single-turn conv (no
+    transitions); turn order by turn_idx, not row order."""
+    import unittest.mock as mock
+
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.pipelines import kg
+
+    tbl = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1", "c1", "c2"]),
+        # rows deliberately out of turn order
+        "turn_idx": pa.array([2, 0, 1, 3, 0], pa.int32()),
+        "role": pa.array(["tool", "user", "assistant", "assistant", "user"]),
+        "text": pa.array(["x"] * 5),
+        "tool": pa.array([""] * 5),
+        "ts": pa.array([0] * 5, pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(tbl)
+    with mock.patch.object(kg, "transcripts_dataset", lambda sf: ds):
+        got = _df(kg.turn_role_transitions("unused"))
+    want = {("user", "assistant"): 1, ("assistant", "tool"): 1,
+            ("tool", "assistant"): 1}
+    assert dict(zip(zip(got["from_role"], got["to_role"]), got["n"])) == want
