@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_freq_histogram": textstats.term_freq_histogram,  # Zipf curve
         "lang_confusion": textstats.lang_confusion,  # lang metadata audit
         "turn_role_transitions": kg.turn_role_transitions,  # turn-taking matrix
+        "dup_rate_by_source": dedup.dup_rate_by_source,  # per-source dup audit
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "term_freq_histogram": textstats.term_freq_histogram_sql(),
         "lang_confusion": textstats.lang_confusion_sql(),
         "turn_role_transitions": kg.turn_role_transitions_sql(),
+        "dup_rate_by_source": dedup.DUP_RATE_BY_SOURCE_SQL,
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

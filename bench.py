@@ -347,6 +347,7 @@ def run_suite() -> dict:
         "winsorized_value_mean": ("nativeextractor_ray.pipelines.quantiles", "winsorized_value_mean"),
         "lang_confusion": ("nativeextractor_ray.pipelines.textstats", "lang_confusion"),
         "turn_role_transitions": ("nativeextractor_ray.pipelines.kg", "turn_role_transitions"),
+        "dup_rate_by_source": ("nativeextractor_ray.pipelines.dedup", "dup_rate_by_source"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -1590,3 +1590,77 @@ SELECT n.doc_id,
        CAST(coalesce(ex.c, 0) AS BIGINT) AS n_existing
 FROM documents n LEFT JOIN ex ON md5(n.text) = ex.k
 WHERE n.doc_id % {mod} = 0"""
+
+
+# ----------------------------------------------- per-source dup rate
+
+
+def dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate report — which crawl/feed is shipping
+    copies: for every source, its doc count and how many of its docs
+    duplicate an earlier doc (min ``doc_id`` per content key is the
+    keep, everything else in the key's group is a dup, charged to ITS
+    OWN source — cross-source copies count against the copier).
+
+    Scale shape: per-batch (md5-key, source) partials — ``(key, source,
+    n_docs, min_id)`` — reduce each batch before the ONLY shuffle (16-
+    byte keys + a source tag, never text); per key-partition the global
+    keep resolves vectorized and each (key, source) row emits its dup
+    count; the final groupby sees ≤ sources × partitions rows.
+
+    Output: ``(source, n_docs, n_dups)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = [hashlib.md5(s.encode()).hexdigest()
+               for s in t.column("text").to_pylist()]
+        g = (pa.table({"key": pa.array(key, pa.string()),
+                       "source": t.column("source"),
+                       "doc_id": t.column("doc_id")})
+             .group_by(["key", "source"])
+             .aggregate([("doc_id", "count"), ("doc_id", "min")]))
+        out = pa.table({
+            "key": g.column("key"),
+            "source": g.column("source"),
+            "n_docs": pc.cast(g.column("doc_id_count"), pa.int64()),
+            "min_id": pc.cast(g.column("doc_id_min"), pa.int64())})
+        return out.append_column(
+            "part", stable_part(out, ["key"], N_PARTS))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        keep = df.groupby("key", sort=False)["min_id"].transform("min")
+        # every doc in the key group is a dup except the single keeper;
+        # the keeper sits in the (key, source) row whose min_id == keep
+        dups = df["n_docs"] - (df["min_id"] == keep).astype(np.int64)
+        g = pd_.DataFrame({
+            "source": df["source"],
+            "n_docs": df["n_docs"],
+            "n_dups": dups,
+        }).groupby("source", sort=False).sum().reset_index()
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_dups", alias_name="n_dups")))
+
+
+DUP_RATE_BY_SOURCE_SQL = """WITH h AS (
+  SELECT doc_id, source, md5(text) AS k FROM documents),
+m AS (SELECT k, min(doc_id) AS keep FROM h GROUP BY k)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups
+FROM h JOIN m USING (k) GROUP BY source"""

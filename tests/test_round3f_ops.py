@@ -254,3 +254,27 @@ def test_turn_role_transitions_planted(ray_session, tmp_path):
     want = {("user", "assistant"): 1, ("assistant", "tool"): 1,
             ("tool", "assistant"): 1}
     assert dict(zip(zip(got["from_role"], got["to_role"]), got["n"])) == want
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    """Cross-source copies charge the COPIER: source A publishes first
+    (doc 1), B copies it twice (docs 3, 5); B also has a unique doc and
+    an intra-B dup pair."""
+    from nativeextractor_ray.pipelines.dedup import dup_rate_by_source
+
+    texts = ["orig", "b unique", "orig", "b pair", "orig", "b pair"]
+    srcs = ["A", "B", "B", "B", "B", "B"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 7), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), tmp_path / "documents.parquet")
+
+    got = _df(dup_rate_by_source(str(tmp_path))).sort_values(
+        "source").reset_index(drop=True)
+    assert list(got["source"]) == ["A", "B"]
+    assert list(got["n_docs"]) == [1, 5]
+    # B's dups: docs 3, 5 (copies of A's doc 1) + doc 6 (copy of doc 4)
+    assert list(got["n_dups"]) == [0, 3]
