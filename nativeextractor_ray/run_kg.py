@@ -27,7 +27,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--pipeline", default="triples",
-                    choices=["triples", "mentions", "dedup_exact", "redact"])
+                    choices=["triples", "mentions", "dedup_exact", "redact",
+                             "quality_gate"])
     ap.add_argument("--no-resume", action="store_true",
                     help="recompute every partition even if checkpointed")
     ap.add_argument("--skip-finalize", action="store_true",
