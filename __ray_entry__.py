@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": textstats.lang_confusion,  # lang metadata audit
         "turn_role_transitions": kg.turn_role_transitions,  # turn-taking matrix
         "dup_rate_by_source": dedup.dup_rate_by_source,  # per-source dup audit
+        "source_concentration": audit.source_concentration,  # HHI report
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": textstats.lang_confusion_sql(),
         "turn_role_transitions": kg.turn_role_transitions_sql(),
         "dup_rate_by_source": dedup.DUP_RATE_BY_SOURCE_SQL,
+        "source_concentration": audit.SOURCE_CONCENTRATION_SQL,
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

@@ -348,6 +348,7 @@ def run_suite() -> dict:
         "lang_confusion": ("nativeextractor_ray.pipelines.textstats", "lang_confusion"),
         "turn_role_transitions": ("nativeextractor_ray.pipelines.kg", "turn_role_transitions"),
         "dup_rate_by_source": ("nativeextractor_ray.pipelines.dedup", "dup_rate_by_source"),
+        "source_concentration": ("nativeextractor_ray.pipelines.audit", "source_concentration"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

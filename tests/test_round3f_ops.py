@@ -278,3 +278,24 @@ def test_dup_rate_by_source_planted(ray_session, tmp_path):
     assert list(got["n_docs"]) == [1, 5]
     # B's dups: docs 3, 5 (copies of A's doc 1) + doc 6 (copy of doc 4)
     assert list(got["n_dups"]) == [0, 3]
+
+
+def test_source_concentration_planted(ray_session, tmp_path):
+    """Two sources 3:1 -> HHI = (3/4)^2 + (1/4)^2 = 0.625, top share
+    0.75 — exact micro integers."""
+    from nativeextractor_ray.pipelines.audit import source_concentration
+
+    texts = ["a", "b", "c", "d"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["A", "A", "A", "B"]),
+        "n_chars": pa.array([1] * 4, pa.int64()),
+    }), tmp_path / "documents.parquet")
+
+    got = _df(source_concentration(str(tmp_path)))
+    assert list(got["n_sources"]) == [2]
+    assert list(got["n_docs"]) == [4]
+    assert list(got["hhi_micro"]) == [625_000]
+    assert list(got["top_share_micro"]) == [750_000]
