@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_role_transitions": kg.turn_role_transitions,  # turn-taking matrix
         "dup_rate_by_source": dedup.dup_rate_by_source,  # per-source dup audit
         "source_concentration": audit.source_concentration,  # HHI report
+        "events_minute_rate": events.events_minute_rate,  # gap-filled series
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_role_transitions": kg.turn_role_transitions_sql(),
         "dup_rate_by_source": dedup.DUP_RATE_BY_SOURCE_SQL,
         "source_concentration": audit.SOURCE_CONCENTRATION_SQL,
+        "events_minute_rate": events.EVENTS_MINUTE_RATE_SQL,
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

@@ -349,6 +349,7 @@ def run_suite() -> dict:
         "turn_role_transitions": ("nativeextractor_ray.pipelines.kg", "turn_role_transitions"),
         "dup_rate_by_source": ("nativeextractor_ray.pipelines.dedup", "dup_rate_by_source"),
         "source_concentration": ("nativeextractor_ray.pipelines.audit", "source_concentration"),
+        "events_minute_rate": ("nativeextractor_ray.pipelines.events", "events_minute_rate"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

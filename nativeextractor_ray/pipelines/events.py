@@ -730,3 +730,79 @@ def daily_active_users_sql() -> str:
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1"""
+
+
+def events_minute_rate(sf_dir: str):
+    """Gap-FILLED per-minute event rate — the densified time series a
+    monitoring dashboard plots: one row for EVERY minute between the
+    corpus's first and last event, zero-filled where nothing happened
+    (a plain groupby silently drops empty buckets and hides outages).
+
+    Scale shape: per-batch minute-count Arrow partials → one tiny
+    groupby(minute); the fill runs on the driver over the calendar-
+    bounded minute range (same bounded-domain argument as
+    :func:`~nativeextractor_ray.pipelines.windows.new_users_daily`),
+    size-gated so a pathological timestamp span fails loudly.
+
+    Output: ``(minute, n_events)`` — minute as timestamp[us]."""
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    US_PER_MIN = 60_000_000
+    ds = read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                                       US_PER_MIN)), pa.int64()),
+            US_PER_MIN)
+        g = pa.table({"minute_us": m}).group_by("minute_us").aggregate(
+            [("minute_us", "count")])
+        return pa.table({
+            "minute_us": g.column("minute_us"),
+            "n_events": pc.cast(g.column("minute_us_count"), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("minute_us").aggregate(Sum("n_events",
+                                               alias_name="n_events")))
+    parts = [t for t in arrow_blocks(agg) if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "minute": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64())}))
+    tbl = pa.concat_tables(parts)
+    mins = tbl.column("minute_us").to_numpy()
+    cnt = tbl.column("n_events").to_numpy()
+    lo, hi = int(mins.min()), int(mins.max())
+    span = (hi - lo) // US_PER_MIN + 1
+    if span > 10_000_000:  # ~19 years of minutes — corrupt timestamps
+        raise ValueError(
+            f"events_minute_rate: {span} minute buckets between min and "
+            "max ts — timestamp span too wide to densify; clean the data")
+    full = np.zeros(span, dtype=np.int64)
+    full[(mins - lo) // US_PER_MIN] = cnt
+    minutes = lo + np.arange(span, dtype=np.int64) * US_PER_MIN
+    out = pa.table({
+        "minute": pa.array(minutes.view("datetime64[us]")),
+        "n_events": pa.array(full, pa.int64())})
+    CHUNK = 65536
+    return ray.data.from_arrow(
+        [out.slice(i, CHUNK) for i in range(0, out.num_rows, CHUNK)] or [out])
+
+
+EVENTS_MINUTE_RATE_SQL = """WITH b AS (
+  SELECT CAST(min(date_trunc('minute', ts)) AS TIMESTAMP) AS lo,
+         CAST(max(date_trunc('minute', ts)) AS TIMESTAMP) AS hi
+  FROM events),
+g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+      FROM b),
+c AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+SELECT g.minute, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM g LEFT JOIN c USING (minute)"""

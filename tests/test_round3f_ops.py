@@ -299,3 +299,25 @@ def test_source_concentration_planted(ray_session, tmp_path):
     assert list(got["n_docs"]) == [4]
     assert list(got["hhi_micro"]) == [625_000]
     assert list(got["top_share_micro"]) == [750_000]
+
+
+def test_events_minute_rate_gap_fill(ray_session, tmp_path):
+    """Minutes with no events appear zero-filled between first and last."""
+    from nativeextractor_ray.pipelines.events import events_minute_rate
+
+    m = 60_000_000
+    ts = [10, 20, 3 * m + 5]  # minute 0 (x2), minutes 1-2 empty, minute 3
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a"] * 3),
+        "value": pa.array([0.0] * 3),
+        "props": pa.array(["{}"] * 3),
+    }), tmp_path / "events.parquet")
+
+    got = _df(events_minute_rate(str(tmp_path))).reset_index(drop=True)
+    assert len(got) == 4
+    assert list(got["n_events"]) == [2, 0, 0, 1]
+    mins = got["minute"].astype("datetime64[us]").astype(np.int64)
+    assert list(mins) == [0, m, 2 * m, 3 * m]
