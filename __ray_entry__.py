@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": dedup.dup_rate_by_source,  # per-source dup audit
         "source_concentration": audit.source_concentration,  # HHI report
         "events_minute_rate": events.events_minute_rate,  # gap-filled series
+        "conv_length_histogram": kg.conv_length_histogram,  # conv-size audit
+        "value_mad_by_type": quantiles.value_mad_by_type,  # robust spread
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -269,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": dedup.DUP_RATE_BY_SOURCE_SQL,
         "source_concentration": audit.SOURCE_CONCENTRATION_SQL,
         "events_minute_rate": events.EVENTS_MINUTE_RATE_SQL,
+        "conv_length_histogram": kg.conv_length_histogram_sql(),
+        "value_mad_by_type": quantiles.value_mad_by_type_sql(),
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

@@ -350,6 +350,8 @@ def run_suite() -> dict:
         "dup_rate_by_source": ("nativeextractor_ray.pipelines.dedup", "dup_rate_by_source"),
         "source_concentration": ("nativeextractor_ray.pipelines.audit", "source_concentration"),
         "events_minute_rate": ("nativeextractor_ray.pipelines.events", "events_minute_rate"),
+        "conv_length_histogram": ("nativeextractor_ray.pipelines.kg", "conv_length_histogram"),
+        "value_mad_by_type": ("nativeextractor_ray.pipelines.quantiles", "value_mad_by_type"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -496,3 +496,50 @@ w AS (
 SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
 FROM w WHERE to_role IS NOT NULL
 GROUP BY 1, 2"""
+
+
+def conv_length_histogram(sf_dir: str):
+    """Conversation-length distribution: for every turn count ``n``, how
+    many conversations have exactly ``n`` turns — the count-of-counts
+    audit that catches truncated or runaway conversations before they
+    skew packing and context-window decisions.
+
+    Scale shape: per-batch (conv, count) Arrow partials → one
+    conv-keyed groupby sums exact lengths → per-batch count-of-counts
+    partials fold the conversation axis away → a tiny final
+    groupby(n_turns).  Mirrors ``textstats.term_freq_histogram``.
+
+    Output: ``(n_turns, n_convs)``."""
+    from ray.data.aggregate import Sum
+
+    ds = transcripts_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["conv_id"]).group_by("conv_id")
+             .aggregate([("conv_id", "count")]))
+        return pa.table({
+            "conv_id": g.column("conv_id"),
+            "n": pc.cast(g.column("conv_id_count"), pa.int64())})
+
+    lengths = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("conv_id").aggregate(Sum("n", alias_name="n")))
+
+    def coc(t: pa.Table) -> pa.Table:
+        g = t.select(["n"]).group_by("n").aggregate([("n", "count")])
+        return pa.table({
+            "n_turns": g.column("n"),
+            "n_convs": pc.cast(g.column("n_count"), pa.int64())})
+
+    return (lengths.map_batches(coc, batch_format="pyarrow")
+            .groupby("n_turns").aggregate(Sum("n_convs",
+                                              alias_name="n_convs")))
+
+
+def conv_length_histogram_sql() -> str:
+    from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"""WITH t AS ({TRANSCRIPTS_SQL}),
+l AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+      FROM t GROUP BY conv_id)
+SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs
+FROM l GROUP BY n_turns"""

@@ -493,3 +493,78 @@ SELECT event_type,
             ELSE -((2 * CAST(-sum(cents) AS HUGEINT) * 1000000 + count(*))
                  // (2 * count(*))) END AS BIGINT) AS mean_micro_c
 FROM c GROUP BY event_type"""
+
+
+# ------------------------------------------------------------- MAD
+
+
+def value_mad_by_type(sf_dir: str):
+    """Median absolute deviation per event type — the robust scale
+    estimate (the winsorized mean's sibling): ``MAD = median(|v −
+    median(v)|)``, the spread statistic that one corrupt reading cannot
+    move, used to set robust z-score outlier thresholds.
+
+    Composition: TWO passes of the exact refinement kernel — the
+    per-type median, broadcast as a tiny dict; then one streaming map
+    derives ``|v − med|`` (identical IEEE double subtraction on both
+    engines, so the derived order statistic is bit-exact) and the SAME
+    kernel selects its median.  No sort, no group on one node.
+
+    Output: ``(event_type, median, mad)`` — both actual column /
+    derived values, float64."""
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"]).materialize()
+    med = _exact_quantiles(ds, "value", (0.5,), group_col="event_type")
+    med_by_type = {g: v for (g, _), v in med.items()}
+    mref = ray.put(med_by_type)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy()
+        keep = ~np.isnan(v)
+        et, v = et[keep], v[keep]
+        import pandas as pd_
+
+        codes, uniq = pd_.factorize(et, sort=False)
+        meds = np.array([m[u] for u in uniq], dtype=np.float64)
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "absdev": pa.array(np.abs(v - meds[codes]), pa.float64())})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow").materialize()
+    mad = _exact_quantiles(dev, "absdev", (0.5,), group_col="event_type")
+    types = sorted(med_by_type)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "median": pa.array([med_by_type[t] for t in types], pa.float64()),
+        "mad": pa.array([mad[(t, 0.5)] for t in types], pa.float64())}))
+
+
+def value_mad_by_type_sql() -> str:
+    return """WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type,
+         max(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT)
+             THEN value END) AS median
+  FROM s GROUP BY event_type),
+d AS (
+  SELECT e.event_type, abs(e.value - med.median) AS absdev
+  FROM events e JOIN med USING (event_type) WHERE e.value IS NOT NULL),
+s2 AS (
+  SELECT event_type, absdev,
+         row_number() OVER (PARTITION BY event_type ORDER BY absdev) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d)
+SELECT m.event_type, m.median,
+       max(CASE WHEN s2.r = CAST(ceil(0.5 * s2.n) AS BIGINT)
+           THEN s2.absdev END) AS mad
+FROM s2 JOIN med m USING (event_type) GROUP BY 1, 2"""

@@ -321,3 +321,50 @@ def test_events_minute_rate_gap_fill(ray_session, tmp_path):
     assert list(got["n_events"]) == [2, 0, 0, 1]
     mins = got["minute"].astype("datetime64[us]").astype(np.int64)
     assert list(mins) == [0, m, 2 * m, 3 * m]
+
+
+def test_conv_length_histogram_planted(ray_session, tmp_path):
+    """Lengths must merge ACROSS batches before the count-of-counts."""
+    import unittest.mock as mock
+
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.pipelines import kg
+
+    tbl = pa.table({
+        "conv_id": pa.array(["a"] * 3 + ["b"] * 3 + ["c"] * 2 + ["d"]),
+        "turn_idx": pa.array([0, 1, 2, 0, 1, 2, 0, 1, 0], pa.int32()),
+        "role": pa.array(["user"] * 9),
+        "text": pa.array(["x"] * 9),
+        "tool": pa.array([""] * 9),
+        "ts": pa.array([0] * 9, pa.timestamp("us")),
+    })
+    # two single-row blocks force cross-batch length merging for conv a/b
+    ds = ray.data.from_arrow([tbl.slice(0, 5), tbl.slice(5)])
+    with mock.patch.object(kg, "transcripts_dataset", lambda sf: ds):
+        got = _df(kg.conv_length_histogram("unused"))
+    want = {3: 2, 2: 1, 1: 1}  # a,b -> 3 turns; c -> 2; d -> 1
+    assert dict(zip(got["n_turns"], got["n_convs"])) == want
+
+
+def test_value_mad_by_type_planted(ray_session, tmp_path):
+    """Hand-computed MAD: values 1..5 + outlier 100 -> median is the
+    rank-3 value 3, absdevs {2,1,0,1,2,97} -> MAD = rank-3 of sorted
+    absdevs {0,1,1,2,2,97} = 1."""
+    from nativeextractor_ray.pipelines.quantiles import value_mad_by_type
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(1, 7), pa.int64()),
+        "ts": pa.array(range(6), pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["a"] * 6),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * 6),
+    }), tmp_path / "events.parquet")
+
+    got = _df(value_mad_by_type(str(tmp_path)))
+    assert list(got["event_type"]) == ["a"]
+    assert list(got["median"]) == [3.0]
+    assert list(got["mad"]) == [1.0]
