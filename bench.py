@@ -352,6 +352,7 @@ def run_suite() -> dict:
         "events_minute_rate": ("nativeextractor_ray.pipelines.events", "events_minute_rate"),
         "conv_length_histogram": ("nativeextractor_ray.pipelines.kg", "conv_length_histogram"),
         "value_mad_by_type": ("nativeextractor_ray.pipelines.quantiles", "value_mad_by_type"),
+        "first_response_latency": ("nativeextractor_ray.pipelines.kg", "first_response_latency"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -543,3 +543,70 @@ l AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
       FROM t GROUP BY conv_id)
 SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs
 FROM l GROUP BY n_turns"""
+
+
+def first_response_latency(sf_dir: str):
+    """Per-conversation first-response latency: the time from the
+    conversation's first ``user`` turn to its first ``assistant`` turn
+    (exact integer µs; negative when the assistant opened) — the
+    serving-latency / log-sanity statistic over transcript corpora.
+    Conversations missing either role are excluded, SQL-style.
+
+    Scale shape: join-free conditional aggregates — per-batch per-conv
+    conditional min partials (two int64 columns ride each conv row) →
+    ONE conv-keyed groupby().min → a streaming subtract/filter map.
+
+    Output: ``(conv_id, latency_us)``."""
+    import numpy as np
+
+    from ray.data.aggregate import Min
+
+    SENT = np.iinfo(np.int64).max  # missing-role sentinel (Min-neutral)
+
+    ds = transcripts_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        import pandas as pd_
+
+        codes, uniq = pd_.factorize(conv, sort=False)
+        n = len(uniq)
+        u = np.full(n, SENT, dtype=np.int64)
+        a = np.full(n, SENT, dtype=np.int64)
+        um, am = role == "user", role == "assistant"
+        np.minimum.at(u, codes[um], ts[um])
+        np.minimum.at(a, codes[am], ts[am])
+        return pa.table({
+            "conv_id": pa.array(uniq, pa.string()),
+            "u_ts": pa.array(u, pa.int64()),
+            "a_ts": pa.array(a, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("conv_id")
+           .aggregate(Min("u_ts", alias_name="u_ts"),
+                      Min("a_ts", alias_name="a_ts")))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u_ts").to_numpy()
+        a = t.column("a_ts").to_numpy()
+        ok = (u != SENT) & (a != SENT)
+        return pa.table({
+            "conv_id": t.column("conv_id").filter(pa.array(ok)),
+            "latency_us": pa.array(a[ok] - u[ok], pa.int64())})
+
+    return agg.map_batches(resolve, batch_format="pyarrow")
+
+
+def first_response_latency_sql() -> str:
+    from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"""WITH t AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id,
+         min(CASE WHEN role = 'user' THEN epoch_us(ts) END) AS u_ts,
+         min(CASE WHEN role = 'assistant' THEN epoch_us(ts) END) AS a_ts
+  FROM t GROUP BY conv_id)
+SELECT conv_id, CAST(a_ts - u_ts AS BIGINT) AS latency_us
+FROM m WHERE u_ts IS NOT NULL AND a_ts IS NOT NULL"""

@@ -368,3 +368,29 @@ def test_value_mad_by_type_planted(ray_session, tmp_path):
     assert list(got["event_type"]) == ["a"]
     assert list(got["median"]) == [3.0]
     assert list(got["mad"]) == [1.0]
+
+
+def test_first_response_latency_planted(ray_session, tmp_path):
+    """Assistant-opens gives negative latency; missing-role convs drop;
+    cross-batch min merging via two blocks."""
+    import unittest.mock as mock
+
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.pipelines import kg
+
+    tbl = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "turn_idx": pa.array([0, 1, 2, 0, 1, 0], pa.int32()),
+        "role": pa.array(["user", "assistant", "user",
+                          "assistant", "user", "user"]),
+        "text": pa.array(["x"] * 6),
+        "tool": pa.array([""] * 6),
+        "ts": pa.array([100, 250, 400, 500, 900, 7], pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow([tbl.slice(0, 2), tbl.slice(2)])
+    with mock.patch.object(kg, "transcripts_dataset", lambda sf: ds):
+        got = _df(kg.first_response_latency("unused"))
+    want = {"a": 150, "b": -400}  # c has no assistant -> excluded
+    assert dict(zip(got["conv_id"], got["latency_us"])) == want
