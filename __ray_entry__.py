@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_length_histogram": kg.conv_length_histogram,  # conv-size audit
         "value_mad_by_type": quantiles.value_mad_by_type,  # robust spread
         "first_response_latency": kg.first_response_latency,  # conv latency
+        "tool_call_stats": kg.tool_call_stats,  # tool adoption report
         "embedding_quantize": similarity.embedding_quantize,  # int8 codes
         "knn_graph": similarity.knn_graph,  # exact all-pairs top-k join
         "bpe_encode": bpe.bpe_encode,  # tokenizer apply (memoized merges)
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_length_histogram": kg.conv_length_histogram_sql(),
         "value_mad_by_type": quantiles.value_mad_by_type_sql(),
         "first_response_latency": kg.first_response_latency_sql(),
+        "tool_call_stats": kg.tool_call_stats_sql(),
         "embedding_quantize": similarity.embedding_quantize_sql(),
         "knn_graph": similarity.knn_graph_sql(),
         # iterative merge apply — independent scalar reference as VALUES

@@ -353,6 +353,7 @@ def run_suite() -> dict:
         "conv_length_histogram": ("nativeextractor_ray.pipelines.kg", "conv_length_histogram"),
         "value_mad_by_type": ("nativeextractor_ray.pipelines.quantiles", "value_mad_by_type"),
         "first_response_latency": ("nativeextractor_ray.pipelines.kg", "first_response_latency"),
+        "tool_call_stats": ("nativeextractor_ray.pipelines.kg", "tool_call_stats"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -610,3 +610,58 @@ m AS (
   FROM t GROUP BY conv_id)
 SELECT conv_id, CAST(a_ts - u_ts AS BIGINT) AS latency_us
 FROM m WHERE u_ts IS NOT NULL AND a_ts IS NOT NULL"""
+
+
+def tool_call_stats(sf_dir: str):
+    """Per-tool usage report over transcripts: for every tool named on a
+    turn (``tool <> ''``), the total turn count and the number of
+    DISTINCT conversations that used it — the tool-adoption statistic
+    behind the role/tool-aware predicates of the triple schema.
+
+    Scale shape: the ``daily_active_users`` combiner — per-batch
+    (tool, conv) dedup + call-count partials → one composite groupby
+    sums exact per-(tool, conv) calls → per-batch per-tool recount
+    partials (each surviving (tool, conv) row is one distinct conv) →
+    a tiny final groupby(tool).
+
+    Output: ``(tool, n_turns, n_convs)``."""
+    from ray.data.aggregate import Sum
+
+    ds = transcripts_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        used = t.filter(pc.not_equal(t.column("tool"), ""))
+        g = (used.select(["tool", "conv_id"])
+             .group_by(["tool", "conv_id"])
+             .aggregate([("conv_id", "count")]))
+        return pa.table({
+            "tool": g.column("tool"),
+            "conv_id": g.column("conv_id"),
+            "n_turns": pc.cast(g.column("conv_id_count"), pa.int64())})
+
+    per_pair = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["tool", "conv_id"])
+                .aggregate(Sum("n_turns", alias_name="n_turns")))
+
+    def recount(t: pa.Table) -> pa.Table:
+        g = t.group_by("tool").aggregate(
+            [("n_turns", "sum"), ("conv_id", "count")])
+        return pa.table({
+            "tool": g.column("tool"),
+            "n_turns": pc.cast(g.column("n_turns_sum"), pa.int64()),
+            "n_convs": pc.cast(g.column("conv_id_count"), pa.int64())})
+
+    return (per_pair.map_batches(recount, batch_format="pyarrow")
+            .groupby("tool")
+            .aggregate(Sum("n_turns", alias_name="n_turns"),
+                       Sum("n_convs", alias_name="n_convs")))
+
+
+def tool_call_stats_sql() -> str:
+    from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"""WITH t AS ({TRANSCRIPTS_SQL})
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM t WHERE tool <> '' GROUP BY tool"""

@@ -394,3 +394,28 @@ def test_first_response_latency_planted(ray_session, tmp_path):
         got = _df(kg.first_response_latency("unused"))
     want = {"a": 150, "b": -400}  # c has no assistant -> excluded
     assert dict(zip(got["conv_id"], got["latency_us"])) == want
+
+
+def test_tool_call_stats_planted(ray_session, tmp_path):
+    """Distinct-conv counting across batches; empty tool rows excluded."""
+    import unittest.mock as mock
+
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.pipelines import kg
+
+    tbl = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "turn_idx": pa.array([0, 1, 2, 0, 1, 0], pa.int32()),
+        "role": pa.array(["user"] * 6),
+        "text": pa.array(["x"] * 6),
+        "tool": pa.array(["search", "search", "", "search", "code", ""]),
+        "ts": pa.array([0] * 6, pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow([tbl.slice(0, 2), tbl.slice(2)])
+    with mock.patch.object(kg, "transcripts_dataset", lambda sf: ds):
+        got = _df(kg.tool_call_stats("unused"))
+    rows = {t: (nt, nc) for t, nt, nc in
+            zip(got["tool"], got["n_turns"], got["n_convs"])}
+    assert rows == {"search": (3, 2), "code": (1, 1)}
