@@ -2,12 +2,20 @@
 runs before anything else: for every FK edge in the star schema, the
 row count and the number of orphan rows (NOT EXISTS parents).
 
-Scale shape: each edge is ONE streaming pass over the child table —
-:func:`~nativeextractor_ray.pipelines.relational.semi_anti_join`
-(anti=True) keeps the orphan rows (size-gated broadcast of DISTINCT
-parent keys, co-partitioned above the bound), and both counts reduce to
-one int per edge.  Child tables are column-pruned to the FK alone, so a
-100-TB lineitem audit moves 8 bytes/row.  The report is seven rows.
+Scale shape: every child table is scanned ONCE for ALL of its FK edges
+at the same time — lineitem carries three edges, so its 100-TB scan
+amortizes 3× — and each batch resolves row + orphan counts for every
+edge in one vectorized ``np.searchsorted`` probe against the parents'
+broadcast sorted-key arrays (one ``ray.put`` per parent table, shared
+across edges).  Nothing but ≤ edges×blocks tiny count partials ever
+leaves the workers.  A parent whose DISTINCT-key set exceeds the
+broadcast bound drops that edge to the co-partitioned
+:func:`~nativeextractor_ray.pipelines.relational.semi_anti_join` leg
+(nothing on the driver); independent legs overlap via a small thread
+pool so the seven-edge report doesn't serialize seven Dataset
+executions.  Child tables are column-pruned to their FK columns alone,
+so a 100-TB lineitem audit moves 24 bytes/row.  The report is seven
+rows.
 
 Reference scope note: the reference engine (nativeextractor) has no
 relational layer; this belongs to the prompt-mandated training-data
@@ -16,6 +24,7 @@ operator family (ingest validation).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -31,26 +40,135 @@ FK_EDGES = [
 ]
 
 
-def referential_audit(sf_dir: str) -> pa.Table:
+def referential_audit(sf_dir: str,
+                      broadcast_bound: int | None = None) -> pa.Table:
     """One row per FK edge: ``(edge, n_rows, n_orphans)``.
 
-    ``count()`` on a Dataset is an O(1) metadata read after the streaming
-    anti-join filter; nothing materializes beyond per-block counts."""
-    from nativeextractor_ray.pipelines.relational import semi_anti_join
+    ``broadcast_bound`` (default
+    :data:`~nativeextractor_ray.pipelines.relational.SEMI_BROADCAST_BOUND`)
+    gates the fused broadcast path per parent; tests force it to 0 to
+    exercise the co-partitioned fallback and prove both paths agree."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.relational import (
+        SEMI_BROADCAST_BOUND, semi_anti_join)
     from nativeextractor_ray.sources.tables import read_table
 
-    edges, n_rows, n_orphans = [], [], []
-    for edge, child, fk, parent, pk in FK_EDGES:
-        c = read_table(sf_dir, child, [fk])
-        p = read_table(sf_dir, parent, [pk])
-        edges.append(edge)
-        n_rows.append(c.count())
-        n_orphans.append(
-            semi_anti_join(c, p, fk, anti=True, sf_dir=sf_dir).count())
+    bound = SEMI_BROADCAST_BOUND if broadcast_bound is None else broadcast_bound
+
+    # 1. one sorted DISTINCT-key array per parent table (nation parents
+    #    two edges — collected once).  None = over the broadcast bound.
+    #    ALL read_table calls happen on the main thread: Ray's parquet
+    #    path resolution probes an optional fsspec module per read, and
+    #    two threads racing that import turn its (caught)
+    #    ModuleNotFoundError into an uncaught partial-module ImportError.
+    #    The pool only EXECUTES already-constructed Datasets.
+    parent_specs = {}  # table -> pk
+    for _, _, _, parent, pk in FK_EDGES:
+        parent_specs[parent] = pk
+
+    parent_ds = {
+        table: read_table(sf_dir, table, [pk]).map_batches(
+            lambda t: pa.table(
+                {"k": pc.cast(pc.unique(t.column(0)), pa.int64())}),
+            batch_format="pyarrow")
+        for table, pk in parent_specs.items()}
+
+    def collect_parent(table: str) -> np.ndarray | None:
+        pds = parent_ds[table]
+        if (pds.size_bytes() or 0) > bound:
+            return None
+        chunks = [b.column("k").to_numpy()
+                  for b in arrow_blocks(pds, stream=False)]
+        return np.unique(np.concatenate(chunks)) if chunks \
+            else np.array([], np.int64)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        keys_by_parent = dict(zip(
+            parent_specs,
+            pool.map(collect_parent, parent_specs)))
+
+        refs_by_parent = {t: ray.put(a) for t, a in keys_by_parent.items()
+                          if a is not None}
+
+        # 2. group the broadcast-able edges by child table: ONE streaming
+        #    pass per child probes every edge's FK column per batch.
+        by_child: dict[str, list[tuple[str, str, object]]] = {}
+        fallback: list[tuple[str, str, str, str, str]] = []
+        for edge in FK_EDGES:
+            name, child, fk, parent, pk = edge
+            if parent in refs_by_parent:
+                by_child.setdefault(child, []).append(
+                    (name, fk, refs_by_parent[parent]))
+            else:
+                fallback.append(edge)
+
+        child_ds = {
+            child: read_table(
+                sf_dir, child,
+                list(dict.fromkeys(fk for _, fk, _ in specs)))
+            for child, specs in by_child.items()}
+        fallback_ds = {
+            name: (read_table(sf_dir, child, [fk]),
+                   read_table(sf_dir, parent, [pk]))
+            for name, child, fk, parent, pk in fallback}
+
+        def child_pass(child: str) -> dict[str, tuple[int, int]]:
+            specs = by_child[child]
+            ds = child_ds[child]
+
+            def partial(t: pa.Table) -> pa.Table:
+                names, rows_, orph_ = [], [], []
+                for name, fk, ref in specs:
+                    keys = ray.get(ref)  # zero-copy from local store
+                    v = pc.cast(t.column(fk), pa.int64()).to_numpy()
+                    if len(keys) == 0:
+                        miss = len(v)
+                    else:
+                        pos = np.searchsorted(keys, v)
+                        hit = (pos < len(keys)) & (
+                            keys[np.minimum(pos, len(keys) - 1)] == v)
+                        miss = int(len(v) - hit.sum())
+                    names.append(name)
+                    rows_.append(t.num_rows)
+                    orph_.append(miss)
+                return pa.table({
+                    "edge": pa.array(names, pa.string()),
+                    "n_rows": pa.array(rows_, pa.int64()),
+                    "n_orphans": pa.array(orph_, pa.int64())})
+
+            out: dict[str, tuple[int, int]] = {
+                name: (0, 0) for name, _, _ in specs}
+            parts = ds.map_batches(partial, batch_format="pyarrow")
+            for b in arrow_blocks(parts, stream=False):
+                for name, nr, no in zip(b.column("edge").to_pylist(),
+                                        b.column("n_rows").to_pylist(),
+                                        b.column("n_orphans").to_pylist()):
+                    r, o = out[name]
+                    out[name] = (r + nr, o + no)
+            return out
+
+        def fallback_pass(edge) -> dict[str, tuple[int, int]]:
+            name, child, fk, parent, pk = edge
+            c, p = fallback_ds[name]
+            return {name: (
+                c.count(),
+                semi_anti_join(c, p, fk, anti=True, sf_dir=sf_dir).count())}
+
+        results: dict[str, tuple[int, int]] = {}
+        jobs = [pool.submit(child_pass, ch) for ch in by_child]
+        jobs += [pool.submit(fallback_pass, e) for e in fallback]
+        for j in jobs:
+            results.update(j.result())
+
+    order = [e[0] for e in FK_EDGES]
     return pa.table({
-        "edge": pa.array(edges, pa.string()),
-        "n_rows": pa.array(n_rows, pa.int64()),
-        "n_orphans": pa.array(n_orphans, pa.int64()),
+        "edge": pa.array(order, pa.string()),
+        "n_rows": pa.array([results[e][0] for e in order], pa.int64()),
+        "n_orphans": pa.array([results[e][1] for e in order], pa.int64()),
     })
 
 

@@ -172,9 +172,22 @@ def hll_users_by_type(sf_dir: str) -> pa.Table:
     # ---- finish on the driver: both streams are BOUNDED — registers by
     # types × 1024 rows, exact-count partials by blocks × types — so the
     # two extra groupby shuffles a distributed finish would cost are pure
-    # fixed overhead (measured: they dominated the op's wall time)
+    # fixed overhead (measured: they dominated the op's wall time).
+    # The two legs are independent Datasets; collecting them from two
+    # driver threads overlaps their executions (each leg's AllToAll has
+    # ~2.5 s fixed latency that otherwise runs back-to-back).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(
+            lambda: list(arrow_blocks(exact, stream=False)))
+        f_regs = pool.submit(
+            lambda: list(arrow_blocks(regs, stream=False)))
+        exact_blocks = f_exact.result()
+        reg_blocks = f_regs.result()
+
     n_exact: dict[str, int] = {}
-    for t in arrow_blocks(exact, stream=False):
+    for t in exact_blocks:
         for et, n in zip(t.column("event_type").to_pylist(),
                          t.column("n").to_pylist()):
             n_exact[et] = n_exact.get(et, 0) + int(n)
@@ -189,7 +202,7 @@ def hll_users_by_type(sf_dir: str) -> pa.Table:
                 f"between {names[th]!r} and {et!r} — widen the key")
 
     by_hash: dict[int, list] = {}
-    for t in arrow_blocks(regs, stream=False):
+    for t in reg_blocks:
         rho = t.column("rho").to_numpy()
         terms = np.left_shift(np.int64(1),
                               (HLL_RHO_CAP - rho).astype(np.int64))

@@ -77,3 +77,8 @@ def test_referential_audit_detects_planted_orphans(ray_session, tmp_path):
     assert rows["customer->nation"] == (2, 0)
     assert rows["supplier->nation"] == (1, 0)
     assert rows["nation->region"] == (2, 1)
+
+    # broadcast_bound=0 drops every edge to the co-partitioned
+    # semi_anti_join fallback — both paths must agree bit-for-bit.
+    forced = referential_audit(str(tmp_path), broadcast_bound=0)
+    assert forced.equals(got)
