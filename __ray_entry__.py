@@ -61,7 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the mentions_* family — in-repo oracle-parity green, but no driver
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
-        # round-3 final additions — newest first:
+        # round-3g additions — newest first:
+        "idle_customer_balance": relational.idle_customer_balance,  # Q22
+        "min_cost_supplier": relational.min_cost_supplier,  # Q2 argmin
+        "disjunctive_revenue": relational.disjunctive_revenue,  # Q19 OR-arms
+        # round-3 final additions:
         "cms_heavy_hitters": sketches.cms_heavy_hitters,  # Count-Min + exact
         "user_value_rank": windows.user_value_rank,  # RANK/DENSE_RANK ties
         "event_transitions": windows.event_transitions,  # LEAD Markov counts
@@ -225,6 +229,9 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "idle_customer_balance": relational.idle_customer_balance_sql(),
+        "min_cost_supplier": relational.min_cost_supplier_sql(),
+        "disjunctive_revenue": relational.disjunctive_revenue_sql(),
         "cms_heavy_hitters": sketches.cms_heavy_hitters_sql(),
         "user_value_rank": windows.user_value_rank_sql(),
         "event_transitions": windows.event_transitions_sql(),

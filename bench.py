@@ -354,6 +354,9 @@ def run_suite() -> dict:
         "value_mad_by_type": ("nativeextractor_ray.pipelines.quantiles", "value_mad_by_type"),
         "first_response_latency": ("nativeextractor_ray.pipelines.kg", "first_response_latency"),
         "tool_call_stats": ("nativeextractor_ray.pipelines.kg", "tool_call_stats"),
+        "idle_customer_balance": ("nativeextractor_ray.pipelines.relational", "idle_customer_balance"),
+        "min_cost_supplier": ("nativeextractor_ray.pipelines.relational", "min_cost_supplier"),
+        "disjunctive_revenue": ("nativeextractor_ray.pipelines.relational", "disjunctive_revenue"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -1637,3 +1637,337 @@ SELECT month, promo_rev_c, total_rev_c,
        CAST((2 * promo_rev_c * 1000000 + total_rev_c)
             // (2 * total_rev_c) AS BIGINT) AS promo_share_micro
 FROM agg"""
+
+
+# ------------------------------- scalar-subquery + anti-join (Q22 shape)
+
+
+Q22_PRIORITY = "1-URGENT"
+
+
+def idle_customer_balance(sf_dir: str, priority: str = Q22_PRIORITY):
+    """TPC-H Q22-shaped composition: per-nation count + total balance of
+    customers whose balance is strictly above the global average positive
+    balance AND who never placed a ``priority`` order — a scalar
+    subquery feeding a filter feeding a NOT EXISTS.
+
+    Scale shape, in pipeline order:
+
+    - the scalar threshold is a streaming pass over ``customer`` pruned
+      to one column: per-batch int64 ``(sum positive cents, count)``
+      partials, folded on the driver (bounded — one row per block).
+      Balances compare ALL-INTEGER against it (``bal_c * count > sum``
+      ⟺ ``bal > avg``; no float division, exact oracle parity).
+    - the above-average gate runs map-side BEFORE the anti join, so the
+      expensive leg only sees the filtered minority.
+    - NOT EXISTS is :func:`semi_anti_join` (anti=True) against the
+      priority-filtered DISTINCT ``o_custkey`` side: size-gated broadcast
+      sorted-array probe, co-partitioned merge above the bound.
+    - the rollup is per-batch ``(nationkey → count, sum)`` partials →
+      one 25-key groupby; nation names attach from a driver-side
+      25-row map.
+
+    Output: ``(n_name, n_custs, total_bal_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    # scalar threshold: one pruned streaming pass, bounded partials
+    bal_only = read_table(sf_dir, "customer", ["c_acctbal"])
+
+    def thr_partial(t: pa.Table) -> pa.Table:
+        bal_c = np.floor(t.column("c_acctbal").to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        pos = bal_c > 0
+        return pa.table({"s": pa.array([int(bal_c[pos].sum())]),
+                         "c": pa.array([int(pos.sum())])})
+
+    thr_s = thr_c = 0
+    for b in arrow_blocks(bal_only.map_batches(thr_partial,
+                                               batch_format="pyarrow"),
+                          stream=False):
+        thr_s += int(pc.sum(b.column("s")).as_py() or 0)
+        thr_c += int(pc.sum(b.column("c")).as_py() or 0)
+
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        bal_c = np.floor(t.column("c_acctbal").to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        keep = bal_c * thr_c > thr_s
+        return pa.table({
+            "c_custkey": pa.array(
+                t.column("c_custkey").to_numpy()[keep]),
+            "c_nationkey": pa.array(
+                t.column("c_nationkey").to_numpy()[keep]),
+            "bal_c": pa.array(bal_c[keep]),
+        })
+
+    ok = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def prio_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("o_orderpriority"), priority)
+        return pa.table({"o_custkey": t.filter(m).column("o_custkey")})
+
+    idle = semi_anti_join(
+        cust.map_batches(gate, batch_format="pyarrow"),
+        ok.map_batches(prio_keys, batch_format="pyarrow"),
+        "c_custkey", anti=True, sf_dir=sf_dir)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nk = t.column("c_nationkey").to_numpy()
+        g = pd.DataFrame({"nk": nk, "bal": t.column("bal_c").to_numpy()}) \
+            .groupby("nk", sort=False).agg(n=("bal", "size"),
+                                           s=("bal", "sum"))
+        return pa.table({
+            "nk": pa.array(g.index.to_numpy(np.int64)),
+            "n_custs": pa.array(g["n"].to_numpy(np.int64)),
+            "total_bal_c": pa.array(g["s"].to_numpy(np.int64)),
+        })
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+    name_ref = ray.put(names)
+
+    def to_names(t: pa.Table) -> pa.Table:
+        nm = ray.get(name_ref)
+        return pa.table({
+            "n_name": pa.array([nm[k] for k in t.column("nk").to_pylist()],
+                               pa.string()),
+            "n_custs": t.column("n_custs"),
+            "total_bal_c": t.column("total_bal_c"),
+        })
+
+    return (idle.map_batches(rollup, batch_format="pyarrow")
+            .groupby("nk")
+            .aggregate(Sum("n_custs", alias_name="n_custs"),
+                       Sum("total_bal_c", alias_name="total_bal_c"))
+            .map_batches(to_names, batch_format="pyarrow"))
+
+
+def idle_customer_balance_sql(priority: str = Q22_PRIORITY) -> str:
+    return f"""WITH b AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer),
+thr AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM b WHERE bal_c > 0)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(b.bal_c) AS BIGINT) AS total_bal_c
+FROM b JOIN nation n ON n.n_nationkey = b.c_nationkey, thr
+WHERE b.bal_c * thr.c > thr.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = b.c_custkey
+                    AND o.o_orderpriority = '{priority}')
+GROUP BY n.n_name"""
+
+
+# -------------------------------- argmin-per-group join-back (Q2 shape)
+
+
+Q2_BRAND = "Brand#4"
+
+
+def min_cost_supplier(sf_dir: str, brand: str = Q2_BRAND):
+    """TPC-H Q2-shaped argmin join-back: for every part of one brand,
+    the supplier(s) whose line item carries the MINIMUM extended price —
+    "the row achieving its group's aggregate", the shape a bare groupby
+    cannot express without rejoining the fact.
+
+    Scale shape: the brand's part keys broadcast once as a sorted int64
+    array and prune ``lineitem`` MAP-SIDE (vectorized semijoin probe —
+    the trie-probe shape), so only the brand's slice ever shuffles.
+    That slice co-partitions ONCE by ``hash(partkey)``; because a part's
+    rows are then co-located, the min, the equality join-back AND the
+    ``(part, supplier)`` dedup all resolve inside the partition with a
+    vectorized transform — nothing rejoins across partitions, nothing
+    returns to the driver.  Supplier names attach from a broadcast
+    ``suppkey → name`` dim (one ``ray.put``).
+
+    Output: ``(p_partkey, min_price_c, s_suppkey, s_name)`` — one row
+    per (part, cheapest supplier), ties kept like the oracle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    part_dim = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand"])
+    bkeys = np.sort(part_dim.filter(
+        pc.equal(part_dim.column("p_brand"), brand))
+        .column("p_partkey").to_numpy())
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy()
+    sorder = np.argsort(sk)
+    side = ray.put((bkeys, sk[sorder],
+                    sup.column("s_name").take(pa.array(sorder))
+                    .combine_chunks()))
+
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+    items = read_table(sf_dir, "lineitem",
+                       ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keys, _sk, _sn = ray.get(side)
+        lk = t.column("l_partkey").to_numpy()
+        if len(keys):
+            pos = np.searchsorted(keys, lk)
+            hit = (pos < len(keys)) & (
+                keys[np.minimum(pos, len(keys) - 1)] == lk)
+        else:
+            hit = np.zeros(len(lk), bool)
+        out = pa.table({
+            "l_partkey": pa.array(lk[hit]),
+            "l_suppkey": pa.array(t.column("l_suppkey").to_numpy()[hit]),
+            "price_c": pa.array(
+                np.floor(t.column("l_extendedprice").to_numpy()[hit]
+                         * 100.0 + 0.5).astype(np.int64)),
+        })
+        return out.append_column(
+            "part", stable_part(out, ["l_partkey"], n_parts))
+
+    def resolve(df):
+        import pandas as pd
+
+        lo = df.groupby("l_partkey")["price_c"].transform("min")
+        kept = df[df["price_c"].to_numpy() == lo.to_numpy()]
+        kept = kept.drop_duplicates(["l_partkey", "l_suppkey"])
+        _keys, skeys, snames = ray.get(side)
+        sidx = np.searchsorted(skeys, kept["l_suppkey"].to_numpy())
+        return pd.DataFrame({
+            "p_partkey": kept["l_partkey"].to_numpy(np.int64),
+            "min_price_c": kept["price_c"].to_numpy(np.int64),
+            "s_suppkey": kept["l_suppkey"].to_numpy(np.int64),
+            "s_name": snames.take(pa.array(sidx)).to_pandas(),
+        })
+
+    return (items.map_batches(prune, batch_format="pyarrow")
+            .groupby("part").map_groups(resolve, batch_format="pandas"))
+
+
+def min_cost_supplier_sql(brand: str = Q2_BRAND) -> str:
+    return f"""WITH li AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = '{brand}'),
+m AS (SELECT l_partkey, min(price_c) AS min_price_c FROM li
+      GROUP BY l_partkey)
+SELECT DISTINCT li.l_partkey AS p_partkey, m.min_price_c,
+       li.l_suppkey AS s_suppkey, s.s_name
+FROM li
+JOIN m ON m.l_partkey = li.l_partkey AND li.price_c = m.min_price_c
+JOIN supplier s ON s.s_suppkey = li.l_suppkey"""
+
+
+# ---------------------------- disjunctive predicate arms (Q19 shape)
+
+
+#: (arm, brand, size_lo, size_hi, qty_lo, qty_hi) — OR-of-ANDs arms
+Q19_ARMS = [
+    ("small", "Brand#4", 1, 15, 1, 20),
+    ("medium", "Brand#19", 10, 30, 10, 30),
+    ("large", "Brand#2", 20, 50, 20, 50),
+]
+
+
+def disjunctive_revenue(sf_dir: str, arms=None):
+    """TPC-H Q19-shaped disjunctive-predicate scan: revenue under an OR
+    of (brand AND size range AND quantity range) arms, reported per arm.
+    The shape: a multi-arm disjunction over fact × dim attributes that
+    resolves ENTIRELY map-side — zero fact shuffle.
+
+    Scale shape: the ``part`` attributes broadcast once as parallel
+    sorted arrays (``partkey → (brand id, size)``, one ``ray.put``);
+    every ``lineitem`` batch probes them with one ``np.searchsorted``
+    and evaluates every arm as a vectorized boolean mask, emitting ≤
+    len(arms) partial count/revenue rows.  The final groupby moves
+    blocks × arms tiny rows.  An arm is an independent mask, NOT an
+    exclusive bucket — a line can satisfy two arms and counts in both,
+    exactly like the oracle's UNION ALL.
+
+    Output: ``(arm, n_items, revenue_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    arms = list(arms or Q19_ARMS)
+    part_dim = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand", "p_size"])
+    pk = part_dim.column("p_partkey").to_numpy()
+    order = np.argsort(pk)
+    brands = sorted({a[1] for a in arms})
+    bid = {b: i for i, b in enumerate(brands)}
+    bcol = np.array([bid.get(b, -1) for b in
+                     part_dim.column("p_brand").to_pylist()],
+                    np.int64)[order]
+    side = ray.put((pk[order], bcol,
+                    part_dim.column("p_size").to_numpy()
+                    .astype(np.int64)[order]))
+    arm_specs = [(name, bid[b], slo, shi, qlo, qhi)
+                 for name, b, slo, shi, qlo, qhi in arms]
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, bids, sizes = ray.get(side)
+        lk = t.column("l_partkey").to_numpy()
+        idx = np.searchsorted(keys, lk)
+        idx = np.minimum(idx, len(keys) - 1)
+        ok = keys[idx] == lk
+        b = np.where(ok, bids[idx], -2)
+        s = np.where(ok, sizes[idx], -1)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1.0 - t.column("l_discount").to_numpy())
+                       * 100.0 + 0.5).astype(np.int64)
+        names, counts, revs = [], [], []
+        for name, abid, slo, shi, qlo, qhi in arm_specs:
+            m = ((b == abid) & (s >= slo) & (s <= shi)
+                 & (qty >= qlo) & (qty <= qhi))
+            if m.any():
+                names.append(name)
+                counts.append(int(m.sum()))
+                revs.append(int(rev[m].sum()))
+        return pa.table({
+            "arm": pa.array(names, pa.string()),
+            "n_items": pa.array(counts, pa.int64()),
+            "revenue_c": pa.array(revs, pa.int64()),
+        })
+
+    return (items.map_batches(partial, batch_format="pyarrow")
+            .groupby("arm")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("revenue_c", alias_name="revenue_c")))
+
+
+def disjunctive_revenue_sql(arms=None) -> str:
+    arms = list(arms or Q19_ARMS)
+    legs = [f"""SELECT '{name}' AS arm,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{brand}' AND p.p_size BETWEEN {slo} AND {shi}
+  AND CAST(l.l_quantity AS BIGINT) BETWEEN {qlo} AND {qhi}"""
+            for name, brand, slo, shi, qlo, qhi in arms]
+    return "\nUNION ALL\n".join(legs)
