@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-3g additions — newest first:
+        "entity_neighbor_jaccard": graph.entity_neighbor_jaccard,  # co-cite
+        "nation_trade_volume": relational.nation_trade_volume,  # Q7
         "idle_customer_balance": relational.idle_customer_balance,  # Q22
         "min_cost_supplier": relational.min_cost_supplier,  # Q2 argmin
         "disjunctive_revenue": relational.disjunctive_revenue,  # Q19 OR-arms
@@ -229,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "entity_neighbor_jaccard": graph.entity_neighbor_jaccard_sql(),
+        "nation_trade_volume": relational.nation_trade_volume_sql(),
         "idle_customer_balance": relational.idle_customer_balance_sql(),
         "min_cost_supplier": relational.min_cost_supplier_sql(),
         "disjunctive_revenue": relational.disjunctive_revenue_sql(),

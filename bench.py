@@ -354,6 +354,8 @@ def run_suite() -> dict:
         "value_mad_by_type": ("nativeextractor_ray.pipelines.quantiles", "value_mad_by_type"),
         "first_response_latency": ("nativeextractor_ray.pipelines.kg", "first_response_latency"),
         "tool_call_stats": ("nativeextractor_ray.pipelines.kg", "tool_call_stats"),
+        "entity_neighbor_jaccard": ("nativeextractor_ray.pipelines.graph", "entity_neighbor_jaccard"),
+        "nation_trade_volume": ("nativeextractor_ray.pipelines.relational", "nation_trade_volume"),
         "idle_customer_balance": ("nativeextractor_ray.pipelines.relational", "idle_customer_balance"),
         "min_cost_supplier": ("nativeextractor_ray.pipelines.relational", "min_cost_supplier"),
         "disjunctive_revenue": ("nativeextractor_ray.pipelines.relational", "disjunctive_revenue"),

@@ -644,3 +644,184 @@ FROM (SELECT x AS entity FROM tri
       UNION ALL SELECT y FROM tri
       UNION ALL SELECT z FROM tri)
 GROUP BY entity"""
+
+
+# ------------------------------------------------- neighborhood Jaccard
+
+
+#: pair-generation fan-in cap: objects cited by more subjects than this
+#: are dropped from CO-CITATION pair enumeration (their wedge count is
+#: quadratic); degrees still count them, and the oracle replays the cap
+JACCARD_MAX_FANIN = 1000
+
+
+def _empty_pairs():
+    import pandas as pd
+
+    return pd.DataFrame({"subj_a": pd.Series([], dtype=object),
+                         "subj_b": pd.Series([], dtype=object),
+                         "n": pd.Series([], dtype=np.int64)})
+
+
+def _empty_scored():
+    import pandas as pd
+
+    return pd.DataFrame({
+        "subj_a": pd.Series([], dtype=object),
+        "subj_b": pd.Series([], dtype=object),
+        "n_shared": pd.Series([], dtype=np.int64),
+        "jaccard_micro": pd.Series([], dtype=np.int64)})
+
+
+def entity_neighbor_jaccard(sf_dir: str, min_shared: int = 2,
+                            max_fanin: int = JACCARD_MAX_FANIN):
+    """Structural entity-resolution candidates: pairs of SUBJECTS whose
+    out-neighborhoods overlap, scored by exact Jaccard — two entities
+    that cite ≥ ``min_shared`` of the same objects are canonicalization
+    candidates even when their surface forms share nothing (the
+    co-citation complement to :func:`~..pipelines.kg.canonical_map`'s
+    surface-form union-find).
+
+    Scale shape (the set-similarity self-join, as in the dedup family):
+
+    - distinct ``(subj, obj)`` edges come from :func:`_edges` (coarse
+      hash-partitioned dedup) and are materialized once for the two
+      passes (degrees, pairs);
+    - the degree vector |N(subj)| is vocabulary-bounded: per-batch
+      partial counts → one subj groupby → size-gated driver collect +
+      ``ray.put`` (the pagerank contrib-vector economics, same
+      ``VOCAB_BOUND`` gate);
+    - co-citation pairs enumerate per OBJECT: one ``hash(obj)``
+      co-partition; in-partition the group sorts ``(obj, subj)`` so
+      :func:`_pair_enum` emits each pair already in canonical
+      ``subj_a < subj_b`` order, objects with fan-in > ``max_fanin``
+      are dropped WHOLE (deterministic skew cap — the minhash
+      ``MAX_BUCKET`` rule; a hot object pairs quadratically and carries
+      no resolution signal), and partial pair counts pre-aggregate
+      before leaving the partition;
+    - one second ``hash(pair)`` shuffle sums partials; the
+      ``min_shared`` gate and the exact half-up micro Jaccard
+      ``(2·i·10⁶ + u) // (2·u)`` with ``u = da + db − i`` resolve
+      in-partition against the broadcast degree arrays.
+
+    Degrees keep capped-out objects (the cap bounds PAIR generation,
+    not the neighborhood size), and the oracle replays both the cap and
+    the integer ratio exactly.
+
+    Output: ``(subj_a, subj_b, n_shared, jaccard_micro)``."""
+    import pandas as pd
+    import ray
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    e = _edges(sf_dir).materialize()
+
+    # ---- pass 1: vocabulary-bounded subject degree vector
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("subj").aggregate([("subj", "count")])
+        return pa.table({
+            "subj": g.column("subj"),
+            "deg": pc.cast(g.column("subj_count"), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    deg_ds = (e.map_batches(deg_partial, batch_format="pyarrow")
+              .groupby("subj").aggregate(Sum("deg", alias_name="deg"))
+              .materialize())
+    if (deg_ds.size_bytes() or 0) > VOCAB_BOUND:
+        raise ValueError(
+            "entity_neighbor_jaccard: subject vocabulary exceeds the "
+            f"driver bound ({deg_ds.size_bytes()} B) — shard the graph "
+            "or raise VOCAB_BOUND deliberately")
+    blocks = [t for t in arrow_blocks(deg_ds, stream=False) if t.num_rows]
+    if not blocks:
+        return ray.data.from_arrow(pa.table({
+            "subj_a": pa.array([], pa.string()),
+            "subj_b": pa.array([], pa.string()),
+            "n_shared": pa.array([], pa.int64()),
+            "jaccard_micro": pa.array([], pa.int64())}))
+    dt = pa.concat_tables(blocks)
+    dnames = dt.column("subj").to_numpy(zero_copy_only=False)
+    dorder = np.argsort(dnames)
+    deg_side = ray.put((dnames[dorder],
+                        dt.column("deg").to_numpy()[dorder]))
+
+    # ---- pass 2: per-object wedge enumeration, pre-aggregated
+    def tag_obj(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", stable_part(t, ["obj"], N_EDGE_PARTS))
+
+    def pair_partials(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["obj", "subj"], kind="stable")
+        obj = df["obj"].to_numpy()
+        subj = df["subj"].to_numpy()
+        change = np.ones(len(obj), bool)
+        change[1:] = obj[1:] != obj[:-1]
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, len(obj)))
+        keep = sizes <= max_fanin
+        ia, ib = _pair_enum(starts[keep], sizes[keep])
+        if not len(ia):
+            return _empty_pairs()
+        out = pd.DataFrame({"subj_a": subj[ia], "subj_b": subj[ib]})
+        g = out.groupby(["subj_a", "subj_b"], sort=False).size()
+        g = g.reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partials = (e.map_batches(tag_obj, batch_format="pyarrow")
+                .groupby("part").map_groups(pair_partials,
+                                            batch_format="pandas"))
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part2", stable_part(t, ["subj_a", "subj_b"], N_EDGE_PARTS))
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty or "subj_a" not in df.columns:
+            return _empty_scored()
+        g = (df.groupby(["subj_a", "subj_b"], sort=False)["n"].sum()
+             .reset_index())
+        g = g[g["n"].to_numpy() >= min_shared]
+        if g.empty:
+            return _empty_scored()
+        names, degs = ray.get(deg_side)
+        da = degs[np.searchsorted(names, g["subj_a"].to_numpy())]
+        db = degs[np.searchsorted(names, g["subj_b"].to_numpy())]
+        inter = g["n"].to_numpy(np.int64)
+        union = da + db - inter
+        return pd.DataFrame({
+            "subj_a": g["subj_a"].to_numpy(),
+            "subj_b": g["subj_b"].to_numpy(),
+            "n_shared": inter,
+            "jaccard_micro": (2 * inter * 1_000_000 + union)
+            // (2 * union),
+        })
+
+    return (partials.map_batches(tag_pair, batch_format="pyarrow")
+            .groupby("part2").map_groups(finish, batch_format="pandas"))
+
+
+def entity_neighbor_jaccard_sql(min_shared: int = 2,
+                                max_fanin: int = JACCARD_MAX_FANIN) -> str:
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    return f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj, obj FROM t),
+keep AS (SELECT obj FROM e GROUP BY obj
+         HAVING count(*) <= {max_fanin}),
+p AS (SELECT a.subj AS subj_a, b.subj AS subj_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM e a JOIN e b ON b.obj = a.obj AND a.subj < b.subj
+      JOIN keep k ON k.obj = a.obj
+      GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
+d AS (SELECT subj, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY subj)
+SELECT p.subj_a, p.subj_b, p.n_shared,
+       CAST((2 * p.n_shared * 1000000
+             + (da.deg + db.deg - p.n_shared))
+            // (2 * (da.deg + db.deg - p.n_shared)) AS BIGINT)
+         AS jaccard_micro
+FROM p JOIN d da ON da.subj = p.subj_a
+       JOIN d db ON db.subj = p.subj_b"""

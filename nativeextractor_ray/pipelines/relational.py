@@ -1971,3 +1971,156 @@ WHERE p.p_brand = '{brand}' AND p.p_size BETWEEN {slo} AND {shi}
   AND CAST(l.l_quantity AS BIGINT) BETWEEN {qlo} AND {qhi}"""
             for name, brand, slo, shi, qlo, qhi in arms]
     return "\nUNION ALL\n".join(legs)
+
+
+# -------------------------- cross-nation trade volume (Q7 shape)
+
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_8"
+
+
+def nation_trade_volume(sf_dir: str, nation_a: str = Q7_NATION_A,
+                        nation_b: str = Q7_NATION_B):
+    """TPC-H Q7-shaped cross-nation volume: revenue shipped between two
+    nations (supplier in one, customer in the other, both directions),
+    per (supp_nation, cust_nation, ship year) — the two-big-facts join
+    where BOTH sides carry a dimension attribute resolved before the
+    exchange.
+
+    Scale shape (the :func:`local_supplier_volume` exchange, different
+    predicate algebra):
+
+    - supplier and customer collapse map-side to broadcast
+      ``key → nationkey`` int arrays; only rows whose nation is one of
+      the TWO targets survive the prune, so both fact projections are
+      minority slices before anything moves;
+    - ``orders`` ships ``(orderkey, cust_nation)``, ``lineitem`` ships
+      ``(orderkey, supp_nation, ship year, revenue cents)`` into ONE
+      co-partitioned tagged-union hash exchange on orderkey;
+    - in-partition the cross predicate (``supp ≠ cust``, both ∈ {a, b})
+      and the (sn, cn, year) rollup resolve vectorized, so ≤ 2·years
+      partial rows leave each partition for the final groupby.
+
+    Output: ``(supp_nation, cust_nation, l_year, revenue_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    key_of = {r["n_name"]: r["n_nationkey"] for r in nat.to_pylist()}
+    ka, kb = key_of[nation_a], key_of[nation_b]
+    names = {ka: nation_a, kb: nation_b}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    s2n = np.full(int(pc.max(sup.column("s_suppkey")).as_py()) + 1, -1,
+                  dtype=np.int64)
+    s2n[sup.column("s_suppkey").to_numpy()] = (
+        sup.column("s_nationkey").to_numpy())
+    c2n = np.full(int(pc.max(cust.column("c_custkey")).as_py()) + 1, -1,
+                  dtype=np.int64)
+    c2n[cust.column("c_custkey").to_numpy()] = (
+        cust.column("c_nationkey").to_numpy())
+    side = ray.put((s2n, c2n))
+
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        _s, c2n_ = ray.get(side)
+        cn = c2n_[t.column("o_custkey").to_numpy()]
+        keep = (cn == ka) | (cn == kb)
+        out = pa.table({
+            "k": pa.array(t.column("o_orderkey").to_numpy()[keep]),
+            "nation": pa.array(cn[keep]),
+            "year": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "rev_c": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "is_ord": pa.array(np.ones(int(keep.sum()), bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+
+    def prune_items(t: pa.Table) -> pa.Table:
+        s2n_, _c = ray.get(side)
+        sn = s2n_[t.column("l_suppkey").to_numpy()]
+        keep = (sn == ka) | (sn == kb)
+        ep = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        yr = (t.column("l_shipdate").to_numpy()[keep]
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        out = pa.table({
+            "k": pa.array(t.column("l_orderkey").to_numpy()[keep]),
+            "nation": pa.array(sn[keep]),
+            "year": pa.array(yr),
+            "rev_c": pa.array(np.floor(ep * (1.0 - disc) * 100.0 + 0.5)
+                              .astype(np.int64)),
+            "is_ord": pa.array(np.zeros(int(keep.sum()), bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    def join_part(df):
+        import pandas as pd
+
+        o = df[df["is_ord"]][["k", "nation"]].rename(
+            columns={"nation": "cn"})
+        l = df[~df["is_ord"]][["k", "nation", "year", "rev_c"]].rename(
+            columns={"nation": "sn"})
+        m = l.merge(o, on="k", how="inner")
+        m = m[m["cn"] != m["sn"]]
+        g = (m.groupby(["sn", "cn", "year"], sort=False)["rev_c"].sum()
+             .reset_index())
+        return pd.DataFrame({
+            "sn": g["sn"].to_numpy(np.int64),
+            "cn": g["cn"].to_numpy(np.int64),
+            "l_year": g["year"].to_numpy(np.int64),
+            "rev_c": g["rev_c"].to_numpy(np.int64)})
+
+    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+            .union(items.map_batches(prune_items, batch_format="pyarrow")))
+
+    name_ref = ray.put(names)
+
+    def to_names(t: pa.Table) -> pa.Table:
+        nm = ray.get(name_ref)
+        return pa.table({
+            "supp_nation": pa.array(
+                [nm[k] for k in t.column("sn").to_pylist()], pa.string()),
+            "cust_nation": pa.array(
+                [nm[k] for k in t.column("cn").to_pylist()], pa.string()),
+            "l_year": t.column("l_year"),
+            "revenue_c": t.column("rev_c"),
+        })
+
+    return (both.groupby("part").map_groups(join_part,
+                                            batch_format="pandas")
+            .map_batches(to_names, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+
+def nation_trade_volume_sql(nation_a: str = Q7_NATION_A,
+                            nation_b: str = Q7_NATION_B) -> str:
+    return f"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')
+    OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}'))
+GROUP BY 1, 2, 3"""

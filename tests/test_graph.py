@@ -169,3 +169,50 @@ def test_triangles_random_graph(ray_session):
     got = _run_triangles_on_edges(edges, ray_session)
     want = _triangles_dense(edges)
     assert got == want
+
+
+def _df(res) -> pd.DataFrame:
+    import ray
+
+    parts = [ray.get(r) for r in res.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows] or parts[:1]
+    return pa.concat_tables(parts, promote_options="default").to_pandas()
+
+def test_entity_neighbor_jaccard_planted(ray_session):
+    """Planted co-citation graph: the fan-in cap drops a hot object from
+    PAIR generation but keeps it in degrees; min_shared gates; the micro
+    Jaccard is the exact half-up integer ratio."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    # A -> {o1, o2, o3, hot}; B -> {o1, o2, hot}; C -> {o3}
+    edges = [("A", "o1"), ("A", "o2"), ("A", "o3"), ("A", "hot"),
+             ("B", "o1"), ("B", "o2"), ("B", "hot"),
+             ("C", "o3")]
+    tbl = pa.table({
+        "subj": pa.array([a for a, _ in edges], pa.string()),
+        "obj": pa.array([b for _, b in edges], pa.string()),
+    })
+
+    with mock.patch.object(graph, "_edges",
+                           lambda sf: ray.data.from_arrow(tbl)):
+        got = _df(graph.entity_neighbor_jaccard(
+            ".", min_shared=2, max_fanin=1))
+
+    # with max_fanin=1 the shared objects o1, o2 (fan-in 2) and hot
+    # (fan-in 2) are ALL capped out of pair generation -> no pairs
+    assert len(got) == 0
+
+    with mock.patch.object(graph, "_edges",
+                           lambda sf: ray.data.from_arrow(tbl)):
+        got = _df(graph.entity_neighbor_jaccard(
+            ".", min_shared=2, max_fanin=2)).reset_index(drop=True)
+
+    # o1, o2, hot all pair (A, B): n_shared 3; degrees stay FULL
+    # (A: 4, B: 3) -> union 4 + 3 - 3 = 4, jaccard 3/4 = 750000.
+    # (A, C) share only o3 -> below min_shared, absent.
+    assert list(got["subj_a"]) == ["A"]
+    assert list(got["subj_b"]) == ["B"]
+    assert list(got["n_shared"]) == [3]
+    assert list(got["jaccard_micro"]) == [750000]

@@ -155,3 +155,68 @@ def test_disjunctive_revenue_overlap_counts_twice(ray_session, tmp_path):
     assert list(got["arm"]) == ["a", "b"]
     assert list(got["n_items"]) == [1, 2]
     assert list(got["revenue_c"]) == [1000, 3000]
+
+
+def test_nation_trade_volume_planted(ray_session, tmp_path):
+    """Both directions count, same-nation trade is excluded, and revenue
+    splits by SHIP year (not order year)."""
+    import numpy as np
+
+    from nativeextractor_ray.pipelines.relational import nation_trade_volume
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["A", "B", "C"]),
+        "n_regionkey": pa.array([0, 0, 0], pa.int32()),
+    }), tmp_path / "nation.parquet")
+    # customers: 1 in A, 2 in B, 3 in C
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["c1", "c2", "c3"]),
+        "c_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "c_acctbal": pa.array([0.0] * 3),
+        "c_mktsegment": pa.array(["S"] * 3),
+    }), tmp_path / "customer.parquet")
+    # suppliers: 10 in A, 20 in B
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 20], pa.int64()),
+        "s_name": pa.array(["sA", "sB"]),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0]),
+    }), tmp_path / "supplier.parquet")
+    # orders: 1 by cust A, 2 by cust B, 3 by cust C
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([0] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["P"] * 3),
+    }), tmp_path / "orders.parquet")
+    y96 = np.datetime64("1996-06-01", "us")
+    y97 = np.datetime64("1997-06-01", "us")
+    n = 5
+    pq.write_table(pa.table({
+        # supp B -> cust A order, split across two ship years;
+        # supp A -> cust B; supp A -> own-nation cust A (excluded);
+        # supp B -> cust C (C not a target nation: excluded)
+        "l_orderkey": pa.array([1, 1, 2, 1, 3], pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array([20, 20, 10, 10, 20], pa.int64()),
+        "l_linenumber": pa.array(list(range(1, n + 1)), pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([10.0, 20.0, 40.0, 80.0, 160.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([y96, y97, y96, y96, y96],
+                               pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    got = _df(nation_trade_volume(str(tmp_path), "A", "B")).sort_values(
+        ["supp_nation", "l_year"]).reset_index(drop=True)
+    assert got[["supp_nation", "cust_nation"]].values.tolist() == [
+        ["A", "B"], ["B", "A"], ["B", "A"]]
+    assert list(got["l_year"]) == [1996, 1996, 1997]
+    assert list(got["revenue_c"]) == [4000, 1000, 1000]
