@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3g additions — newest first:
         "entity_neighbor_jaccard": graph.entity_neighbor_jaccard,  # co-cite
         "nation_trade_volume": relational.nation_trade_volume,  # Q7
+        "audience_overlap": events.audience_overlap,  # INTERSECT/EXCEPT venn
         "idle_customer_balance": relational.idle_customer_balance,  # Q22
         "min_cost_supplier": relational.min_cost_supplier,  # Q2 argmin
         "disjunctive_revenue": relational.disjunctive_revenue,  # Q19 OR-arms
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
     sqls = {
         "entity_neighbor_jaccard": graph.entity_neighbor_jaccard_sql(),
         "nation_trade_volume": relational.nation_trade_volume_sql(),
+        "audience_overlap": events.audience_overlap_sql(),
         "idle_customer_balance": relational.idle_customer_balance_sql(),
         "min_cost_supplier": relational.min_cost_supplier_sql(),
         "disjunctive_revenue": relational.disjunctive_revenue_sql(),

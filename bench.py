@@ -356,6 +356,7 @@ def run_suite() -> dict:
         "tool_call_stats": ("nativeextractor_ray.pipelines.kg", "tool_call_stats"),
         "entity_neighbor_jaccard": ("nativeextractor_ray.pipelines.graph", "entity_neighbor_jaccard"),
         "nation_trade_volume": ("nativeextractor_ray.pipelines.relational", "nation_trade_volume"),
+        "audience_overlap": ("nativeextractor_ray.pipelines.events", "audience_overlap"),
         "idle_customer_balance": ("nativeextractor_ray.pipelines.relational", "idle_customer_balance"),
         "min_cost_supplier": ("nativeextractor_ray.pipelines.relational", "min_cost_supplier"),
         "disjunctive_revenue": ("nativeextractor_ray.pipelines.relational", "disjunctive_revenue"),

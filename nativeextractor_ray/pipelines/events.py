@@ -806,3 +806,94 @@ c AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
       FROM events GROUP BY 1)
 SELECT g.minute, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
 FROM g LEFT JOIN c USING (minute)"""
+
+
+# ------------------------------------------------ audience set algebra
+
+
+OVERLAP_TYPE_A = "purchase"
+OVERLAP_TYPE_B = "click"
+
+
+def audience_overlap(sf_dir: str, type_a: str = OVERLAP_TYPE_A,
+                     type_b: str = OVERLAP_TYPE_B):
+    """Set algebra over user audiences — the INTERSECT / EXCEPT shape:
+    how many distinct users did ``type_a`` only, ``type_b`` only, or
+    BOTH.  The relational form is two DISTINCT sets composed with
+    INTERSECT and EXCEPT; the distributed form never builds either set
+    globally.
+
+    Scale shape: per-batch partials collapse each block to DISTINCT
+    ``(user_id, saw_a, saw_b)`` bool-max rows (the daily_active_users
+    combiner — the only thing that ever shuffles is one row per user
+    per block with two booleans); ONE user_id groupby Max-merges the
+    flags; the venn rollup then folds to ≤ 3 partial rows per block and
+    one tiny final groupby.  Nothing lands on the driver.
+
+    Output: ``(segment, n_users)`` with segments ``a_only`` /
+    ``b_only`` / ``both`` (zero-user segments omitted, like the
+    oracle's UNION of non-empty legs)."""
+    from ray.data.aggregate import Max, Sum
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = t.column("event_type")
+        m = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        t = t.filter(m)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_pandas(),
+            "saw_a": pc.equal(t.column("event_type"),
+                              type_a).to_pandas().to_numpy(),
+            "saw_b": pc.equal(t.column("event_type"),
+                              type_b).to_pandas().to_numpy(),
+        })
+        g = df.groupby("user_id", sort=False).agg(
+            saw_a=("saw_a", "max"), saw_b=("saw_b", "max")).reset_index()
+        return pa.table({
+            "user_id": pa.array(g["user_id"]),
+            "saw_a": pa.array(g["saw_a"].to_numpy(np.int64)),
+            "saw_b": pa.array(g["saw_b"].to_numpy(np.int64)),
+        })
+
+    flags = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("saw_a", alias_name="saw_a"),
+                        Max("saw_b", alias_name="saw_b")))
+
+    def venn(t: pa.Table) -> pa.Table:
+        a = t.column("saw_a").to_numpy().astype(bool)
+        b = t.column("saw_b").to_numpy().astype(bool)
+        segs, ns = [], []
+        for name, mask in (("a_only", a & ~b), ("b_only", ~a & b),
+                           ("both", a & b)):
+            n = int(mask.sum())
+            if n:
+                segs.append(name)
+                ns.append(n)
+        return pa.table({"segment": pa.array(segs, pa.string()),
+                         "n_users": pa.array(ns, pa.int64())})
+
+    return (flags.map_batches(venn, batch_format="pyarrow")
+            .groupby("segment")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def audience_overlap_sql(type_a: str = OVERLAP_TYPE_A,
+                         type_b: str = OVERLAP_TYPE_B) -> str:
+    return f"""WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = '{type_a}'),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = '{type_b}'),
+legs AS (
+  SELECT 'a_only' AS segment, CAST(count(*) AS BIGINT) AS n_users
+  FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+  UNION ALL
+  SELECT 'b_only', CAST(count(*) AS BIGINT)
+  FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)
+  UNION ALL
+  SELECT 'both', CAST(count(*) AS BIGINT)
+  FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b))
+SELECT segment, n_users FROM legs WHERE n_users > 0"""

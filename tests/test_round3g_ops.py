@@ -220,3 +220,33 @@ def test_nation_trade_volume_planted(ray_session, tmp_path):
         ["A", "B"], ["B", "A"], ["B", "A"]]
     assert list(got["l_year"]) == [1996, 1996, 1997]
     assert list(got["revenue_c"]) == [4000, 1000, 1000]
+
+
+def test_audience_overlap_planted(ray_session, tmp_path):
+    """Flags merge ACROSS batches (a user's a-event and b-event in
+    different blocks still land in 'both'); empty segments are absent."""
+    import numpy as np
+
+    from nativeextractor_ray.pipelines.events import audience_overlap
+
+    users = ["u1", "u2", "u2", "u3", "u3", "u4", "u5"]
+    types = ["purchase",                 # u1: a_only
+             "purchase", "click",        # u2: both
+             "click", "click",           # u3: b_only
+             "view",                      # u4: neither
+             "purchase"]                  # u5: a_only
+    n = len(users)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array([np.datetime64("2020-01-01", "us")] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(types),
+        "value": pa.array([0.0] * n),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+
+    got = _df(audience_overlap(str(tmp_path))).sort_values(
+        "segment").reset_index(drop=True)
+    assert list(got["segment"]) == ["a_only", "b_only", "both"]
+    assert list(got["n_users"]) == [2, 1, 1]
