@@ -54,7 +54,7 @@ def referential_audit(sf_dir: str,
 
     from nativeextractor_ray.functions.blocks import arrow_blocks
     from nativeextractor_ray.pipelines.relational import (
-        SEMI_BROADCAST_BOUND, semi_anti_join)
+        SEMI_BROADCAST_BOUND, fk_int64, semi_anti_join)
     from nativeextractor_ray.sources.tables import read_table
 
     bound = SEMI_BROADCAST_BOUND if broadcast_bound is None else broadcast_bound
@@ -73,7 +73,8 @@ def referential_audit(sf_dir: str,
     parent_ds = {
         table: read_table(sf_dir, table, [pk]).map_batches(
             lambda t: pa.table(
-                {"k": pc.cast(pc.unique(t.column(0)), pa.int64())}),
+                {"k": pc.cast(pc.drop_null(pc.unique(t.column(0))),
+                              pa.int64())}),
             batch_format="pyarrow")
         for table, pk in parent_specs.items()}
 
@@ -124,14 +125,16 @@ def referential_audit(sf_dir: str,
                 names, rows_, orph_ = [], [], []
                 for name, fk, ref in specs:
                     keys = ray.get(ref)  # zero-copy from local store
-                    v = pc.cast(t.column(fk), pa.int64()).to_numpy()
+                    # null-safe extraction: a NULL FK is an orphan
+                    # (NOT-EXISTS semantics, same as semi_anti_join)
+                    v, valid = fk_int64(t.column(fk))
                     if len(keys) == 0:
                         miss = len(v)
                     else:
                         pos = np.searchsorted(keys, v)
                         hit = (pos < len(keys)) & (
                             keys[np.minimum(pos, len(keys) - 1)] == v)
-                        miss = int(len(v) - hit.sum())
+                        miss = int(len(v) - (hit & valid).sum())
                     names.append(name)
                     rows_.append(t.num_rows)
                     orph_.append(miss)

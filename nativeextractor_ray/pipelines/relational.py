@@ -247,6 +247,24 @@ FROM (
 SEMI_BROADCAST_BOUND = 64 << 20
 
 
+def fk_int64(col) -> tuple[np.ndarray, np.ndarray]:
+    """Null-safe FK extraction for membership probes: return
+    ``(values, valid)`` where ``values`` is int64 (nulls filled with 0 —
+    NEVER trusted, the caller masks with ``valid``) and ``valid`` is the
+    non-null mask.  A plain ``pc.cast(col, int64).to_numpy()`` on a
+    nullable column silently widens to float64 + NaN, losing exactness
+    above 2^53 and making null-vs-orphan semantics accidental; every
+    probe in the library goes through here so a NULL key uniformly
+    matches NOTHING (SQL join / NOT-EXISTS semantics: ``x = NULL`` is
+    never true, so semi drops, anti keeps, audits count an orphan)."""
+    a = pc.cast(col, pa.int64())
+    valid = np.ones(len(a), bool) if a.null_count == 0 \
+        else pc.is_valid(a).to_numpy(zero_copy_only=False)
+    if a.null_count:
+        a = pc.fill_null(a, 0)
+    return a.to_numpy(), valid
+
+
 def semi_anti_join(left, keys, left_key: str, anti: bool,
                    sf_dir: str | None = None):
     """Distributed SEMI / ANTI join (EXISTS / NOT EXISTS — a join family
@@ -269,7 +287,9 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
     from nativeextractor_ray.pipelines.common import adaptive_parts
 
     def distinct_keys(t: pa.Table) -> pa.Table:
-        k = pc.unique(t.column(t.column_names[0]))
+        # NULL on the key side matches nothing (SQL `x = NULL` is never
+        # true) — drop it here so neither membership path ever sees one.
+        k = pc.drop_null(pc.unique(t.column(t.column_names[0])))
         return pa.table({"k": pc.cast(k, pa.int64())})
 
     key_ds = keys.map_batches(distinct_keys, batch_format="pyarrow")
@@ -285,13 +305,14 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
 
         def probe(t: pa.Table) -> pa.Table:
             sorted_keys = ray.get(side)
-            lk = pc.cast(t.column(left_key), pa.int64()).to_numpy()
+            lk, valid = fk_int64(t.column(left_key))
             if len(sorted_keys) == 0:
                 hit = np.zeros(len(lk), bool)
             else:
                 pos = np.searchsorted(sorted_keys, lk)
                 hit = (pos < len(sorted_keys)) & (
                     sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] == lk)
+            hit &= valid  # NULL key matches nothing
             return t.filter(pa.array(~hit if anti else hit))
 
         return left.map_batches(probe, batch_format="pyarrow")
@@ -320,7 +341,9 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
         return pa.nulls(n, typ)  # exotic types: accept the pandas widening
 
     def tag_left(t: pa.Table) -> pa.Table:
-        t = t.append_column("k", pc.cast(t.column(left_key), pa.int64()))
+        k, valid = fk_int64(t.column(left_key))
+        t = t.append_column("k", pa.array(k, pa.int64()))
+        t = t.append_column("k_valid", pa.array(valid))
         t = t.append_column("is_key", pa.array(np.zeros(t.num_rows, bool)))
         return t.append_column("part", stable_part(t, ["k"], n_parts))
 
@@ -333,6 +356,8 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
                 cols[f.name] = _filler(f.type, t.num_rows)
         cols["k"] = t.column("k")
         out = pa.table(cols)
+        out = out.append_column("k_valid",
+                                pa.array(np.ones(t.num_rows, bool)))
         out = out.append_column("is_key", pa.array(np.ones(t.num_rows, bool)))
         return out.append_column("part", stable_part(out, ["k"], n_parts))
 
@@ -341,8 +366,12 @@ def semi_anti_join(left, keys, left_key: str, anti: bool,
 
     def resolve(df):
         keys_here = df.loc[df["is_key"], "k"].to_numpy()
-        l = df[~df["is_key"]].drop(columns=["is_key", "part", "k"])
-        hit = np.isin(l[left_key].to_numpy(), keys_here)
+        l = df[~df["is_key"]]
+        # membership on the filled int64 "k" column masked by "k_valid"
+        # (not the raw left_key, which pandas would have widened to
+        # float64 + NaN on any null): exact above 2^53, NULL never hits.
+        hit = np.isin(l["k"].to_numpy(), keys_here) \
+            & l["k_valid"].to_numpy()
         return (l[~hit if anti else hit])[lcols]
 
     return lt.union(kt).groupby("part").map_groups(
@@ -1930,12 +1959,19 @@ def disjunctive_revenue(sf_dir: str, arms=None):
     def partial(t: pa.Table) -> pa.Table:
         keys, bids, sizes = ray.get(side)
         lk = t.column("l_partkey").to_numpy()
-        idx = np.searchsorted(keys, lk)
-        idx = np.minimum(idx, len(keys) - 1)
-        ok = keys[idx] == lk
-        b = np.where(ok, bids[idx], -2)
-        s = np.where(ok, sizes[idx], -1)
-        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        if len(keys) == 0:  # empty part table: every probe misses
+            b = np.full(len(lk), -2, np.int64)
+            s = np.full(len(lk), -1, np.int64)
+        else:
+            idx = np.searchsorted(keys, lk)
+            idx = np.minimum(idx, len(keys) - 1)
+            ok = keys[idx] == lk
+            b = np.where(ok, bids[idx], -2)
+            s = np.where(ok, sizes[idx], -1)
+        # half-up, matching the oracle's floor(q + 0.5) — a plain
+        # astype(int64) truncates toward zero while DuckDB's CAST rounds
+        qty = np.floor(t.column("l_quantity").to_numpy()
+                       + 0.5).astype(np.int64)
         rev = np.floor(t.column("l_extendedprice").to_numpy()
                        * (1.0 - t.column("l_discount").to_numpy())
                        * 100.0 + 0.5).astype(np.int64)
@@ -1961,14 +1997,20 @@ def disjunctive_revenue(sf_dir: str, arms=None):
 
 def disjunctive_revenue_sql(arms=None) -> str:
     arms = list(arms or Q19_ARMS)
-    legs = [f"""SELECT '{name}' AS arm,
+    # each leg is an ungrouped aggregate, so DuckDB emits one
+    # (arm, 0, NULL) row for an arm matching zero rows while the Ray
+    # path's groupby omits the arm — wrap every leg to drop empty arms
+    # (the same guard audience_overlap_sql applies with n_users > 0);
+    # quantity is half-up floor(q + 0.5) to mirror the Ray path exactly
+    legs = [f"""SELECT * FROM (SELECT '{name}' AS arm,
        CAST(count(*) AS BIGINT) AS n_items,
        CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
                            * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS revenue_c
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = '{brand}' AND p.p_size BETWEEN {slo} AND {shi}
-  AND CAST(l.l_quantity AS BIGINT) BETWEEN {qlo} AND {qhi}"""
+  AND CAST(floor(l.l_quantity + 0.5) AS BIGINT) BETWEEN {qlo} AND {qhi}
+) WHERE n_items > 0"""
             for name, brand, slo, shi, qlo, qhi in arms]
     return "\nUNION ALL\n".join(legs)
 
