@@ -61,6 +61,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the mentions_* family — in-repo oracle-parity green, but no driver
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
+        # round-4 additions — newest first:
+        "returned_item_revenue": relational.returned_item_revenue,  # Q10
+        "late_line_priority_mix": relational.late_line_priority_mix,  # Q12
+        "top_supplier_revenue": relational.top_supplier_revenue,  # Q15 ties
+        "sole_late_supplier": relational.sole_late_supplier,  # Q21 EXISTS²
+        "market_share": relational.market_share,  # Q8 share ratio
         # round-3g additions — newest first:
         "entity_neighbor_jaccard": graph.entity_neighbor_jaccard,  # co-cite
         "nation_trade_volume": relational.nation_trade_volume,  # Q7
@@ -232,6 +238,11 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "returned_item_revenue": relational.returned_item_revenue_sql(),
+        "late_line_priority_mix": relational.late_line_priority_mix_sql(),
+        "top_supplier_revenue": relational.top_supplier_revenue_sql(),
+        "sole_late_supplier": relational.sole_late_supplier_sql(),
+        "market_share": relational.market_share_sql(),
         "entity_neighbor_jaccard": graph.entity_neighbor_jaccard_sql(),
         "nation_trade_volume": relational.nation_trade_volume_sql(),
         "audience_overlap": events.audience_overlap_sql(),

@@ -360,6 +360,11 @@ def run_suite() -> dict:
         "idle_customer_balance": ("nativeextractor_ray.pipelines.relational", "idle_customer_balance"),
         "min_cost_supplier": ("nativeextractor_ray.pipelines.relational", "min_cost_supplier"),
         "disjunctive_revenue": ("nativeextractor_ray.pipelines.relational", "disjunctive_revenue"),
+        "returned_item_revenue": ("nativeextractor_ray.pipelines.relational", "returned_item_revenue"),
+        "late_line_priority_mix": ("nativeextractor_ray.pipelines.relational", "late_line_priority_mix"),
+        "top_supplier_revenue": ("nativeextractor_ray.pipelines.relational", "top_supplier_revenue"),
+        "sole_late_supplier": ("nativeextractor_ray.pipelines.relational", "sole_late_supplier"),
+        "market_share": ("nativeextractor_ray.pipelines.relational", "market_share"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

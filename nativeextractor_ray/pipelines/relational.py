@@ -2166,3 +2166,661 @@ JOIN nation nc ON nc.n_nationkey = c.c_nationkey
 WHERE ((ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')
     OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}'))
 GROUP BY 1, 2, 3"""
+
+
+# ----------------------- returned-item revenue join-back (Q10 shape)
+
+
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1996-04-01"
+Q10_K = 20
+
+
+def returned_item_revenue(sf_dir: str, date_lo: str = Q10_DATE_LO,
+                          date_hi: str = Q10_DATE_HI, k: int = Q10_K):
+    """TPC-H Q10 shape — top-k customers by revenue lost to returned
+    items (``l_returnflag = 'R'``) on orders placed in a quarter, with
+    customer attributes joined BACK onto the aggregate.
+
+    Scale shape:
+
+    - lineitem prunes to returned lines and pre-sums integer-cents
+      revenue PER ORDERKEY inside each batch (Arrow group_by combiner),
+      so only ``(orderkey, rev_c)`` partials enter the exchange;
+    - orders prunes to the quarter map-side and ships
+      ``(orderkey, custkey)``; ONE co-partitioned tagged-union hash
+      exchange on orderkey resolves the join, folding each partition to
+      ``(custkey, rev_c)`` partials;
+    - after the custkey groupby, each block keeps only its LOCAL top-k
+      (per-block combiner) before the global ``sort().limit(k)`` — the
+      driver-side sort sees ≤ k·blocks rows, never |customers|;
+    - customer attributes and nation names attach to the ≤ k winners
+      via one broadcast probe (sorted custkey arrays, ``ray.put`` once).
+
+    Deterministic tie-break: revenue desc, then custkey asc (both
+    engines).  Output: ``(c_custkey, c_name, n_name, c_acctbal_c,
+    revenue_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy()
+        keep = (d >= lo) & (d < hi)
+        out = pa.table({
+            "k": pa.array(t.column("o_orderkey").to_numpy()[keep]),
+            "cust": pa.array(t.column("o_custkey").to_numpy()[keep]),
+            "rev_c": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "is_ord": pa.array(np.ones(int(keep.sum()), bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def prune_items(t: pa.Table) -> pa.Table:
+        keep = np.asarray(pc.equal(t.column("l_returnflag"), "R"))
+        rev = np.floor(t.column("l_extendedprice").to_numpy()[keep]
+                       * (1.0 - t.column("l_discount").to_numpy()[keep])
+                       * 100.0 + 0.5).astype(np.int64)
+        g = pa.table({
+            "k": pa.array(t.column("l_orderkey").to_numpy()[keep]),
+            "rev_c": pa.array(rev, pa.int64()),
+        }).group_by("k").aggregate([("rev_c", "sum")])
+        out = pa.table({
+            "k": g.column("k"),
+            "cust": pa.array(np.zeros(g.num_rows, np.int64)),
+            "rev_c": g.column("rev_c_sum"),
+            "is_ord": pa.array(np.zeros(g.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    def join_part(df):
+        import pandas as pd
+
+        o = df[df["is_ord"]][["k", "cust"]]
+        l = df[~df["is_ord"]][["k", "rev_c"]]
+        m = l.merge(o, on="k", how="inner")
+        g = m.groupby("cust", sort=False)["rev_c"].sum().reset_index()
+        return pd.DataFrame({
+            "c_custkey": g["cust"].to_numpy(np.int64),
+            "revenue_c": g["rev_c"].to_numpy(np.int64)})
+
+    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+            .union(items.map_batches(prune_items, batch_format="pyarrow")))
+    per_cust = (both.groupby("part").map_groups(join_part,
+                                                batch_format="pandas")
+                .groupby("c_custkey")
+                .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = np.lexsort((t.column("c_custkey").to_numpy(),
+                          -t.column("revenue_c").to_numpy()))[:k]
+        return t.take(idx)
+
+    top = (per_cust.map_batches(local_topk, batch_format="pyarrow")
+           .sort(["revenue_c", "c_custkey"], descending=[True, False])
+           .limit(k))
+
+    # the winner set is ≤ k rows by construction — collect it and attach
+    # the customer/nation attributes on the driver (one probe against a
+    # locally-read dimension), returning a plain Arrow table; keeping the
+    # attach in a post-limit map_batches would let the aggregate's empty
+    # pandas partition blocks pass through unconverted (arrow_blocks
+    # hazard) into the comparator
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    parts = list(arrow_blocks(top, stream=False))
+    t = (pa.concat_tables(parts, promote_options="default") if parts
+         else pa.table({"c_custkey": pa.array([], pa.int64()),
+                        "revenue_c": pa.array([], pa.int64())}))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey",
+                                  "c_acctbal"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    ck = cust.column("c_custkey").to_numpy()
+    order_ = np.argsort(ck)
+    keys = ck[order_]
+    names = np.asarray(cust.column("c_name").to_pylist(), object)[order_]
+    nkeys = cust.column("c_nationkey").to_numpy().astype(np.int64)[order_]
+    bal_c = np.floor(cust.column("c_acctbal").to_numpy() * 100.0
+                     + 0.5).astype(np.int64)[order_]
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+
+    v = t.column("c_custkey").to_numpy()
+    pos = np.searchsorted(keys, v) if len(keys) else np.array([], np.int64)
+    return pa.table({
+        "c_custkey": t.column("c_custkey"),
+        "c_name": pa.array([str(names[p]) for p in pos], pa.string()),
+        "n_name": pa.array([nmap[int(nkeys[p])] for p in pos], pa.string()),
+        "c_acctbal_c": pa.array(bal_c[pos] if len(pos) else [], pa.int64()),
+        "revenue_c": t.column("revenue_c"),
+    })
+
+
+def returned_item_revenue_sql(date_lo: str = Q10_DATE_LO,
+                              date_hi: str = Q10_DATE_HI,
+                              k: int = Q10_K) -> str:
+    return f"""SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS c_acctbal_c,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{date_lo}'
+  AND o.o_orderdate < TIMESTAMP '{date_hi}'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_c DESC, c.c_custkey
+LIMIT {k}"""
+
+
+# ------------------- late-line priority mix by return flag (Q12 shape)
+
+
+Q12_LATE_DAYS = 30
+
+
+def late_line_priority_mix(sf_dir: str, late_days: int = Q12_LATE_DAYS):
+    """TPC-H Q12 shape re-keyed to this star's columns (it has no
+    ``l_shipmode``): among lines shipped LATE (``l_shipdate >
+    o_orderdate + late_days``), count high-priority (1-URGENT / 2-HIGH)
+    vs other orders per ``l_returnflag`` — the join + conditional-count
+    algebra of Q12 exactly.
+
+    Scale shape: both facts are big, so ONE co-partitioned tagged-union
+    hash exchange on orderkey (the :func:`nation_trade_volume` shape);
+    orders ships ``(orderkey, odate, is_high)``, lineitem ships
+    ``(orderkey, flag, shipdate)``; the lateness predicate and the
+    per-flag conditional counts resolve vectorized in-partition, so ≤
+    |flags| partial rows leave each partition.
+
+    Output: ``(l_returnflag, high_line_count, low_line_count)``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+    delta = np.timedelta64(late_days, "D").astype("timedelta64[us]")
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority")
+        is_high = np.asarray(
+            pc.or_(pc.equal(pr, "1-URGENT"), pc.equal(pr, "2-HIGH")))
+        out = pa.table({
+            "k": t.column("o_orderkey"),
+            "ts": pa.array(t.column("o_orderdate").to_numpy()
+                           .astype(np.int64), pa.int64()),
+            "flag": pa.array([""] * t.num_rows, pa.string()),
+            "is_high": pa.array(is_high),
+            "is_ord": pa.array(np.ones(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def prune_items(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("l_orderkey"),
+            "ts": pa.array(t.column("l_shipdate").to_numpy()
+                           .astype(np.int64), pa.int64()),
+            "flag": t.column("l_returnflag"),
+            "is_high": pa.array(np.zeros(t.num_rows, bool)),
+            "is_ord": pa.array(np.zeros(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    dus = int(delta.astype(np.int64))
+
+    def join_part(df):
+        import pandas as pd
+
+        o = df[df["is_ord"]][["k", "ts", "is_high"]].rename(
+            columns={"ts": "odate"})
+        l = df[~df["is_ord"]][["k", "ts", "flag"]]
+        m = l.merge(o, on="k", how="inner")
+        late = m["ts"].to_numpy() > m["odate"].to_numpy() + dus
+        m = m[late]
+        if not len(m):
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype=str),
+                "high_line_count": pd.Series([], dtype=np.int64),
+                "low_line_count": pd.Series([], dtype=np.int64)})
+        hi = m.groupby("flag", sort=False)["is_high"].agg(["sum", "count"])
+        return pd.DataFrame({
+            "l_returnflag": hi.index.to_numpy(object).astype(str),
+            "high_line_count": hi["sum"].to_numpy(np.int64),
+            "low_line_count": (hi["count"] - hi["sum"]).to_numpy(np.int64)})
+
+    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+            .union(items.map_batches(prune_items, batch_format="pyarrow")))
+    return (both.groupby("part").map_groups(join_part,
+                                            batch_format="pandas")
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count")))
+
+
+def late_line_priority_mix_sql(late_days: int = Q12_LATE_DAYS) -> str:
+    return f"""SELECT l.l_returnflag,
+       CAST(count(*) FILTER (WHERE o.o_orderpriority IN
+                             ('1-URGENT', '2-HIGH')) AS BIGINT)
+         AS high_line_count,
+       CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN
+                             ('1-URGENT', '2-HIGH')) AS BIGINT)
+         AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+GROUP BY 1"""
+
+
+# -------------------------- top supplier by revenue, ties kept (Q15)
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def top_supplier_revenue(sf_dir: str, date_lo: str = Q15_DATE_LO,
+                         date_hi: str = Q15_DATE_HI):
+    """TPC-H Q15 shape — the supplier(s) with MAXIMUM revenue in a ship
+    quarter, ties kept (the create-view + scalar-max composition).
+
+    Scale shape: lineitem folds to per-batch ``(suppkey, rev_c)``
+    integer-cents partials map-side (quarter prune first), ONE suppkey
+    groupby produces the |supplier|-bounded revenue table, a streaming
+    Max aggregate extracts the scalar, and the winners filter + name
+    attach are one more streaming pass (names broadcast once).  Nothing
+    bigger than the supplier dimension ever leaves the partials.
+
+    Output: ``(s_suppkey, s_name, total_revenue_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").to_numpy()
+        keep = (d >= lo) & (d < hi)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()[keep]
+                       * (1.0 - t.column("l_discount").to_numpy()[keep])
+                       * 100.0 + 0.5).astype(np.int64)
+        g = pa.table({
+            "s_suppkey": pa.array(
+                t.column("l_suppkey").to_numpy()[keep], pa.int64()),
+            "total_revenue_c": pa.array(rev, pa.int64()),
+        }).group_by("s_suppkey").aggregate([("total_revenue_c", "sum")])
+        return pa.table({
+            "s_suppkey": g.column("s_suppkey"),
+            "total_revenue_c": g.column("total_revenue_c_sum")})
+
+    per_supp = (items.map_batches(partial, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("total_revenue_c",
+                               alias_name="total_revenue_c"))
+                .materialize())
+    best = per_supp.aggregate(Max("total_revenue_c"))["max(total_revenue_c)"]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy()
+    order_ = np.argsort(sk)
+    side = ray.put((sk[order_],
+                    np.asarray(sup.column("s_name").to_pylist(),
+                               object)[order_]))
+
+    def winners(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(side)
+        m = pc.equal(t.column("total_revenue_c"), best)
+        t = t.filter(m)
+        pos = np.searchsorted(keys, t.column("s_suppkey").to_numpy())
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey"),
+            "s_name": pa.array([str(names[p]) for p in pos], pa.string()),
+            "total_revenue_c": t.column("total_revenue_c")})
+
+    return per_supp.map_batches(winners, batch_format="pyarrow")
+
+
+def top_supplier_revenue_sql(date_lo: str = Q15_DATE_LO,
+                             date_hi: str = Q15_DATE_HI) -> str:
+    return f"""WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l_shipdate < TIMESTAMP '{date_hi}'
+  GROUP BY 1)
+SELECT r.s_suppkey, s.s_name, r.total_revenue_c
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue_c = (SELECT max(total_revenue_c) FROM rev)"""
+
+
+# ------------------ sole-late-supplier wait counts (Q21 shape)
+
+
+Q21_LATE_DAYS = 30
+
+
+def sole_late_supplier(sf_dir: str, late_days: int = Q21_LATE_DAYS):
+    """TPC-H Q21 shape — suppliers who were the ONLY late shipper on a
+    multi-supplier order: the double correlated EXISTS / NOT-EXISTS
+    self-join, resolved algebraically as per-order aggregates
+    (``n_suppliers ≥ 2 AND n_late_suppliers = 1`` credits the late
+    one).  Late = ``l_shipdate > o_orderdate + late_days``.
+
+    Scale shape: lineitem ships ``(orderkey, suppkey, shipdate)`` and
+    orders ships ``(orderkey, odate)`` into ONE co-partitioned
+    tagged-union exchange on orderkey; the per-order supplier/late
+    distinct counts and the credit decision resolve vectorized
+    in-partition (pandas grouped nunique over the partition slice), so
+    only ``(suppkey, name, numwait)`` partials — supplier-bounded —
+    leave for the final groupby (names probe the broadcast dim inside
+    the partition, so the pipeline ENDS on the normalizing aggregate).
+
+    Output: ``(s_suppkey, s_name, numwait)``, numwait > 0 rows only."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+    dus = int(np.timedelta64(late_days, "D")
+              .astype("timedelta64[us]").astype(np.int64))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy()
+    order_ = np.argsort(sk)
+    side = ray.put((sk[order_],
+                    np.asarray(sup.column("s_name").to_pylist(),
+                               object)[order_]))
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("o_orderkey"),
+            "supp": pa.array(np.zeros(t.num_rows, np.int64)),
+            "ts": pa.array(t.column("o_orderdate").to_numpy()
+                           .astype(np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def prune_items(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("l_orderkey"),
+            "supp": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "ts": pa.array(t.column("l_shipdate").to_numpy()
+                           .astype(np.int64), pa.int64()),
+            "is_ord": pa.array(np.zeros(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    def join_part(df):
+        import pandas as pd
+
+        o = df[df["is_ord"]][["k", "ts"]].rename(columns={"ts": "odate"})
+        l = df[~df["is_ord"]][["k", "supp", "ts"]]
+        m = l.merge(o, on="k", how="inner")
+        empty = pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=str),
+            "numwait": pd.Series([], dtype=np.int64)})
+        if not len(m):
+            return empty
+        m["late"] = m["ts"].to_numpy() > m["odate"].to_numpy() + dus
+        per = m.groupby("k", sort=False)["supp"].nunique().to_frame("ns")
+        late_rows = m[m["late"]]
+        nl = late_rows.groupby("k", sort=False)["supp"].nunique()
+        ls = late_rows.groupby("k", sort=False)["supp"].min()
+        per["nl"] = nl.reindex(per.index, fill_value=0)
+        per["ls"] = ls.reindex(per.index, fill_value=-1)
+        hit = per[(per["ns"] >= 2) & (per["nl"] == 1)]
+        if not len(hit):
+            return empty
+        g = hit.groupby("ls", sort=False).size().reset_index(name="n")
+        keys, names = ray.get(side)
+        pos = np.searchsorted(keys, g["ls"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "s_suppkey": g["ls"].to_numpy(np.int64),
+            "s_name": [str(names[p]) for p in pos],
+            "numwait": g["n"].to_numpy(np.int64)})
+
+    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+            .union(items.map_batches(prune_items, batch_format="pyarrow")))
+    return (both.groupby("part").map_groups(join_part,
+                                            batch_format="pandas")
+            .groupby(["s_suppkey", "s_name"])
+            .aggregate(Sum("numwait", alias_name="numwait")))
+
+
+def sole_late_supplier_sql(late_days: int = Q21_LATE_DAYS) -> str:
+    return f"""WITH lo AS (
+  SELECT l.l_orderkey AS k, l.l_suppkey AS s,
+         l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+per_order AS (
+  SELECT k, count(DISTINCT s) AS ns,
+         count(DISTINCT s) FILTER (WHERE late) AS nl,
+         min(s) FILTER (WHERE late) AS ls
+  FROM lo GROUP BY k)
+SELECT p.ls AS s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON s.s_suppkey = p.ls
+WHERE p.ns >= 2 AND p.nl = 1
+GROUP BY 1, 2"""
+
+
+# ----------------------------- national market share (Q8 shape)
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "MEDIUM"
+Q8_NATION = "NATION_3"
+
+
+def market_share(sf_dir: str, region: str = Q8_REGION,
+                 p_type: str = Q8_TYPE, nation: str = Q8_NATION):
+    """TPC-H Q8 shape — one nation's share of revenue per ORDER year,
+    within the market defined by (customers in ``region``) × (parts of
+    ``p_type``): numerator = revenue from lines whose SUPPLIER sits in
+    ``nation``, denominator = all qualifying revenue.
+
+    Scale shape: three dimension collapses before anything moves —
+    part→bool (type match), supplier→bool (target nation),
+    customer→bool (region membership via nation→region), each ONE dense
+    broadcast array (``ray.put`` once).  lineitem prunes to matching
+    parts and ships ``(orderkey, is_target_nation, rev_c)`` partials;
+    orders prunes to region customers and ships ``(orderkey, year)``;
+    ONE co-partitioned tagged-union exchange on orderkey resolves the
+    join, folding each partition to ≤ |years| (num, den) integer-cents
+    partial rows.  Share = exact half-up micro ratio.
+
+    Output: ``(o_year, nation_rev_c, total_rev_c, share_micro)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.tables import read_table
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}[region]
+    nkey = {r["n_name"]: r["n_nationkey"] for r in nat.to_pylist()}[nation]
+    in_region = {r["n_nationkey"] for r in nat.to_pylist()
+                 if r["n_regionkey"] == rkey}
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    p_ok = np.zeros(int(pk.max()) + 1 if len(pk) else 1, bool)
+    p_ok[pk] = np.asarray(pc.equal(part.column("p_type"), p_type))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    s_tgt = np.zeros(int(sk.max()) + 1 if len(sk) else 1, bool)
+    s_tgt[sk] = sup.column("s_nationkey").to_numpy() == nkey
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    c_ok = np.zeros(int(ck.max()) + 1 if len(ck) else 1, bool)
+    c_ok[ck] = np.isin(cust.column("c_nationkey").to_numpy(),
+                       np.fromiter(in_region, np.int64)
+                       if in_region else np.array([], np.int64))
+
+    side = ray.put((p_ok, s_tgt, c_ok))
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        _p, _s, c_ok_ = ray.get(side)
+        keep = c_ok_[t.column("o_custkey").to_numpy()]
+        yr = (t.column("o_orderdate").to_numpy()[keep]
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        out = pa.table({
+            "k": pa.array(t.column("o_orderkey").to_numpy()[keep]),
+            "year": pa.array(yr),
+            "nat_c": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "tot_c": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "is_ord": pa.array(np.ones(int(keep.sum()), bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def prune_items(t: pa.Table) -> pa.Table:
+        p_ok_, s_tgt_, _c = ray.get(side)
+        keep = p_ok_[t.column("l_partkey").to_numpy()]
+        rev = np.floor(t.column("l_extendedprice").to_numpy()[keep]
+                       * (1.0 - t.column("l_discount").to_numpy()[keep])
+                       * 100.0 + 0.5).astype(np.int64)
+        tgt = s_tgt_[t.column("l_suppkey").to_numpy()[keep]]
+        g = pa.table({
+            "k": pa.array(t.column("l_orderkey").to_numpy()[keep]),
+            "nat_c": pa.array(np.where(tgt, rev, 0), pa.int64()),
+            "tot_c": pa.array(rev, pa.int64()),
+        }).group_by("k").aggregate([("nat_c", "sum"), ("tot_c", "sum")])
+        out = pa.table({
+            "k": g.column("k"),
+            "year": pa.array(np.zeros(g.num_rows, np.int64)),
+            "nat_c": g.column("nat_c_sum"),
+            "tot_c": g.column("tot_c_sum"),
+            "is_ord": pa.array(np.zeros(g.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    def join_part(df):
+        import pandas as pd
+
+        o = df[df["is_ord"]][["k", "year"]]
+        l = df[~df["is_ord"]][["k", "nat_c", "tot_c"]]
+        m = l.merge(o, on="k", how="inner")
+        g = m.groupby("year", sort=False)[["nat_c", "tot_c"]].sum()
+        return pd.DataFrame({
+            "o_year": g.index.to_numpy(np.int64),
+            "nation_rev_c": g["nat_c"].to_numpy(np.int64),
+            "total_rev_c": g["tot_c"].to_numpy(np.int64)})
+
+    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+            .union(items.map_batches(prune_items, batch_format="pyarrow")))
+    agg = (both.groupby("part").map_groups(join_part,
+                                           batch_format="pandas")
+           .groupby("o_year")
+           .aggregate(Sum("nation_rev_c", alias_name="nation_rev_c"),
+                      Sum("total_rev_c", alias_name="total_rev_c")))
+
+    # the per-year table is calendar-bounded (≤ decades of rows), so the
+    # share fold happens on the driver and returns a plain Arrow table —
+    # a post-aggregate map_batches would pass the aggregate's empty
+    # pandas partition blocks through unconverted (the arrow_blocks
+    # hazard) straight into the driver's comparator
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    parts = list(arrow_blocks(agg, stream=False))
+    t = (pa.concat_tables(parts, promote_options="default") if parts
+         else pa.table({"o_year": pa.array([], pa.int64()),
+                        "nation_rev_c": pa.array([], pa.int64()),
+                        "total_rev_c": pa.array([], pa.int64())}))
+    n = t.column("nation_rev_c").to_numpy()
+    d = t.column("total_rev_c").to_numpy()
+    sh = (2 * n * 1_000_000 + d) // (2 * d) if len(d) \
+        else np.array([], np.int64)  # d ≥ 1 cent per year row
+    return t.append_column("share_micro", pa.array(sh, pa.int64()))
+
+
+def market_share_sql(region: str = Q8_REGION, p_type: str = Q8_TYPE,
+                     nation: str = Q8_NATION) -> str:
+    return f"""WITH li AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                    + 0.5) AS BIGINT) AS rev_c,
+         ns.n_name = '{nation}' AS is_nat
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  WHERE p.p_type = '{p_type}' AND r.r_name = '{region}'),
+agg AS (
+  SELECT o_year,
+         CAST(sum(CASE WHEN is_nat THEN rev_c ELSE 0 END) AS BIGINT)
+           AS nation_rev_c,
+         CAST(sum(rev_c) AS BIGINT) AS total_rev_c
+  FROM li GROUP BY 1)
+SELECT o_year, nation_rev_c, total_rev_c,
+       CAST((2 * nation_rev_c * 1000000 + total_rev_c)
+            // (2 * total_rev_c) AS BIGINT) AS share_micro
+FROM agg"""

@@ -19,10 +19,13 @@ def _to_table(res) -> pa.Table:
         return res
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
-    import ray
+    from nativeextractor_ray.functions.blocks import arrow_blocks
 
-    parts = [ray.get(r) for r in res.to_arrow_refs()]
-    parts = [p for p in parts if p.num_rows] or parts[:1]
+    # arrow_blocks normalizes the mixed arrow/pandas block formats a
+    # map_groups / aggregate pipeline can emit (and skips empty blocks)
+    parts = list(arrow_blocks(res, stream=False))
+    if not parts:
+        return pa.table({})
     return pa.concat_tables(parts, promote_options="default")
 
 
