@@ -62,6 +62,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-4 additions — newest first:
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        "kcore_entities": graph.kcore_entities,  # iterative k-core peel
+        "seed_reachability": graph.seed_reachability,  # bounded BFS
+        "trending_terms": kg.trending_terms,  # windowed heavy hitters
+        "retention_cohorts": events.retention_cohorts,  # cohort matrix
+        "key_skew_profile": audit.key_skew_profile,  # shuffle planning
+        "surface_link_candidates": graph.surface_link_candidates,  # ER lev
+        "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
         "returned_item_revenue": relational.returned_item_revenue,  # Q10
         "late_line_priority_mix": relational.late_line_priority_mix,  # Q12
         "top_supplier_revenue": relational.top_supplier_revenue,  # Q15 ties
@@ -238,6 +246,14 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "forecast_revenue_change": relational.forecast_revenue_change_sql(),
+        "kcore_entities": graph.kcore_entities_sql(),
+        "seed_reachability": graph.seed_reachability_sql(),
+        "trending_terms": kg.trending_terms_sql(),
+        "retention_cohorts": events.retention_cohorts_sql(),
+        "key_skew_profile": audit.key_skew_profile_sql(),
+        "surface_link_candidates": graph.surface_link_candidates_sql(),
+        "dedup_minhash_incremental": dedup.dedup_minhash_incremental_sql(),
         "returned_item_revenue": relational.returned_item_revenue_sql(),
         "late_line_priority_mix": relational.late_line_priority_mix_sql(),
         "top_supplier_revenue": relational.top_supplier_revenue_sql(),

@@ -365,6 +365,14 @@ def run_suite() -> dict:
         "top_supplier_revenue": ("nativeextractor_ray.pipelines.relational", "top_supplier_revenue"),
         "sole_late_supplier": ("nativeextractor_ray.pipelines.relational", "sole_late_supplier"),
         "market_share": ("nativeextractor_ray.pipelines.relational", "market_share"),
+        "seed_reachability": ("nativeextractor_ray.pipelines.graph", "seed_reachability"),
+        "trending_terms": ("nativeextractor_ray.pipelines.kg", "trending_terms"),
+        "retention_cohorts": ("nativeextractor_ray.pipelines.events", "retention_cohorts"),
+        "key_skew_profile": ("nativeextractor_ray.pipelines.audit", "key_skew_profile"),
+        "surface_link_candidates": ("nativeextractor_ray.pipelines.graph", "surface_link_candidates"),
+        "dedup_minhash_incremental": ("nativeextractor_ray.pipelines.dedup", "dedup_minhash_incremental"),
+        "forecast_revenue_change": ("nativeextractor_ray.pipelines.relational", "forecast_revenue_change"),
+        "kcore_entities": ("nativeextractor_ray.pipelines.graph", "kcore_entities"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

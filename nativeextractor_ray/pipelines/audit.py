@@ -251,3 +251,75 @@ SELECT n_sources,
        CAST((2 * top * 1000000 + total) // (2 * total) AS BIGINT)
          AS top_share_micro
 FROM t"""
+
+
+# ----------------------------------------------------- key-skew profiler
+
+
+SKEW_TOP_N = 10
+
+
+def key_skew_profile(sf_dir: str, top_n: int = SKEW_TOP_N):
+    """Shuffle-planning diagnostic: the ``top_n`` heaviest ``user_id``
+    keys in ``events`` with their row counts and exact half-up micro
+    share of the table — the report that decides which keys need salting
+    before any user-keyed exchange (the engine's own skew caps assume
+    this profile exists).
+
+    Scale shape: per-batch Arrow count partials → one 8-byte-key user
+    groupby → per-block LOCAL top-n before the global
+    ``sort().limit(n)`` (the driver-side sort sees ≤ n·blocks rows) →
+    the share fold runs on the n-bounded winner table with the total
+    from a streaming scalar aggregate.  Deterministic tie-break: count
+    desc, user_id asc.
+
+    Output: ``(user_id, n, share_micro)``."""
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    total = ds.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "n": pc.cast(g.column("user_id_count"), pa.int64())})
+
+    per_user = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        idx = np.lexsort((t.column("user_id").to_numpy(zero_copy_only=False),
+                          -t.column("n").to_numpy()))[:top_n]
+        return t.take(idx)
+
+    top = (per_user.map_batches(local_topn, batch_format="pyarrow")
+           .sort(["n", "user_id"], descending=[True, False]).limit(top_n))
+
+    parts = list(arrow_blocks(top, stream=False))
+    t = (pa.concat_tables(parts, promote_options="default") if parts
+         else pa.table({"user_id": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())}))
+    n = t.column("n").to_numpy()
+    share = ((2 * n * 1_000_000 + total) // (2 * total) if total
+             else np.zeros(len(n), np.int64))
+    return pa.table({
+        "user_id": t.column("user_id"),
+        "n": t.column("n"),
+        "share_micro": pa.array(share.astype(np.int64), pa.int64())})
+
+
+def key_skew_profile_sql(top_n: int = SKEW_TOP_N) -> str:
+    return f"""WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events)
+SELECT user_id, n,
+       CAST((2 * n * 1000000 + tot.t) // (2 * tot.t) AS BIGINT)
+         AS share_micro
+FROM c, tot
+ORDER BY n DESC, user_id
+LIMIT {top_n}"""

@@ -1664,3 +1664,140 @@ SELECT source,
        CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dups
 FROM h JOIN m USING (k) GROUP BY source"""
+
+
+# ------------------------------------------- incremental minhash near-dup
+
+
+INCR_MH_MOD = 10
+
+
+def dedup_minhash_incremental(sf_dir: str, threshold: float = 0.5,
+                              mod: int = INCR_MH_MOD, shingle_n: int = 3):
+    """Near-dup flags for a NEW snapshot against the EXISTING corpus —
+    the MinHash analogue of :func:`dedup_incremental` (exact) and the
+    production "should this crawl batch even enter the corpus" gate:
+    ``doc_id % mod == 0`` is the new snapshot; each new doc reports how
+    many existing docs it near-duplicates (exact word-n-gram Jaccard ≥
+    ``threshold`` among LSH candidates) and the best score.
+
+    Scale shape: rides :func:`dedup_minhash_pairs` wholesale (LSH
+    banding + size-gated exact verify — all its driver bounds and the
+    documented P(miss) recall apply unchanged); the cross-pair filter
+    and per-new-doc rollup are one streaming map + a doc-keyed groupby;
+    the zero-match left-attach is the tagged-union co-partition (new-doc
+    ids are 8 B rows — payloads never move).  Within-snapshot pairs are
+    deliberately excluded (the snapshot dedups against itself via the
+    ordinary :func:`dedup_minhash_pairs`).
+
+    Output: ``(doc_id, n_matches, max_jaccard)`` for every new doc."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    np_ = _adaptive_nparts(sf_dir)
+    pairs = dedup_minhash_pairs(sf_dir, threshold, shingle_n)
+
+    def cross(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        na, nb = a % mod == 0, b % mod == 0
+        keep = na ^ nb
+        new_id = np.where(na, a, b)[keep]
+        j = t.column("jaccard").to_numpy()[keep]
+        g = (pa.table({"doc_id": pa.array(new_id, pa.int64()),
+                       "n_matches": pa.array(np.ones(len(new_id), np.int64)),
+                       "max_jaccard": pa.array(j, pa.float64())})
+             .group_by("doc_id")
+             .aggregate([("n_matches", "sum"), ("max_jaccard", "max")]))
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_matches": g.column("n_matches_sum"),
+            "max_jaccard": g.column("max_jaccard_max")})
+
+    agg = (pairs.map_batches(cross, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("n_matches", alias_name="n_matches"),
+                      Max("max_jaccard", alias_name="max_jaccard")))
+
+    def new_ids(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        ids = ids[ids % mod == 0]
+        out = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_matches": pa.array(np.zeros(len(ids), np.int64)),
+            "max_jaccard": pa.array(np.zeros(len(ids)), pa.float64()),
+            "is_doc": pa.array(np.ones(len(ids), bool)),
+        })
+        return out.append_column(
+            "part", stable_part(out, ["doc_id"], np_))
+
+    def tag_agg(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_matches": t.column("n_matches"),
+            "max_jaccard": t.column("max_jaccard"),
+            "is_doc": pa.array(np.zeros(t.num_rows, bool)),
+        })
+        return out.append_column(
+            "part", stable_part(out, ["doc_id"], np_))
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    both = (docs.map_batches(new_ids, batch_format="pyarrow")
+            .union(agg.map_batches(tag_agg, batch_format="pyarrow")))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df[df["is_doc"]][["doc_id"]]
+        m = df[~df["is_doc"]][["doc_id", "n_matches", "max_jaccard"]]
+        out = d.merge(m, on="doc_id", how="left")
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_matches": out["n_matches"].fillna(0).to_numpy(np.int64),
+            "max_jaccard": out["max_jaccard"].fillna(0.0)
+            .to_numpy(np.float64)})
+
+    return both.groupby("part").map_groups(resolve, batch_format="pandas")
+
+
+def dedup_minhash_incremental_sql(threshold: float = 0.5,
+                                  mod: int = INCR_MH_MOD,
+                                  n: int = 3) -> str:
+    """Quadratic exact replay restricted to cross (new, existing) pairs,
+    LEFT-joined onto the full new-snapshot id list."""
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS t(i)
+  WHERE len(w) > 0
+),
+nc AS (SELECT doc_id, count(*) AS c FROM tri GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE (a.doc_id % {mod} = 0) <> (b.doc_id % {mod} = 0)
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT CASE WHEN co.doc_a % {mod} = 0 THEN co.doc_a ELSE co.doc_b END
+           AS doc_id,
+         round(common / (na.c + nb.c - common), 6) AS jaccard
+  FROM co JOIN nc na ON na.doc_id = co.doc_a
+          JOIN nc nb ON nb.doc_id = co.doc_b
+  WHERE common / (na.c + nb.c - common) >= {threshold}
+),
+rollup AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         max(jaccard) AS max_jaccard
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(r.n_matches, 0) AS BIGINT) AS n_matches,
+       COALESCE(r.max_jaccard, 0.0) AS max_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0) d
+LEFT JOIN rollup r USING (doc_id)"""

@@ -897,3 +897,74 @@ legs AS (
   SELECT 'both', CAST(count(*) AS BIGINT)
   FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b))
 SELECT segment, n_users FROM legs WHERE n_users > 0"""
+
+
+# ------------------------------------------------------- retention cohorts
+
+
+_COHORT_PARTS = 64
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users are cohorted by their FIRST active
+    day; for every (cohort day, day offset) the number of cohort users
+    active again ``offset`` days later — the growth-analytics staple
+    (offset 0 row = cohort size).
+
+    Scale shape: per-batch DISTINCT ``(user, day)`` partials (Arrow
+    group_by dedup — 16-byte rows, never payloads) → ONE
+    ``hash(user)`` co-partition so every user's day set is local →
+    per-partition vectorized cohort (= grouped min) + offset expansion
+    folds to ≤ days² count partials per partition → a tiny final
+    groupby.  The (user, day) dedup inside each partition is globally
+    exact because a user lands in exactly one partition.
+
+    Output: ``(cohort_day, day_offset, n_users)``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = (t.column("ts").to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "day": pa.array(days, pa.int64()),
+        }).group_by(["user_id", "day"]).aggregate([])
+        return g.append_column(
+            "part", stable_part(g, ["user_id"], _COHORT_PARTS))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id", sort=False)["day"].transform("min")
+        out = pd.DataFrame({
+            "cohort": cohort.to_numpy(np.int64),
+            "off": df["day"].to_numpy(np.int64)
+            - cohort.to_numpy(np.int64)})
+        g = (out.groupby(["cohort", "off"], sort=False).size()
+             .reset_index(name="n"))
+        return pd.DataFrame({
+            "cohort_day": np.datetime_as_string(
+                g["cohort"].to_numpy("datetime64[D]"), unit="D"),
+            "day_offset": g["off"].to_numpy(np.int64),
+            "n_users": g["n"].to_numpy(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def retention_cohorts_sql() -> str:
+    return """WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', c.cohort, ud.day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2"""

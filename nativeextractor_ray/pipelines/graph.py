@@ -825,3 +825,353 @@ SELECT p.subj_a, p.subj_b, p.n_shared,
          AS jaccard_micro
 FROM p JOIN d da ON da.subj = p.subj_a
        JOIN d db ON db.subj = p.subj_b"""
+
+
+# ------------------------------------------------ bounded BFS from seeds
+
+
+REACH_SEED_PREFIX = "person:"
+REACH_MAX_HOPS = 3
+
+
+def seed_reachability(sf_dir: str, seed_prefix: str = REACH_SEED_PREFIX,
+                      max_hops: int = REACH_MAX_HOPS):
+    """Minimum hop distance (≤ ``max_hops``) from a seed entity set —
+    directed BFS over the distinct KG edges, the "blast radius" /
+    lineage-impact query (which entities does a tainted seed set touch
+    within K steps).  Seeds = entities whose id starts with
+    ``seed_prefix`` (hop 0).
+
+    Scale shape (the :func:`entity_pagerank` economics): edges int-encode
+    against the vocabulary-bounded sorted entity array (broadcast ONCE);
+    the distance vector is O(|entities|) and lives on the driver; each
+    hop is ONE streaming pass over the edge Dataset where every block
+    folds to a |entities|-bit reached bitmap (``np.bincount`` on the
+    frontier mask), OR-merged on the driver.  K passes total, no
+    shuffle, edges never move.
+
+    Output: ``(entity, hop)`` for reached entities only."""
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    edges = _edges(sf_dir).materialize()  # K streaming passes below
+    names = _entity_ids(edges)
+    n = names.size
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "hop": pa.array([], pa.int64())}))
+    names_ref = ray.put(names)
+
+    def encode(t: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        s = np.searchsorted(nm, t.column("subj").to_numpy(zero_copy_only=False))
+        o = np.searchsorted(nm, t.column("obj").to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "o": pa.array(o, pa.int64())})
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    dist = np.full(n, -1, np.int64)
+    seeds = np.char.startswith(names.astype(str), seed_prefix)
+    dist[seeds] = 0
+
+    for hop in range(1, max_hops + 1):
+        frontier = dist == (hop - 1)
+        if not frontier.any():
+            break
+        fref = ray.put(frontier)
+
+        def step(t: pa.Table) -> pa.Table:
+            f = ray.get(fref)
+            s = t.column("s").to_numpy()
+            o = t.column("o").to_numpy()
+            reached = np.zeros(len(f), bool)
+            reached[o[f[s]]] = True
+            return pa.table({"v": pa.array([np.packbits(reached).tobytes()],
+                                           pa.binary())})
+
+        acc = np.zeros(n, bool)
+        for t in arrow_blocks(enc.map_batches(step,
+                                              batch_format="pyarrow")):
+            for b in t.column("v").to_pylist():
+                acc |= np.unpackbits(
+                    np.frombuffer(b, np.uint8), count=n).astype(bool)
+        new = acc & (dist < 0)
+        dist[new] = hop
+
+    hit = dist >= 0
+    return ray.data.from_arrow(pa.table({
+        "entity": pa.array(names[hit].astype(object), pa.string()),
+        "hop": pa.array(dist[hit], pa.int64())}))
+
+
+def seed_reachability_sql(seed_prefix: str = REACH_SEED_PREFIX,
+                          max_hops: int = REACH_MAX_HOPS) -> str:
+    """Unrolled BFS: h0 = seeds at hop 0; each h{i} is the min-hop merge
+    of h{i-1} with its one-step successors at hop i."""
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    head = f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM t),
+n AS MATERIALIZED (SELECT subj AS entity FROM e UNION SELECT obj FROM e),
+h0 AS MATERIALIZED (SELECT entity, 0 AS hop FROM n
+        WHERE entity LIKE '{seed_prefix}%')"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        p = f"h{i - 1}"
+        steps.append(f""",
+h{i} AS MATERIALIZED (
+  SELECT entity, min(hop) AS hop FROM (
+    SELECT entity, hop FROM {p}
+    UNION ALL
+    SELECT e.obj AS entity, {i} AS hop
+    FROM e JOIN {p} ON e.subj = {p}.entity WHERE {p}.hop = {i - 1}
+  ) GROUP BY entity)""")
+    return (head + "".join(steps)
+            + f"\nSELECT entity, CAST(hop AS BIGINT) AS hop"
+              f" FROM h{max_hops}")
+
+
+# --------------------------------------- surface-similarity ER candidates
+
+
+LINK_MAX_DIST = 2
+LINK_BLOCK_CAP = 200
+_LINK_PARTS = 64
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (two-row DP) — matches DuckDB's
+    ``levenshtein`` exactly; only ever called on capped in-block pairs."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def surface_link_candidates(sf_dir: str, max_dist: int = LINK_MAX_DIST,
+                            cap: int = LINK_BLOCK_CAP):
+    """Entity-resolution candidate pairs by SURFACE similarity: distinct
+    KG entities blocked on (type prefix, first letter of the local
+    name), scored by exact edit distance within each block — the
+    string-side complement of :func:`entity_neighbor_jaccard`'s
+    structural candidates (catches ``person:nina`` vs ``person:nora``
+    typos/aliases that share no neighbors yet).
+
+    Scale shape: the distinct-entity Dataset folds per batch to
+    (block, entity) rows; ONE coarse ``hash(block)`` shuffle co-locates
+    every block; in-partition each block keeps only its ``cap``
+    lexicographically-smallest surfaces (a DETERMINISTIC fan-in cap,
+    replayed by the oracle via ``row_number() OVER (... ORDER BY
+    entity)`` — the :func:`entity_neighbor_jaccard` cap convention) so
+    pair work is O(cap²) per block regardless of skew; the
+    ``|len_a − len_b| > max_dist`` prune skips pairs the distance bound
+    already excludes.  Text beyond the entity ids never moves.
+
+    Output: ``(entity_a, entity_b, lev)`` with entity_a < entity_b and
+    lev ≤ ``max_dist``."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    edges = _edges(sf_dir)
+
+    def blocks(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array([
+            t.column("subj").combine_chunks(),
+            t.column("obj").combine_chunks()]))
+        ents = u.to_pylist()
+        typ, blk = [], []
+        for e in ents:
+            head, _, rest = e.partition(":")
+            typ.append(head)
+            blk.append(rest[:1])
+        out = pa.table({
+            "entity": pa.array(ents, pa.string()),
+            "typ": pa.array(typ, pa.string()),
+            "blk": pa.array(blk, pa.string())})
+        return out.append_column(
+            "part", stable_part(out, ["typ", "blk"], _LINK_PARTS))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates("entity")
+        a_out, b_out, d_out = [], [], []
+        for (_, _), grp in df.groupby(["typ", "blk"], sort=False):
+            ents = sorted(grp["entity"].tolist())[:cap]
+            for i in range(len(ents)):
+                ei = ents[i]
+                for j in range(i + 1, len(ents)):
+                    ej = ents[j]
+                    if abs(len(ei) - len(ej)) > max_dist:
+                        continue
+                    d = _levenshtein(ei, ej)
+                    if d <= max_dist:
+                        a_out.append(ei)
+                        b_out.append(ej)
+                        d_out.append(d)
+        return pd.DataFrame({
+            "entity_a": pd.Series(a_out, dtype=str),
+            "entity_b": pd.Series(b_out, dtype=str),
+            "lev": pd.Series(d_out, dtype=np.int64)})
+
+    return (edges.map_batches(blocks, batch_format="pyarrow")
+            .groupby("part").map_groups(resolve, batch_format="pandas"))
+
+
+def surface_link_candidates_sql(max_dist: int = LINK_MAX_DIST,
+                                cap: int = LINK_BLOCK_CAP) -> str:
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    return f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e AS MATERIALIZED (SELECT DISTINCT subj AS entity FROM t
+                   UNION SELECT DISTINCT obj FROM t),
+b AS (SELECT entity, split_part(entity, ':', 1) AS typ,
+             substr(split_part(entity, ':', 2), 1, 1) AS blk
+      FROM e),
+capped AS (
+  SELECT entity, typ, blk FROM (
+    SELECT *, row_number() OVER (PARTITION BY typ, blk
+                                 ORDER BY entity) AS rn
+    FROM b) WHERE rn <= {cap})
+SELECT a.entity AS entity_a, c.entity AS entity_b,
+       CAST(levenshtein(a.entity, c.entity) AS BIGINT) AS lev
+FROM capped a JOIN capped c
+  ON a.typ = c.typ AND a.blk = c.blk AND a.entity < c.entity
+WHERE levenshtein(a.entity, c.entity) <= {max_dist}"""
+
+
+# ------------------------------------------------------- k-core peeling
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_entities(sf_dir: str, k: int = KCORE_K,
+                   rounds: int = KCORE_ROUNDS):
+    """Iterative k-core peeling over the UNDIRECTED distinct-neighbor
+    graph: ``rounds`` synchronous rounds of "drop every entity with
+    fewer than ``k`` still-alive neighbors" — the density filter that
+    separates the KG's connected backbone from its mention dust.  A
+    fixed round count keeps the computation (and the unrolled oracle)
+    deterministic whether or not the peel has converged; on KG-shaped
+    graphs the fixpoint arrives in a handful of rounds.
+
+    Scale shape (:func:`entity_pagerank` economics): distinct canonical
+    neighbor pairs int-encode once against the vocabulary-bounded
+    broadcast entity array; the alive bitmask lives on the driver; each
+    round is ONE streaming pass where every block folds to a
+    |entities|-long bincount of alive-alive incidences.  No shuffle
+    after the initial pair dedup, edges never move again.
+
+    Output: ``(entity, deg)`` for entities alive after ``rounds``
+    (deg = alive-neighbor count measured in the final round)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    edges = _edges(sf_dir)
+
+    def undirect(df: "pd.DataFrame") -> "pd.DataFrame":
+        a = np.minimum(df["subj"].to_numpy(object), df["obj"].to_numpy(object))
+        b = np.maximum(df["subj"].to_numpy(object), df["obj"].to_numpy(object))
+        out = pd.DataFrame({"a": a.astype(str), "b": b.astype(str)})
+        out = out[out["a"] != out["b"]].drop_duplicates()
+        return out
+
+    # canonical a<b pairs, deduped globally via one pair-hash partition
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", stable_part(t, ["a", "b"], 64))
+
+    pairs = (edges.map_batches(undirect, batch_format="pandas")
+             .map_batches(tag, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(lambda g: g.drop_duplicates(["a", "b"])
+                         [["a", "b"]], batch_format="pandas")
+             .materialize())
+
+    names = _entity_ids(pairs, cols=("a", "b"))
+    n = names.size
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "deg": pa.array([], pa.int64())}))
+    names_ref = ray.put(names)
+
+    def encode(t: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        a = np.searchsorted(nm, t.column("a").to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nm, t.column("b").to_numpy(zero_copy_only=False))
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    enc = pairs.map_batches(encode, batch_format="pyarrow").materialize()
+
+    alive = np.ones(n, bool)
+    deg = np.zeros(n, np.int64)
+    for _ in range(rounds):
+        aref = ray.put(alive)
+
+        def count(t: pa.Table) -> pa.Table:
+            al = ray.get(aref)
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            m = al[a] & al[b]
+            v = (np.bincount(a[m], minlength=len(al))
+                 + np.bincount(b[m], minlength=len(al)))
+            return pa.table({"v": pa.array([v.astype(np.int64).tobytes()],
+                                           pa.binary())})
+
+        deg = np.zeros(n, np.int64)
+        for t in arrow_blocks(enc.map_batches(count,
+                                              batch_format="pyarrow")):
+            for buf in t.column("v").to_pylist():
+                deg += np.frombuffer(buf, np.int64)
+        alive &= deg >= k
+
+    return ray.data.from_arrow(pa.table({
+        "entity": pa.array(names[alive].astype(object), pa.string()),
+        "deg": pa.array(deg[alive], pa.int64())}))
+
+
+def kcore_entities_sql(k: int = KCORE_K,
+                       rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peel: a{i} = nodes of a{i-1} with ≥ k alive neighbors;
+    d{i} measures degree against a{i-1} (the same synchronous rule)."""
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    head = f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM t WHERE subj <> obj),
+sym AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+a0 AS MATERIALIZED (SELECT DISTINCT x AS entity FROM sym)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = f"a{i - 1}"
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT s.x AS entity, CAST(count(*) AS BIGINT) AS deg
+  FROM sym s JOIN {p} pa ON pa.entity = s.x
+             JOIN {p} pb ON pb.entity = s.y
+  GROUP BY s.x),
+a{i} AS MATERIALIZED (SELECT entity FROM d{i} WHERE deg >= {k})""")
+    return (head + "".join(steps)
+            + f"""
+SELECT d.entity, d.deg FROM d{rounds} d
+JOIN a{rounds} a ON a.entity = d.entity""")

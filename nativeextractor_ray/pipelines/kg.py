@@ -665,3 +665,98 @@ SELECT tool,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM t WHERE tool <> '' GROUP BY tool"""
+
+
+# --------------------------------------------------------- trending terms
+
+
+TRENDING_K = 5
+_TREND_PARTS = 64
+
+
+def trending_terms(sf_dir: str, k: int = TRENDING_K):
+    """Top-k terms per minute bucket of transcript time — the windowed
+    heavy-hitters report ("what is the corpus talking about right now")
+    over the turn stream.
+
+    Scale shape: per-batch Arrow partials (split_pattern →
+    list_parent_indices → one C++ group_by) fold each block to
+    (minute, term, n) rows; ONE coarse ``hash(minute, term)`` shuffle
+    makes counts exact (a (minute, term) pair lands in exactly one
+    partition); each count block then keeps only its LOCAL top-k per
+    minute before the minute-keyed resolve, so the final exchange sees
+    ≤ k · blocks rows per minute — the vocabulary never co-locates.
+
+    Output: ``(minute, term, n, rnk)`` with rank by n desc, term asc."""
+    import numpy as np
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        minute = np.datetime_as_string(
+            t.column("ts").to_numpy().astype("datetime64[m]"), unit="m")
+        tbl = pa.table({
+            "minute": pa.array(minute, pa.string()).take(parent),
+            "term": flat,
+        })
+        g = tbl.group_by(["minute", "term"]).aggregate([("term", "count")])
+        out = pa.table({
+            "minute": g.column("minute"),
+            "term": g.column("term"),
+            "n": pc.cast(g.column("term_count"), pa.int64())})
+        return out.append_column(
+            "part", stable_part(out, ["minute", "term"], _TREND_PARTS))
+
+    def exact_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (df.groupby(["minute", "term"], sort=False)["n"].sum()
+             .reset_index())
+        return g
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("part").map_groups(exact_counts,
+                                          batch_format="pandas"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["minute", "n", "term"],
+                            ascending=[True, False, True], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("minute", sort=False).head(k),
+            preserve_index=False)
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["n", "term"], ascending=[False, True],
+                            kind="stable").head(k).copy()
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (counts.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("minute").map_groups(resolve, batch_format="pandas"))
+
+
+def trending_terms_sql(k: int = TRENDING_K) -> str:
+    from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"""WITH t AS ({TRANSCRIPTS_SQL}),
+toks AS (
+  SELECT strftime(ts, '%Y-%m-%dT%H:%M') AS minute,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM t),
+counts AS (
+  SELECT minute, term, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2)
+SELECT minute, term, n, CAST(rn AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY minute ORDER BY n DESC, term) AS rn
+      FROM counts)
+WHERE rn <= {k}"""

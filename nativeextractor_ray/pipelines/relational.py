@@ -2824,3 +2824,78 @@ SELECT o_year, nation_rev_c, total_rev_c,
        CAST((2 * nation_rev_c * 1000000 + total_rev_c)
             // (2 * total_rev_c) AS BIGINT) AS share_micro
 FROM agg"""
+
+
+# ------------------------------ forecast revenue change (Q6 shape)
+
+
+Q6_YEAR = 1996
+Q6_DISC_LO = 0.02
+Q6_DISC_HI = 0.04
+Q6_QTY = 24
+
+
+def forecast_revenue_change(sf_dir: str, year: int = Q6_YEAR,
+                            disc_lo: float = Q6_DISC_LO,
+                            disc_hi: float = Q6_DISC_HI,
+                            qty_lt: int = Q6_QTY):
+    """TPC-H Q6 — the pure map-side scan: revenue that would be gained
+    by eliminating small discounts (``sum(extendedprice * discount)``
+    under a ship-year + discount-band + quantity predicate).  With Q6
+    the engine covers EVERY TPC-H query expressible over this star's
+    columns (Q9/Q11/Q16/Q20 need the absent ``partsupp`` table).
+
+    Scale shape: zero shuffle, zero join — each lineitem batch folds to
+    ONE integer-cents partial row (predicate mask + dot product); the
+    ≤ blocks partials sum in a scalar aggregate.  The discount band is
+    compared in exact integer basis points (``floor(d·10⁴ + 0.5)``) so
+    the float literals 0.02/0.04 can't straddle engines.
+
+    Output: one row ``(revenue_c,)``."""
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    bp_lo = int(np.floor(disc_lo * 1e4 + 0.5))
+    bp_hi = int(np.floor(disc_hi * 1e4 + 0.5))
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        bp = np.floor(disc * 1e4 + 0.5).astype(np.int64)
+        qty = np.floor(t.column("l_quantity").to_numpy()
+                       + 0.5).astype(np.int64)
+        m = ((d >= lo) & (d < hi) & (bp >= bp_lo) & (bp <= bp_hi)
+             & (qty < qty_lt))
+        rev = np.floor(t.column("l_extendedprice").to_numpy()[m]
+                       * disc[m] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"revenue_c": pa.array([int(rev.sum())],
+                                               pa.int64())})
+
+    total = 0
+    for t in arrow_blocks(items.map_batches(partial,
+                                            batch_format="pyarrow")):
+        total += int(pc.sum(t.column("revenue_c")).as_py() or 0)
+    return pa.table({"revenue_c": pa.array([total], pa.int64())})
+
+
+def forecast_revenue_change_sql(year: int = Q6_YEAR,
+                                disc_lo: float = Q6_DISC_LO,
+                                disc_hi: float = Q6_DISC_HI,
+                                qty_lt: int = Q6_QTY) -> str:
+    bp_lo = int(np.floor(disc_lo * 1e4 + 0.5))
+    bp_hi = int(np.floor(disc_hi * 1e4 + 0.5))
+    return f"""SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice
+                * l_discount * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+  AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+  AND CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+        BETWEEN {bp_lo} AND {bp_hi}
+  AND CAST(floor(l_quantity + 0.5) AS BIGINT) < {qty_lt}"""
