@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-4 additions — newest first:
+        "product_type_profit": relational.product_type_profit,  # Q9
+        "important_stock": relational.important_stock,  # Q11
+        "supplier_relationship": relational.supplier_relationship,  # Q16
+        "potential_promotion": relational.potential_promotion,  # Q20
         "forecast_revenue_change": relational.forecast_revenue_change,
         "kcore_entities": graph.kcore_entities,  # iterative k-core peel
         "seed_reachability": graph.seed_reachability,  # bounded BFS
@@ -246,6 +250,10 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "product_type_profit": relational.product_type_profit_sql(),
+        "important_stock": relational.important_stock_sql(),
+        "supplier_relationship": relational.supplier_relationship_sql(),
+        "potential_promotion": relational.potential_promotion_sql(),
         "forecast_revenue_change": relational.forecast_revenue_change_sql(),
         "kcore_entities": graph.kcore_entities_sql(),
         "seed_reachability": graph.seed_reachability_sql(),

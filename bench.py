@@ -373,6 +373,10 @@ def run_suite() -> dict:
         "dedup_minhash_incremental": ("nativeextractor_ray.pipelines.dedup", "dedup_minhash_incremental"),
         "forecast_revenue_change": ("nativeextractor_ray.pipelines.relational", "forecast_revenue_change"),
         "kcore_entities": ("nativeextractor_ray.pipelines.graph", "kcore_entities"),
+        "product_type_profit": ("nativeextractor_ray.pipelines.relational", "product_type_profit"),
+        "important_stock": ("nativeextractor_ray.pipelines.relational", "important_stock"),
+        "supplier_relationship": ("nativeextractor_ray.pipelines.relational", "supplier_relationship"),
+        "potential_promotion": ("nativeextractor_ray.pipelines.relational", "potential_promotion"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

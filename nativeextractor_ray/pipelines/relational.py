@@ -2899,3 +2899,506 @@ WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
   AND CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
         BETWEEN {bp_lo} AND {bp_hi}
   AND CAST(floor(l_quantity + 0.5) AS BIGINT) < {qty_lt}"""
+
+
+# --------------- derived-partsupp TPC-H queries (Q9 / Q11 / Q16 / Q20)
+#
+# The star ships no partsupp table; sources/partsupp.py derives one as a
+# pure function of part × supplier (the transcripts-derivation pattern)
+# with a DuckDB CTE twin, which unlocks the four remaining TPC-H shapes.
+
+
+Q9_NAME_WORD = "widget"
+
+
+def product_type_profit(sf_dir: str, name_word: str = Q9_NAME_WORD):
+    """TPC-H Q9 — profit per (supplier nation, order year) on parts whose
+    name contains ``name_word``: ``sum(revenue − supplycost · qty)``,
+    the joins-everything profitability rollup.
+
+    Scale shape: part-name mask, supplier→nation array and the packed
+    ``(partkey, suppkey) → cost`` partsupp arrays all broadcast once
+    (each bounded by a dimension table); lineitem folds map-side to
+    ``(orderkey, nation, amount_c)`` partials — amount in exact integer
+    cents, ``floor(ext·(1−disc)·100+0.5) − cost_c · qty`` — and meets
+    the pruned ``orders (orderkey, year)`` projection in ONE
+    co-partitioned tagged-union exchange; the (nation, year) rollup
+    resolves in-partition, ≤ nations·years partial rows out.
+
+    Output: ``(nation, o_year, profit_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import adaptive_parts
+    from nativeextractor_ray.sources.partsupp import partsupp_arrays
+    from nativeextractor_ray.sources.tables import read_table
+
+    packed, _avail, cost_c, n_supp = partsupp_arrays(sf_dir)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pk = part.column("p_partkey").to_numpy()
+    p_ok = np.zeros(int(pk.max()) + 1 if len(pk) else 1, bool)
+    p_ok[pk] = np.asarray(pc.match_substring(part.column("p_name"),
+                                             name_word))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    s2n = np.full(int(sk.max()) + 1 if len(sk) else 1, -1, np.int64)
+    s2n[sk] = sup.column("s_nationkey").to_numpy()
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    n2name = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+
+    side = ray.put((p_ok, s2n, packed, cost_c))
+    n_parts = adaptive_parts(sf_dir, table="lineitem")
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        yr = (t.column("o_orderdate").to_numpy()
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        out = pa.table({
+            "k": t.column("o_orderkey"),
+            "year": pa.array(yr),
+            "nation": pa.array(np.zeros(t.num_rows, np.int64)),
+            "amount_c": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_ord": pa.array(np.ones(t.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    items = read_table(sf_dir, "lineitem",
+                       ["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prune_items(t: pa.Table) -> pa.Table:
+        p_ok_, s2n_, packed_, cost_ = ray.get(side)
+        lk = t.column("l_partkey").to_numpy()
+        keep = p_ok_[lk]
+        lk = lk[keep]
+        sk_ = t.column("l_suppkey").to_numpy()[keep]
+        key = lk * n_supp + sk_
+        pos = np.searchsorted(packed_, key)
+        ok = (pos < len(packed_)) & (
+            packed_[np.minimum(pos, max(len(packed_) - 1, 0))] == key) \
+            if len(packed_) else np.zeros(len(key), bool)
+        lk, sk_, pos = lk[ok], sk_[ok], pos[ok]
+        sub = np.nonzero(keep)[0][ok]
+        rev = np.floor(
+            t.column("l_extendedprice").to_numpy()[sub]
+            * (1.0 - t.column("l_discount").to_numpy()[sub])
+            * 100.0 + 0.5).astype(np.int64)
+        qty = np.floor(t.column("l_quantity").to_numpy()[sub]
+                       + 0.5).astype(np.int64)
+        amount = rev - cost_[pos] * qty
+        g = pa.table({
+            "k": pa.array(t.column("l_orderkey").to_numpy()[sub]),
+            "nation": pa.array(s2n_[sk_]),
+            "amount_c": pa.array(amount, pa.int64()),
+        }).group_by(["k", "nation"]).aggregate([("amount_c", "sum")])
+        out = pa.table({
+            "k": g.column("k"),
+            "year": pa.array(np.zeros(g.num_rows, np.int64)),
+            "nation": g.column("nation"),
+            "amount_c": g.column("amount_c_sum"),
+            "is_ord": pa.array(np.zeros(g.num_rows, bool)),
+        })
+        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    def join_part(df):
+        import pandas as pd
+
+        o = df[df["is_ord"]][["k", "year"]]
+        l = df[~df["is_ord"]][["k", "nation", "amount_c"]]
+        m = l.merge(o, on="k", how="inner")
+        g = m.groupby(["nation", "year"], sort=False)["amount_c"].sum()
+        g = g.reset_index()
+        return pd.DataFrame({
+            "nation": g["nation"].to_numpy(np.int64),
+            "o_year": g["year"].to_numpy(np.int64),
+            "profit_c": g["amount_c"].to_numpy(np.int64)})
+
+    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+            .union(items.map_batches(prune_items, batch_format="pyarrow")))
+    agg = (both.groupby("part").map_groups(join_part,
+                                           batch_format="pandas")
+           .groupby(["nation", "o_year"])
+           .aggregate(Sum("profit_c", alias_name="profit_c")))
+
+    nref = ray.put(n2name)
+
+    def to_names(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        return pa.table({
+            "nation": pa.array([nm[int(k)] for k in
+                                t.column("nation").to_pylist()],
+                               pa.string()),
+            "o_year": t.column("o_year"),
+            "profit_c": t.column("profit_c")})
+
+    # nations×years-bounded: fold driver-side (arrow_blocks hazard rule)
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    parts = [to_names(b) for b in arrow_blocks(agg, stream=False)]
+    return (pa.concat_tables(parts) if parts
+            else pa.table({"nation": pa.array([], pa.string()),
+                           "o_year": pa.array([], pa.int64()),
+                           "profit_c": pa.array([], pa.int64())}))
+
+
+def product_type_profit_sql(name_word: str = Q9_NAME_WORD) -> str:
+    from nativeextractor_ray.sources.partsupp import PARTSUPP_SQL
+
+    return f"""WITH ps AS ({PARTSUPP_SQL})
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)
+                - ps.ps_supplycost_c
+                  * CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+            AS BIGINT) AS profit_c
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%{name_word}%'
+GROUP BY 1, 2"""
+
+
+Q11_NATION = "NATION_3"
+Q11_FRAC_NUM = 1
+Q11_FRAC_DEN = 200
+
+
+def important_stock(sf_dir: str, nation: str = Q11_NATION,
+                    frac_num: int = Q11_FRAC_NUM,
+                    frac_den: int = Q11_FRAC_DEN):
+    """TPC-H Q11 — parts whose stock value at one nation's suppliers
+    exceeds ``frac`` of that nation's total stock value (the
+    scalar-subquery HAVING).  The threshold compare is ALL-INTEGER:
+    ``value_c · den > total_c · num``.
+
+    Scale shape: partsupp streams off the part table (4 derived rows
+    per part row — never a side table); the supplier→in-nation mask
+    broadcasts once; per-batch (partkey, value_c) partials → ONE
+    partkey groupby; the grand total is a second scalar aggregate of
+    the SAME partials; the winners filter is a streaming map against
+    the broadcast scalar.
+
+    Output: ``(ps_partkey, value_c)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.partsupp import partsupp_dataset
+    from nativeextractor_ray.sources.tables import read_table  # noqa: F401
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkey = {r["n_name"]: r["n_nationkey"] for r in nat.to_pylist()}[nation]
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    s_in = np.zeros(int(sk.max()) + 1 if len(sk) else 1, bool)
+    s_in[sk] = sup.column("s_nationkey").to_numpy() == nkey
+    side = ray.put(s_in)
+
+    ps = partsupp_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = ray.get(side)[t.column("ps_suppkey").to_numpy()]
+        val = (t.column("ps_supplycost_c").to_numpy()
+               * t.column("ps_availqty").to_numpy())[mask]
+        g = pa.table({
+            "ps_partkey": pa.array(
+                t.column("ps_partkey").to_numpy()[mask], pa.int64()),
+            "value_c": pa.array(val, pa.int64()),
+        }).group_by("ps_partkey").aggregate([("value_c", "sum")])
+        return pa.table({"ps_partkey": g.column("ps_partkey"),
+                         "value_c": g.column("value_c_sum")})
+
+    per_part = (ps.map_batches(partial, batch_format="pyarrow")
+                .groupby("ps_partkey")
+                .aggregate(Sum("value_c", alias_name="value_c"))
+                .materialize())
+    total = per_part.aggregate(Sum("value_c"))["sum(value_c)"] or 0
+
+    def winners(t: pa.Table) -> pa.Table:
+        v = t.column("value_c").to_numpy()
+        return t.filter(pa.array(v * frac_den > total * frac_num))
+
+    return per_part.map_batches(winners, batch_format="pyarrow")
+
+
+def important_stock_sql(nation: str = Q11_NATION,
+                        frac_num: int = Q11_FRAC_NUM,
+                        frac_den: int = Q11_FRAC_DEN) -> str:
+    from nativeextractor_ray.sources.partsupp import PARTSUPP_SQL
+
+    return f"""WITH ps AS ({PARTSUPP_SQL}),
+v AS (
+  SELECT ps.ps_partkey,
+         CAST(sum(ps.ps_supplycost_c * ps.ps_availqty) AS BIGINT)
+           AS value_c
+  FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{nation}'
+  GROUP BY 1)
+SELECT ps_partkey, value_c FROM v
+WHERE value_c * {frac_den} > (SELECT sum(value_c) FROM v) * {frac_num}"""
+
+
+Q16_BRAND = "Brand#13"
+Q16_TYPE = "PROMO"
+Q16_MAX_SIZE = 25
+Q16_BLOCK_BAL = 1000.0
+
+
+def supplier_relationship(sf_dir: str, ex_brand: str = Q16_BRAND,
+                          ex_type: str = Q16_TYPE,
+                          max_size: int = Q16_MAX_SIZE,
+                          block_bal: float = Q16_BLOCK_BAL):
+    """TPC-H Q16 — how many DISTINCT suppliers can provide each
+    (brand, type, size) combination, excluding one brand, one type,
+    big sizes, and a supplier blocklist (suppliers with
+    ``s_acctbal < block_bal`` stand in for the comment-matched
+    complaints list — the star has no comments; the NOT-IN shape is
+    identical).
+
+    Scale shape: partsupp streams off the part table; part attributes
+    and the sorted blocklist broadcast once; per-batch DISTINCT
+    (brand, type, size, suppkey) partials (the daily_active_users
+    combiner) → ONE composite groupby → per-combination recount
+    partials → tiny final groupby.
+
+    Output: ``(p_brand, p_type, p_size, supplier_cnt)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.partsupp import partsupp_dataset
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    hi = int(pk.max()) + 1 if len(pk) else 1
+    brand = np.full(hi, "", object)
+    brand[pk] = np.asarray(part.column("p_brand").to_pylist(), object)
+    typ = np.full(hi, "", object)
+    typ[pk] = np.asarray(part.column("p_type").to_pylist(), object)
+    size = np.zeros(hi, np.int64)
+    size[pk] = part.column("p_size").to_numpy().astype(np.int64)
+    keep_part = np.zeros(hi, bool)
+    keep_part[pk] = ((np.asarray(part.column("p_brand").to_pylist(),
+                                 object) != ex_brand)
+                     & (np.asarray(part.column("p_type").to_pylist(),
+                                   object) != ex_type)
+                     & (part.column("p_size").to_numpy() <= max_size))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    blocked = np.sort(sup.filter(
+        pc.less(sup.column("s_acctbal"), block_bal))
+        .column("s_suppkey").to_numpy())
+
+    side = ray.put((keep_part, brand, typ, size, blocked))
+    ps = partsupp_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep_, brand_, typ_, size_, blocked_ = ray.get(side)
+        p = t.column("ps_partkey").to_numpy()
+        s = t.column("ps_suppkey").to_numpy()
+        m = keep_[p]
+        if len(blocked_):
+            pos = np.searchsorted(blocked_, s)
+            in_block = (pos < len(blocked_)) & (
+                blocked_[np.minimum(pos, len(blocked_) - 1)] == s)
+            m &= ~in_block
+        p, s = p[m], s[m]
+        return pa.table({
+            "p_brand": pa.array(brand_[p].astype(str), pa.string()),
+            "p_type": pa.array(typ_[p].astype(str), pa.string()),
+            "p_size": pa.array(size_[p], pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        }).group_by(["p_brand", "p_type", "p_size", "s"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    dedup = (ps.map_batches(partial, batch_format="pyarrow")
+             .groupby(["p_brand", "p_type", "p_size", "s"])
+             .aggregate(Count(alias_name="_c")))
+
+    def recount(t: pa.Table) -> pa.Table:
+        g = (t.select(["p_brand", "p_type", "p_size"])
+             .group_by(["p_brand", "p_type", "p_size"])
+             .aggregate([([], "count_all")]))
+        return pa.table({
+            "p_brand": g.column("p_brand"),
+            "p_type": g.column("p_type"),
+            "p_size": g.column("p_size"),
+            "supplier_cnt": pc.cast(g.column("count_all"), pa.int64())})
+
+    return (dedup.map_batches(recount, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt")))
+
+
+def supplier_relationship_sql(ex_brand: str = Q16_BRAND,
+                              ex_type: str = Q16_TYPE,
+                              max_size: int = Q16_MAX_SIZE,
+                              block_bal: float = Q16_BLOCK_BAL) -> str:
+    from nativeextractor_ray.sources.partsupp import PARTSUPP_SQL
+
+    return f"""WITH ps AS ({PARTSUPP_SQL})
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> '{ex_brand}' AND p.p_type <> '{ex_type}'
+  AND p.p_size <= {max_size}
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {block_bal})
+GROUP BY 1, 2, 3"""
+
+
+Q20_YEAR = 1996
+Q20_NAME_PREFIX = "small"
+Q20_NATION: "str | None" = None  # None = all nations (one supplier
+# per nation at small sf makes the filtered result empty — the filter
+# itself is still implemented and pytest-exercised)
+
+
+def potential_promotion(sf_dir: str, year: int = Q20_YEAR,
+                        name_prefix: str = Q20_NAME_PREFIX,
+                        nation: "str | None" = Q20_NATION):
+    """TPC-H Q20 — suppliers in one nation holding EXCESS stock of a
+    part family: ``ps_availqty > ½ · qty shipped`` of that
+    (part, supplier) in a year, parts by name prefix (the
+    doubly-nested IN).  The half compare is exact:
+    ``2 · availqty > qty_sum``.
+
+    Scale shape: the part-prefix mask broadcasts and prunes lineitem
+    map-side; per-batch packed ``(partkey·n_supp + suppkey, qty)``
+    partials → ONE packed-int64-key groupby (the only shuffle); the
+    shipped-qty table then probes the broadcast partsupp arrays in a
+    streaming map, emitting DISTINCT qualifying suppkeys per block;
+    the supplier name/nation attach + final dedup run on the
+    |supplier|-bounded result.
+
+    Output: ``(s_suppkey, s_name)``."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.partsupp import partsupp_arrays
+    from nativeextractor_ray.sources.tables import read_table
+
+    packed, avail, _cost, n_supp = partsupp_arrays(sf_dir)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pk = part.column("p_partkey").to_numpy()
+    p_ok = np.zeros(int(pk.max()) + 1 if len(pk) else 1, bool)
+    p_ok[pk] = np.asarray(pc.starts_with(part.column("p_name"),
+                                         name_prefix))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    s_in = np.zeros(int(sk.max()) + 1 if len(sk) else 1, bool)
+    if nation is None:
+        s_in[sk] = True
+    else:
+        nat = pq.read_table(f"{sf_dir}/nation.parquet")
+        nkey = {r["n_name"]: r["n_nationkey"]
+                for r in nat.to_pylist()}[nation]
+        s_in[sk] = sup.column("s_nationkey").to_numpy() == nkey
+    sorder = np.argsort(sk)
+    side = ray.put((p_ok, packed, avail, s_in,
+                    sk[sorder],
+                    np.asarray(sup.column("s_name").to_pylist(),
+                               object)[sorder]))
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    items = read_table(sf_dir, "lineitem",
+                       ["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        p_ok_, _pk, _av, _si, _k, _n = ray.get(side)
+        d = t.column("l_shipdate").to_numpy()
+        lk = t.column("l_partkey").to_numpy()
+        m = (d >= lo) & (d < hi) & p_ok_[lk]
+        qty = np.floor(t.column("l_quantity").to_numpy()[m]
+                       + 0.5).astype(np.int64)
+        key = lk[m] * n_supp + t.column("l_suppkey").to_numpy()[m]
+        g = pa.table({
+            "key": pa.array(key, pa.int64()),
+            "qty": pa.array(qty, pa.int64()),
+        }).group_by("key").aggregate([("qty", "sum")])
+        return pa.table({"key": g.column("key"),
+                         "qty": g.column("qty_sum")})
+
+    shipped = (items.map_batches(qty_partial, batch_format="pyarrow")
+               .groupby("key").aggregate(Sum("qty", alias_name="qty")))
+
+    def qualify(t: pa.Table) -> pa.Table:
+        _p, packed_, avail_, s_in_, skeys, snames = ray.get(side)
+        key = pc.cast(t.column("key"), pa.int64()).to_numpy()
+        qty = t.column("qty").to_numpy()
+        pos = np.searchsorted(packed_, key)
+        ok = (pos < len(packed_)) & (
+            packed_[np.minimum(pos, max(len(packed_) - 1, 0))] == key) \
+            if len(packed_) else np.zeros(len(key), bool)
+        s = (key % n_supp)
+        hit = ok & (2 * avail_[np.minimum(pos, max(len(packed_) - 1, 0))]
+                    > qty) & s_in_[s]
+        u = np.unique(s[hit])
+        ppos = np.searchsorted(skeys, u)
+        return pa.table({
+            "s_suppkey": pa.array(u, pa.int64()),
+            "s_name": pa.array([str(snames[p]) for p in ppos],
+                               pa.string())})
+
+    # |supplier|-bounded result: dedup driver-side, return Arrow
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    parts = [b.select(["s_suppkey", "s_name"]) for b in arrow_blocks(
+        shipped.map_batches(qualify, batch_format="pyarrow"),
+        stream=False)]
+    if not parts:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string())})
+    return (pa.concat_tables(parts)
+            .group_by(["s_suppkey", "s_name"]).aggregate([]))
+
+
+def potential_promotion_sql(year: int = Q20_YEAR,
+                            name_prefix: str = Q20_NAME_PREFIX,
+                            nation: "str | None" = Q20_NATION) -> str:
+    from nativeextractor_ray.sources.partsupp import PARTSUPP_SQL
+
+    return f"""WITH ps AS ({PARTSUPP_SQL}),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+    AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+  GROUP BY 1, 2)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+               AND sh.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '{name_prefix}%'
+  AND {('n.n_name = ' + chr(39) + nation + chr(39)) if nation else 'TRUE'}
+  AND 2 * ps.ps_availqty > sh.qty"""
