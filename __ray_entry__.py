@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-4 additions — newest first:
+        "feature_hashing": textstats.feature_hashing,  # hashing trick
         "product_type_profit": relational.product_type_profit,  # Q9
         "important_stock": relational.important_stock,  # Q11
         "supplier_relationship": relational.supplier_relationship,  # Q16
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "feature_hashing": textstats.feature_hashing_sql(),
         "product_type_profit": relational.product_type_profit_sql(),
         "important_stock": relational.important_stock_sql(),
         "supplier_relationship": relational.supplier_relationship_sql(),

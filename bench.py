@@ -377,6 +377,7 @@ def run_suite() -> dict:
         "important_stock": ("nativeextractor_ray.pipelines.relational", "important_stock"),
         "supplier_relationship": ("nativeextractor_ray.pipelines.relational", "supplier_relationship"),
         "potential_promotion": ("nativeextractor_ray.pipelines.relational", "potential_promotion"),
+        "feature_hashing": ("nativeextractor_ray.pipelines.textstats", "feature_hashing"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -896,3 +896,81 @@ def lang_confusion_sql() -> str:
 )
 SELECT lang, {case} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM c GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------- hashing-trick features
+
+
+FEAT_DIM_BITS = 12  # 4096-dim feature space
+FEAT_SAMPLE_MOD = 10  # profile every 10th doc (deterministic slice)
+
+
+def feature_hashing(sf_dir: str, dim_bits: int = FEAT_DIM_BITS,
+                    mod: int = FEAT_SAMPLE_MOD):
+    """Hashing-trick featurizer (Weinberger et al. 2009): each document
+    of a deterministic sample slice (``doc_id % mod == 0``) becomes
+    sparse ``(doc_id, feature, count)`` rows where ``feature =
+    md5(term) mod 2^dim_bits`` — the fixed-dimension bag-of-words prep
+    for linear probes/quality classifiers with NO vocabulary build, no
+    OOV, no second pass.
+
+    Scale shape: pure streaming — per-batch Arrow tokenize →
+    per-process-cached term→feature md5 memo (the _TokenHashCache
+    economics) → one in-batch (doc, feature) count combine.  Zero
+    shuffle; the output is the sparse matrix, partitioned however the
+    input was.  md5 keeps the Python and SQL featurizations identical
+    (DuckDB ``md5_number_lower(term) % 2^bits``).
+
+    Output: ``(doc_id, feature, n)``."""
+    import hashlib
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    mask = (1 << dim_bits) - 1
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    memo: dict[str, int] = {}
+
+    def feat_of(term: str) -> int:
+        f = memo.get(term)
+        if f is None:
+            f = memo[term] = (int.from_bytes(
+                hashlib.md5(term.encode()).digest()[8:16], "little")
+                & mask)
+        return f
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = ids % mod == 0
+        sub = t.filter(pa.array(keep))
+        toks = pc.split_pattern(sub.column("text"), " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        ok = pc.not_equal(flat, "")
+        flat, parent = flat.filter(ok), parent.filter(ok)
+        feats = np.fromiter((feat_of(w) for w in flat.to_pylist()),
+                            np.int64, count=len(flat))
+        g = pa.table({
+            "doc_id": sub.column("doc_id").take(parent),
+            "feature": pa.array(feats, pa.int64()),
+        }).group_by(["doc_id", "feature"]).aggregate([([], "count_all")])
+        return pa.table({
+            "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+            "feature": g.column("feature"),
+            "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def feature_hashing_sql(dim_bits: int = FEAT_DIM_BITS,
+                        mod: int = FEAT_SAMPLE_MOD) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents WHERE doc_id % {mod} = 0)
+SELECT doc_id,
+       CAST(md5_number_lower(term) % {1 << dim_bits} AS BIGINT)
+         AS feature,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY 1, 2"""

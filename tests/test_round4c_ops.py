@@ -216,3 +216,29 @@ def test_potential_promotion_half_rule(ray_session, tmp_path):
     got0 = _df(potential_promotion(sf, year=1996, name_prefix="small",
                                    nation="NATION_0"))
     assert len(got0) == 0
+
+
+def test_feature_hashing_planted(ray_session, tmp_path):
+    """Sample slice, md5 bucketing, in-doc count combine — checked
+    against a direct hashlib reference."""
+    import hashlib
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 10], pa.int64()),
+        "text": pa.array(["a b a", "skip me", "b  c"], pa.string()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([5, 7, 4], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    from nativeextractor_ray.pipelines.textstats import feature_hashing
+
+    got = _df(feature_hashing(str(tmp_path), dim_bits=12, mod=10))
+
+    def feat(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                              "little") & 0xFFF
+
+    want = {(0, feat("a")): 2, (0, feat("b")): 1,
+            (10, feat("b")): 1, (10, feat("c")): 1}
+    assert {(d, f): n for d, f, n in
+            zip(got["doc_id"], got["feature"], got["n"])} == want
