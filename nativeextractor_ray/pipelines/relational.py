@@ -2174,6 +2174,9 @@ GROUP BY 1, 2, 3"""
 Q10_DATE_LO = "1996-01-01"
 Q10_DATE_HI = "1996-04-01"
 Q10_K = 20
+#: broadcast the quarter-pruned (orderkey, custkey) map when under this
+#: bound; above it, both sides co-partition (tests force 0)
+Q10_ATTACH_BOUND = 64 << 20
 
 
 def returned_item_revenue(sf_dir: str, date_lo: str = Q10_DATE_LO,
@@ -2186,11 +2189,14 @@ def returned_item_revenue(sf_dir: str, date_lo: str = Q10_DATE_LO,
 
     - lineitem prunes to returned lines and pre-sums integer-cents
       revenue PER ORDERKEY inside each batch (Arrow group_by combiner),
-      so only ``(orderkey, rev_c)`` partials enter the exchange;
-    - orders prunes to the quarter map-side and ships
-      ``(orderkey, custkey)``; ONE co-partitioned tagged-union hash
-      exchange on orderkey resolves the join, folding each partition to
-      ``(custkey, rev_c)`` partials;
+      so only ``(orderkey, rev_c)`` partials move;
+    - the quarter-pruned ``orderkey → custkey`` map is SIZE-GATED (the
+      :func:`_attach_order_dates` convention): under
+      ``Q10_ATTACH_BOUND`` it broadcasts as one sorted array pair and
+      lineitem partials resolve their custkey map-side — ZERO orderkey
+      exchange; above the bound both sides co-partition through ONE
+      tagged-union hash exchange (tests force 0, both paths
+      bit-identical);
     - after the custkey groupby, each block keeps only its LOCAL top-k
       (per-block combiner) before the global ``sort().limit(k)`` — the
       driver-side sort sees ≤ k·blocks rows, never |customers|;
@@ -2204,33 +2210,32 @@ def returned_item_revenue(sf_dir: str, date_lo: str = Q10_DATE_LO,
     import ray
     from ray.data.aggregate import Sum
 
+    from nativeextractor_ray.functions.blocks import arrow_blocks
     from nativeextractor_ray.functions.hashing import stable_part
     from nativeextractor_ray.pipelines.common import adaptive_parts
     from nativeextractor_ray.sources.tables import read_table
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
-    n_parts = adaptive_parts(sf_dir, table="lineitem")
 
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def prune_orders(t: pa.Table) -> pa.Table:
+    def quarter(t: pa.Table) -> pa.Table:
         d = t.column("o_orderdate").to_numpy()
         keep = (d >= lo) & (d < hi)
-        out = pa.table({
+        return pa.table({
             "k": pa.array(t.column("o_orderkey").to_numpy()[keep]),
             "cust": pa.array(t.column("o_custkey").to_numpy()[keep]),
-            "rev_c": pa.array(np.zeros(int(keep.sum()), np.int64)),
-            "is_ord": pa.array(np.ones(int(keep.sum()), bool)),
         })
-        return out.append_column("part", stable_part(out, ["k"], n_parts))
+
+    kd = orders.map_batches(quarter, batch_format="pyarrow")
 
     items = read_table(sf_dir, "lineitem",
                        ["l_orderkey", "l_returnflag", "l_extendedprice",
                         "l_discount"])
 
-    def prune_items(t: pa.Table) -> pa.Table:
+    def rev_partial(t: pa.Table) -> pa.Table:
         keep = np.asarray(pc.equal(t.column("l_returnflag"), "R"))
         rev = np.floor(t.column("l_extendedprice").to_numpy()[keep]
                        * (1.0 - t.column("l_discount").to_numpy()[keep])
@@ -2239,31 +2244,84 @@ def returned_item_revenue(sf_dir: str, date_lo: str = Q10_DATE_LO,
             "k": pa.array(t.column("l_orderkey").to_numpy()[keep]),
             "rev_c": pa.array(rev, pa.int64()),
         }).group_by("k").aggregate([("rev_c", "sum")])
-        out = pa.table({
-            "k": g.column("k"),
-            "cust": pa.array(np.zeros(g.num_rows, np.int64)),
-            "rev_c": g.column("rev_c_sum"),
-            "is_ord": pa.array(np.zeros(g.num_rows, bool)),
-        })
-        return out.append_column("part", stable_part(out, ["k"], n_parts))
+        return pa.table({"k": g.column("k"),
+                         "rev_c": g.column("rev_c_sum")})
 
-    def join_part(df):
-        import pandas as pd
+    rev = items.map_batches(rev_partial, batch_format="pyarrow")
 
-        o = df[df["is_ord"]][["k", "cust"]]
-        l = df[~df["is_ord"]][["k", "rev_c"]]
-        m = l.merge(o, on="k", how="inner")
-        g = m.groupby("cust", sort=False)["rev_c"].sum().reset_index()
-        return pd.DataFrame({
-            "c_custkey": g["cust"].to_numpy(np.int64),
-            "revenue_c": g["rev_c"].to_numpy(np.int64)})
+    if (kd.size_bytes() or 0) <= Q10_ATTACH_BOUND:
+        ks, cs = [], []
+        for t in arrow_blocks(kd, stream=False):
+            ks.append(t.column("k").to_numpy())
+            cs.append(t.column("cust").to_numpy())
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        cc = np.concatenate(cs) if cs else np.array([], np.int64)
+        order_k = np.argsort(kk)
+        side0 = ray.put((kk[order_k], cc[order_k]))
 
-    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
-            .union(items.map_batches(prune_items, batch_format="pyarrow")))
-    per_cust = (both.groupby("part").map_groups(join_part,
-                                                batch_format="pandas")
-                .groupby("c_custkey")
-                .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+        def probe(t: pa.Table) -> pa.Table:
+            keys, custs = ray.get(side0)
+            lk = t.column("k").to_numpy()
+            if len(keys) == 0:
+                hit = np.zeros(len(lk), bool)
+            else:
+                pos = np.searchsorted(keys, lk)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == lk)
+            g = pa.table({
+                "c_custkey": pa.array(
+                    custs[np.searchsorted(keys, lk[hit])]
+                    if hit.any() else np.array([], np.int64), pa.int64()),
+                "revenue_c": pa.array(t.column("rev_c").to_numpy()[hit],
+                                      pa.int64()),
+            }).group_by("c_custkey").aggregate([("revenue_c", "sum")])
+            return pa.table({"c_custkey": g.column("c_custkey"),
+                             "revenue_c": g.column("revenue_c_sum")})
+
+        per_cust = (rev.map_batches(probe, batch_format="pyarrow")
+                    .groupby("c_custkey")
+                    .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+    else:
+        n_parts = adaptive_parts(sf_dir, table="lineitem")
+
+        def tag_ord(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "k": t.column("k"),
+                "cust": t.column("cust"),
+                "rev_c": pa.array(np.zeros(t.num_rows, np.int64)),
+                "is_ord": pa.array(np.ones(t.num_rows, bool)),
+            })
+            return out.append_column(
+                "part", stable_part(out, ["k"], n_parts))
+
+        def tag_rev(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "k": t.column("k"),
+                "cust": pa.array(np.zeros(t.num_rows, np.int64)),
+                "rev_c": t.column("rev_c"),
+                "is_ord": pa.array(np.zeros(t.num_rows, bool)),
+            })
+            return out.append_column(
+                "part", stable_part(out, ["k"], n_parts))
+
+        def join_part(df):
+            import pandas as pd
+
+            o = df[df["is_ord"]][["k", "cust"]]
+            l = df[~df["is_ord"]][["k", "rev_c"]]
+            m = l.merge(o, on="k", how="inner")
+            g = (m.groupby("cust", sort=False)["rev_c"].sum()
+                 .reset_index())
+            return pd.DataFrame({
+                "c_custkey": g["cust"].to_numpy(np.int64),
+                "revenue_c": g["rev_c"].to_numpy(np.int64)})
+
+        both = (kd.map_batches(tag_ord, batch_format="pyarrow")
+                .union(rev.map_batches(tag_rev, batch_format="pyarrow")))
+        per_cust = (both.groupby("part").map_groups(
+            join_part, batch_format="pandas")
+            .groupby("c_custkey")
+            .aggregate(Sum("revenue_c", alias_name="revenue_c")))
 
     def local_topk(t: pa.Table) -> pa.Table:
         idx = np.lexsort((t.column("c_custkey").to_numpy(),

@@ -442,3 +442,29 @@ def test_market_share_planted(ray_session, tmp_path):
     assert list(got["total_rev_c"]) == [10000, 4000]
     # 3000/10000 = 0.3 -> 300000 micro; 0 -> 0
     assert list(got["share_micro"]) == [300000, 0]
+
+
+def test_returned_item_revenue_merge_path_identical(ray_session,
+                                                    tmp_path):
+    """Forcing Q10_ATTACH_BOUND to 0 drives the co-partitioned merge
+    path; output is bit-identical to the broadcast path."""
+    import nativeextractor_ray.pipelines.relational as rel
+
+    sf = _star4(
+        tmp_path,
+        customers=[dict(k=1, nation=0), dict(k=2, nation=1)],
+        orders=[dict(k=10, cust=1, date="1996-02-01"),
+                dict(k=20, cust=2, date="1996-02-01")],
+        lineitems=[dict(order=10, price=100.0, flag="R"),
+                   dict(order=20, price=50.0, flag="R"),
+                   dict(order=20, price=25.0, flag="N")])
+    a = _df(rel.returned_item_revenue(sf))
+    old = rel.Q10_ATTACH_BOUND
+    rel.Q10_ATTACH_BOUND = 0
+    try:
+        b = _df(rel.returned_item_revenue(sf))
+    finally:
+        rel.Q10_ATTACH_BOUND = old
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["c_custkey"]) == [1, 2]
+    assert list(a["revenue_c"]) == [10000, 5000]
