@@ -2717,6 +2717,9 @@ GROUP BY 1, 2"""
 Q8_REGION = "ASIA"
 Q8_TYPE = "MEDIUM"
 Q8_NATION = "NATION_3"
+#: broadcast the region-pruned (orderkey, year) map when under this
+#: bound; above it, both sides co-partition (tests force 0)
+Q8_ATTACH_BOUND = 64 << 20
 
 
 def market_share(sf_dir: str, region: str = Q8_REGION,
@@ -2829,13 +2832,70 @@ def market_share(sf_dir: str, region: str = Q8_REGION,
             "nation_rev_c": g["nat_c"].to_numpy(np.int64),
             "total_rev_c": g["tot_c"].to_numpy(np.int64)})
 
-    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
-            .union(items.map_batches(prune_items, batch_format="pyarrow")))
-    agg = (both.groupby("part").map_groups(join_part,
-                                           batch_format="pandas")
-           .groupby("o_year")
-           .aggregate(Sum("nation_rev_c", alias_name="nation_rev_c"),
-                      Sum("total_rev_c", alias_name="total_rev_c")))
+    # size-gated orders attach (the Q3/Q10 convention): under the bound
+    # the region-pruned (orderkey, year) map broadcasts once and the
+    # lineitem partials resolve their year map-side — zero exchange;
+    # above it, the tagged-union co-partition runs (tests force 0).
+    def quarter_map(t: pa.Table) -> pa.Table:
+        _p, _s, c_ok_ = ray.get(side)
+        keep = c_ok_[t.column("o_custkey").to_numpy()]
+        yr = (t.column("o_orderdate").to_numpy()[keep]
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({
+            "k": pa.array(t.column("o_orderkey").to_numpy()[keep]),
+            "year": pa.array(yr)})
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    kd = orders.map_batches(quarter_map, batch_format="pyarrow")
+    if (kd.size_bytes() or 0) <= Q8_ATTACH_BOUND:
+        ks, ys = [], []
+        for t in arrow_blocks(kd, stream=False):
+            ks.append(t.column("k").to_numpy())
+            ys.append(t.column("year").to_numpy())
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        yy = np.concatenate(ys) if ys else np.array([], np.int64)
+        order_k = np.argsort(kk)
+        oside = ray.put((kk[order_k], yy[order_k]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, years = ray.get(oside)
+            lk = t.column("k").to_numpy()
+            if len(keys) == 0:
+                hit = np.zeros(len(lk), bool)
+            else:
+                pos = np.searchsorted(keys, lk)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == lk)
+            yr = (years[np.searchsorted(keys, lk[hit])]
+                  if hit.any() else np.array([], np.int64))
+            g = pa.table({
+                "o_year": pa.array(yr, pa.int64()),
+                "nation_rev_c": pa.array(
+                    t.column("nat_c").to_numpy()[hit], pa.int64()),
+                "total_rev_c": pa.array(
+                    t.column("tot_c").to_numpy()[hit], pa.int64()),
+            }).group_by("o_year").aggregate([("nation_rev_c", "sum"),
+                                             ("total_rev_c", "sum")])
+            return pa.table({
+                "o_year": g.column("o_year"),
+                "nation_rev_c": g.column("nation_rev_c_sum"),
+                "total_rev_c": g.column("total_rev_c_sum")})
+
+        agg = (items.map_batches(prune_items, batch_format="pyarrow")
+               .map_batches(probe, batch_format="pyarrow")
+               .groupby("o_year")
+               .aggregate(Sum("nation_rev_c", alias_name="nation_rev_c"),
+                          Sum("total_rev_c", alias_name="total_rev_c")))
+    else:
+        both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+                .union(items.map_batches(prune_items,
+                                         batch_format="pyarrow")))
+        agg = (both.groupby("part").map_groups(join_part,
+                                               batch_format="pandas")
+               .groupby("o_year")
+               .aggregate(Sum("nation_rev_c", alias_name="nation_rev_c"),
+                          Sum("total_rev_c", alias_name="total_rev_c")))
 
     # the per-year table is calendar-bounded (≤ decades of rows), so the
     # share fold happens on the driver and returns a plain Arrow table —
@@ -2967,6 +3027,8 @@ WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
 
 
 Q9_NAME_WORD = "widget"
+#: broadcast the (orderkey, year) map when under this bound (tests force 0)
+Q9_ATTACH_BOUND = 64 << 20
 
 
 def product_type_profit(sf_dir: str, name_word: str = Q9_NAME_WORD):
@@ -3079,12 +3141,64 @@ def product_type_profit(sf_dir: str, name_word: str = Q9_NAME_WORD):
             "o_year": g["year"].to_numpy(np.int64),
             "profit_c": g["amount_c"].to_numpy(np.int64)})
 
-    both = (orders.map_batches(prune_orders, batch_format="pyarrow")
-            .union(items.map_batches(prune_items, batch_format="pyarrow")))
-    agg = (both.groupby("part").map_groups(join_part,
-                                           batch_format="pandas")
-           .groupby(["nation", "o_year"])
-           .aggregate(Sum("profit_c", alias_name="profit_c")))
+    # size-gated orders attach (the Q3/Q8/Q10 convention): under the
+    # bound the (orderkey, year) map broadcasts once and lineitem
+    # partials resolve the year map-side; above it, the tagged-union
+    # co-partition runs (tests force 0, both paths bit-identical)
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    def year_map(t: pa.Table) -> pa.Table:
+        yr = (t.column("o_orderdate").to_numpy()
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"k": t.column("o_orderkey"),
+                         "year": pa.array(yr)})
+
+    kd = orders.map_batches(year_map, batch_format="pyarrow")
+    if (kd.size_bytes() or 0) <= Q9_ATTACH_BOUND:
+        ks, ys = [], []
+        for t in arrow_blocks(kd, stream=False):
+            ks.append(t.column("k").to_numpy())
+            ys.append(t.column("year").to_numpy())
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        yy = np.concatenate(ys) if ys else np.array([], np.int64)
+        order_k = np.argsort(kk)
+        oside = ray.put((kk[order_k], yy[order_k]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, years = ray.get(oside)
+            lk = t.column("k").to_numpy()
+            if len(keys) == 0:
+                hit = np.zeros(len(lk), bool)
+            else:
+                pos = np.searchsorted(keys, lk)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == lk)
+            yr = (years[np.searchsorted(keys, lk[hit])]
+                  if hit.any() else np.array([], np.int64))
+            g = pa.table({
+                "nation": pa.array(
+                    t.column("nation").to_numpy()[hit], pa.int64()),
+                "o_year": pa.array(yr, pa.int64()),
+                "profit_c": pa.array(
+                    t.column("amount_c").to_numpy()[hit], pa.int64()),
+            }).group_by(["nation", "o_year"]).aggregate(
+                [("profit_c", "sum")])
+            return pa.table({"nation": g.column("nation"),
+                             "o_year": g.column("o_year"),
+                             "profit_c": g.column("profit_c_sum")})
+
+        agg = (items.map_batches(prune_items, batch_format="pyarrow")
+               .map_batches(probe, batch_format="pyarrow")
+               .groupby(["nation", "o_year"])
+               .aggregate(Sum("profit_c", alias_name="profit_c")))
+    else:
+        both = (orders.map_batches(prune_orders, batch_format="pyarrow")
+                .union(items.map_batches(prune_items,
+                                         batch_format="pyarrow")))
+        agg = (both.groupby("part").map_groups(join_part,
+                                               batch_format="pandas")
+               .groupby(["nation", "o_year"])
+               .aggregate(Sum("profit_c", alias_name="profit_c")))
 
     nref = ray.put(n2name)
 

@@ -242,3 +242,27 @@ def test_feature_hashing_planted(ray_session, tmp_path):
             (10, feat("b")): 1, (10, feat("c")): 1}
     assert {(d, f): n for d, f, n in
             zip(got["doc_id"], got["feature"], got["n"])} == want
+
+
+def test_q8_q9_merge_paths_identical(ray_session, tmp_path):
+    """Forcing the Q8/Q9 attach bounds to 0 drives the co-partitioned
+    merge paths; outputs are identical to the broadcast paths."""
+    import nativeextractor_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    a8 = rel.market_share(sf).to_pandas()
+    a9 = _df(rel.product_type_profit(sf))
+    o8, o9 = rel.Q8_ATTACH_BOUND, rel.Q9_ATTACH_BOUND
+    rel.Q8_ATTACH_BOUND = rel.Q9_ATTACH_BOUND = 0
+    try:
+        b8 = rel.market_share(sf).to_pandas()
+        b9 = _df(rel.product_type_profit(sf))
+    finally:
+        rel.Q8_ATTACH_BOUND, rel.Q9_ATTACH_BOUND = o8, o9
+    key9 = ["nation", "o_year"]
+    pd.testing.assert_frame_equal(
+        a8.sort_values("o_year").reset_index(drop=True),
+        b8.sort_values("o_year").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        a9.sort_values(key9).reset_index(drop=True),
+        b9.sort_values(key9).reset_index(drop=True))
