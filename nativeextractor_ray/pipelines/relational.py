@@ -2394,6 +2394,9 @@ LIMIT {k}"""
 
 
 Q12_LATE_DAYS = 30
+#: broadcast the (orderkey, odate, priority) map when under this bound
+#: (tests force 0)
+Q12_ATTACH_BOUND = 64 << 20
 
 
 def late_line_priority_mix(sf_dir: str, late_days: int = Q12_LATE_DAYS):
@@ -2403,17 +2406,20 @@ def late_line_priority_mix(sf_dir: str, late_days: int = Q12_LATE_DAYS):
     vs other orders per ``l_returnflag`` — the join + conditional-count
     algebra of Q12 exactly.
 
-    Scale shape: both facts are big, so ONE co-partitioned tagged-union
-    hash exchange on orderkey (the :func:`nation_trade_volume` shape);
-    orders ships ``(orderkey, odate, is_high)``, lineitem ships
-    ``(orderkey, flag, shipdate)``; the lateness predicate and the
-    per-flag conditional counts resolve vectorized in-partition, so ≤
-    |flags| partial rows leave each partition.
+    Scale shape: size-gated orders attach (the Q3/Q8/Q9/Q10
+    convention) — under ``Q12_ATTACH_BOUND`` the packed
+    ``orderkey → (odate, is_high)`` map broadcasts once and every
+    lineitem batch resolves lateness + the per-flag conditional counts
+    map-side (ZERO exchange, ≤ |flags| partial rows per batch); above
+    the bound, ONE co-partitioned tagged-union hash exchange on
+    orderkey (the :func:`nation_trade_volume` shape) with the same
+    in-partition resolve.  Tests force 0; both paths bit-identical.
 
     Output: ``(l_returnflag, high_line_count, low_line_count)``."""
     import ray
     from ray.data.aggregate import Sum
 
+    from nativeextractor_ray.functions.blocks import arrow_blocks
     from nativeextractor_ray.functions.hashing import stable_part
     from nativeextractor_ray.pipelines.common import adaptive_parts
     from nativeextractor_ray.sources.tables import read_table
@@ -2473,6 +2479,63 @@ def late_line_priority_mix(sf_dir: str, late_days: int = Q12_LATE_DAYS):
             "l_returnflag": hi.index.to_numpy(object).astype(str),
             "high_line_count": hi["sum"].to_numpy(np.int64),
             "low_line_count": (hi["count"] - hi["sum"]).to_numpy(np.int64)})
+
+    def odate_map(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority")
+        is_high = np.asarray(
+            pc.or_(pc.equal(pr, "1-URGENT"), pc.equal(pr, "2-HIGH")))
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "odate": pa.array(t.column("o_orderdate").to_numpy()
+                              .astype(np.int64), pa.int64()),
+            "is_high": pa.array(is_high)})
+
+    kd = orders.map_batches(odate_map, batch_format="pyarrow")
+    if (kd.size_bytes() or 0) <= Q12_ATTACH_BOUND:
+        ks, ds_, hs = [], [], []
+        for t in arrow_blocks(kd, stream=False):
+            ks.append(t.column("k").to_numpy())
+            ds_.append(t.column("odate").to_numpy())
+            hs.append(t.column("is_high").to_numpy(zero_copy_only=False))
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        dd = np.concatenate(ds_) if ds_ else np.array([], np.int64)
+        hh = np.concatenate(hs) if hs else np.array([], bool)
+        order_k = np.argsort(kk)
+        oside = ray.put((kk[order_k], dd[order_k], hh[order_k]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, odates, high = ray.get(oside)
+            lk = t.column("l_orderkey").to_numpy()
+            if len(keys) == 0:
+                hit = np.zeros(len(lk), bool)
+                pos = lk[:0]
+            else:
+                pos = np.searchsorted(keys, lk)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == lk)
+                pos = pos[hit]
+            ship = t.column("l_shipdate").to_numpy().astype(np.int64)[hit]
+            late = ship > odates[pos] + dus
+            g = pa.table({
+                "l_returnflag": t.column("l_returnflag").filter(
+                    pa.array(hit)).filter(pa.array(late)),
+                "high_line_count": pa.array(
+                    high[pos][late].astype(np.int64), pa.int64()),
+                "low_line_count": pa.array(
+                    (~high[pos][late]).astype(np.int64), pa.int64()),
+            }).group_by("l_returnflag").aggregate(
+                [("high_line_count", "sum"), ("low_line_count", "sum")])
+            return pa.table({
+                "l_returnflag": g.column("l_returnflag"),
+                "high_line_count": g.column("high_line_count_sum"),
+                "low_line_count": g.column("low_line_count_sum")})
+
+        return (items.map_batches(probe, batch_format="pyarrow")
+                .groupby("l_returnflag")
+                .aggregate(Sum("high_line_count",
+                               alias_name="high_line_count"),
+                           Sum("low_line_count",
+                               alias_name="low_line_count")))
 
     both = (orders.map_batches(prune_orders, batch_format="pyarrow")
             .union(items.map_batches(prune_items, batch_format="pyarrow")))
@@ -2592,6 +2655,8 @@ WHERE r.total_revenue_c = (SELECT max(total_revenue_c) FROM rev)"""
 
 
 Q21_LATE_DAYS = 30
+#: broadcast the (orderkey, odate) map when under this bound (tests force 0)
+Q21_ATTACH_BOUND = 64 << 20
 
 
 def sole_late_supplier(sf_dir: str, late_days: int = Q21_LATE_DAYS):
@@ -2601,14 +2666,19 @@ def sole_late_supplier(sf_dir: str, late_days: int = Q21_LATE_DAYS):
     (``n_suppliers ≥ 2 AND n_late_suppliers = 1`` credits the late
     one).  Late = ``l_shipdate > o_orderdate + late_days``.
 
-    Scale shape: lineitem ships ``(orderkey, suppkey, shipdate)`` and
-    orders ships ``(orderkey, odate)`` into ONE co-partitioned
-    tagged-union exchange on orderkey; the per-order supplier/late
-    distinct counts and the credit decision resolve vectorized
-    in-partition (pandas grouped nunique over the partition slice), so
-    only ``(suppkey, name, numwait)`` partials — supplier-bounded —
-    leave for the final groupby (names probe the broadcast dim inside
-    the partition, so the pipeline ENDS on the normalizing aggregate).
+    Scale shape: the per-order distinct counts NEED the order's lines
+    co-located, so ONE orderkey exchange is irreducible — but the
+    ORDERS side of it isn't: under ``Q21_ATTACH_BOUND`` the
+    ``orderkey → odate`` map broadcasts once, lineitem resolves its
+    late flag map-side and ships only DISTINCT ``(orderkey, suppkey,
+    late)`` rows (a per-batch Arrow dedup combiner) into the exchange;
+    above the bound orders ride the tagged union like the lines.  The
+    per-order supplier/late distinct counts and the credit decision
+    resolve vectorized in-partition, so only ``(suppkey, name,
+    numwait)`` partials — supplier-bounded — leave for the final
+    groupby (names probe the broadcast dim inside the partition, so
+    the pipeline ENDS on the normalizing aggregate).  Tests force the
+    bound to 0; both paths bit-identical.
 
     Output: ``(s_suppkey, s_name, numwait)``, numwait > 0 rows only."""
     import pyarrow.parquet as pq
@@ -2685,6 +2755,80 @@ def sole_late_supplier(sf_dir: str, late_days: int = Q21_LATE_DAYS):
             "s_suppkey": g["ls"].to_numpy(np.int64),
             "s_name": [str(names[p]) for p in pos],
             "numwait": g["n"].to_numpy(np.int64)})
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    kd = orders.map_batches(
+        lambda t: pa.table({
+            "k": t.column("o_orderkey"),
+            "odate": pa.array(t.column("o_orderdate").to_numpy()
+                              .astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    if (kd.size_bytes() or 0) <= Q21_ATTACH_BOUND:
+        ks, ds_ = [], []
+        for t in arrow_blocks(kd, stream=False):
+            ks.append(t.column("k").to_numpy())
+            ds_.append(t.column("odate").to_numpy())
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        dd = np.concatenate(ds_) if ds_ else np.array([], np.int64)
+        order_k = np.argsort(kk)
+        oside = ray.put((kk[order_k], dd[order_k]))
+
+        def late_flags(t: pa.Table) -> pa.Table:
+            keys, odates = ray.get(oside)
+            lk = t.column("l_orderkey").to_numpy()
+            if len(keys) == 0:
+                hit = np.zeros(len(lk), bool)
+                pos = lk[:0]
+            else:
+                pos = np.searchsorted(keys, lk)
+                hit = (pos < len(keys)) & (
+                    keys[np.minimum(pos, len(keys) - 1)] == lk)
+                pos = pos[hit]
+            ship = t.column("l_shipdate").to_numpy().astype(np.int64)[hit]
+            late = ship > odates[pos] + dus
+            g = pa.table({
+                "k": pa.array(lk[hit], pa.int64()),
+                "supp": pc.cast(t.column("l_suppkey"), pa.int64())
+                .filter(pa.array(hit)),
+                "late": pa.array(late),
+            }).group_by(["k", "supp", "late"]).aggregate([])
+            return g.append_column(
+                "part", stable_part(g, ["k"], n_parts))
+
+        def resolve(df):
+            import pandas as pd
+
+            m = df.drop_duplicates(["k", "supp", "late"])
+            empty = pd.DataFrame({
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=str),
+                "numwait": pd.Series([], dtype=np.int64)})
+            if not len(m):
+                return empty
+            per = (m.groupby("k", sort=False)["supp"].nunique()
+                   .to_frame("ns"))
+            late_rows = m[m["late"]]
+            nl = late_rows.groupby("k", sort=False)["supp"].nunique()
+            ls = late_rows.groupby("k", sort=False)["supp"].min()
+            per["nl"] = nl.reindex(per.index, fill_value=0)
+            per["ls"] = ls.reindex(per.index, fill_value=-1)
+            hit = per[(per["ns"] >= 2) & (per["nl"] == 1)]
+            if not len(hit):
+                return empty
+            g = hit.groupby("ls", sort=False).size().reset_index(name="n")
+            keys, names = ray.get(side)
+            pos = np.searchsorted(keys, g["ls"].to_numpy(np.int64))
+            return pd.DataFrame({
+                "s_suppkey": g["ls"].to_numpy(np.int64),
+                "s_name": [str(names[p]) for p in pos],
+                "numwait": g["n"].to_numpy(np.int64)})
+
+        return (items.map_batches(late_flags, batch_format="pyarrow")
+                .groupby("part").map_groups(resolve,
+                                            batch_format="pandas")
+                .groupby(["s_suppkey", "s_name"])
+                .aggregate(Sum("numwait", alias_name="numwait")))
 
     both = (orders.map_batches(prune_orders, batch_format="pyarrow")
             .union(items.map_batches(prune_items, batch_format="pyarrow")))

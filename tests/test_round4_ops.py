@@ -468,3 +468,38 @@ def test_returned_item_revenue_merge_path_identical(ray_session,
     pd.testing.assert_frame_equal(a, b)
     assert list(a["c_custkey"]) == [1, 2]
     assert list(a["revenue_c"]) == [10000, 5000]
+
+
+def test_q12_q21_merge_paths_identical(ray_session, tmp_path):
+    """Forcing the Q12/Q21 attach bounds to 0 drives the co-partitioned
+    merge paths; outputs match the broadcast paths."""
+    import nativeextractor_ray.pipelines.relational as rel
+
+    sf = _star4(
+        tmp_path,
+        suppliers=[dict(k=1, name="s1", nation=0),
+                   dict(k=2, name="s2", nation=0)],
+        orders=[dict(k=10, cust=1, date="1996-01-01", prio="1-URGENT"),
+                dict(k=20, cust=1, date="1996-01-01", prio="5-LOW")],
+        lineitems=[
+            dict(order=10, supp=1, ship="1996-03-01", flag="A"),
+            dict(order=10, supp=2, ship="1996-01-15", flag="R"),
+            dict(order=20, supp=1, ship="1996-03-01", flag="A"),
+            dict(order=20, supp=2, ship="1996-03-02", flag="N"),
+        ])
+
+    def norm(df, keys):
+        return df.sort_values(keys).reset_index(drop=True)
+
+    a12 = norm(_df(rel.late_line_priority_mix(sf)), ["l_returnflag"])
+    a21 = norm(_df(rel.sole_late_supplier(sf)), ["s_suppkey"])
+    o12, o21 = rel.Q12_ATTACH_BOUND, rel.Q21_ATTACH_BOUND
+    rel.Q12_ATTACH_BOUND = rel.Q21_ATTACH_BOUND = 0
+    try:
+        b12 = norm(_df(rel.late_line_priority_mix(sf)), ["l_returnflag"])
+        b21 = norm(_df(rel.sole_late_supplier(sf)), ["s_suppkey"])
+    finally:
+        rel.Q12_ATTACH_BOUND, rel.Q21_ATTACH_BOUND = o12, o21
+    pd.testing.assert_frame_equal(a12, b12)
+    pd.testing.assert_frame_equal(a21, b21)
+    assert list(a21["s_suppkey"]) == [1]
