@@ -445,6 +445,8 @@ _SCALING_JOBS = {
     "headline": None,
     "curation_e2e": ("nativeextractor_ray.pipelines.curation", "curation_e2e"),
     "dedup_minhash": ("nativeextractor_ray.pipelines.dedup", "dedup_minhash_pairs"),
+    # round-4: the irreducible per-order co-partition exchange family
+    "sole_late_supplier": ("nativeextractor_ray.pipelines.relational", "sole_late_supplier"),
 }
 
 
@@ -470,7 +472,7 @@ def main_scaling() -> None:
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
     jobs = [
         j for j in os.environ.get(
-            "GRAFT_SCALING_JOBS", "headline,curation_e2e,dedup_minhash"
+            "GRAFT_SCALING_JOBS", "headline,curation_e2e,dedup_minhash,sole_late_supplier"
         ).split(",") if j in _SCALING_JOBS
     ]
     queries: dict[str, float] = {}
