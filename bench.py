@@ -60,7 +60,10 @@ def _best_of(fn, trials: int = 0) -> dict:
 
 
 def _consume(ds) -> int:
-    """Fully execute a Dataset, streaming (no driver materialization)."""
+    """Fully execute a Dataset, streaming (no driver materialization).
+    Driver-folded queries already return a plain Arrow table."""
+    if not hasattr(ds, "iter_batches"):
+        return ds.num_rows
     n = 0
     for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         n += b.num_rows

@@ -41,7 +41,12 @@ def adaptive_parts(sf_dir: str, table: str = "documents",
     import os
 
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+        d = os.path.join(sf_dir, table)
+        if os.path.isdir(d):  # directory table (see sources/tables.py)
+            size = sum(e.stat().st_size for e in os.scandir(d)
+                       if e.name.endswith(".parquet"))
+        else:
+            size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
     except OSError:
         return hi
     return max(lo, min(hi, (size * max(1, replicate)) // per_part + 1))

@@ -2802,7 +2802,6 @@ def sole_late_supplier(sf_dir: str, late_days: int = Q21_LATE_DAYS):
             m = df.drop_duplicates(["k", "supp", "late"])
             empty = pd.DataFrame({
                 "s_suppkey": pd.Series([], dtype=np.int64),
-                "s_name": pd.Series([], dtype=str),
                 "numwait": pd.Series([], dtype=np.int64)})
             if not len(m):
                 return empty
@@ -2817,25 +2816,59 @@ def sole_late_supplier(sf_dir: str, late_days: int = Q21_LATE_DAYS):
             if not len(hit):
                 return empty
             g = hit.groupby("ls", sort=False).size().reset_index(name="n")
-            keys, names = ray.get(side)
-            pos = np.searchsorted(keys, g["ls"].to_numpy(np.int64))
             return pd.DataFrame({
                 "s_suppkey": g["ls"].to_numpy(np.int64),
-                "s_name": [str(names[p]) for p in pos],
                 "numwait": g["n"].to_numpy(np.int64)})
 
-        return (items.map_batches(late_flags, batch_format="pyarrow")
-                .groupby("part").map_groups(resolve,
-                                            batch_format="pandas")
-                .groupby(["s_suppkey", "s_name"])
-                .aggregate(Sum("numwait", alias_name="numwait")))
+        partials = (items.map_batches(late_flags, batch_format="pyarrow")
+                    .groupby("part").map_groups(resolve,
+                                                batch_format="pandas"))
+        return _sole_late_fold(partials, side)
 
     both = (orders.map_batches(prune_orders, batch_format="pyarrow")
             .union(items.map_batches(prune_items, batch_format="pyarrow")))
-    return (both.groupby("part").map_groups(join_part,
-                                            batch_format="pandas")
-            .groupby(["s_suppkey", "s_name"])
-            .aggregate(Sum("numwait", alias_name="numwait")))
+    partials = both.groupby("part").map_groups(join_part,
+                                               batch_format="pandas")
+    return _sole_late_fold(partials, side)
+
+
+def _sole_late_fold(partials, side) -> pa.Table:
+    """Sum the per-partition ``(s_suppkey, numwait)`` partials on the
+    driver and attach names — the result is |supplier|-bounded (a
+    dimension table, the broadcast class), and a Ray groupby on the
+    (int, string) composite key measured 234 core-seconds for 154k
+    partial rows at sf1 (sort-based string-key aggregate) where this
+    fold is milliseconds."""
+    import ray
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    # vectorized fold: the partials run up to partitions × |suppliers|
+    # rows (20M at the factor-100 corpus) — a per-row Python loop here
+    # measured ~22 s of SERIAL driver time and capped 4→16 scaling at
+    # 0.36; np.unique + bincount folds the same rows in milliseconds
+    ss, nn = [], []
+    for t in arrow_blocks(partials, stream=False):
+        if "s_suppkey" not in t.column_names:
+            continue
+        ss.append(t.column("s_suppkey").to_numpy())
+        nn.append(t.column("numwait").to_numpy())
+    if not ss:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "numwait": pa.array([], pa.int64())})
+    s_all = np.concatenate(ss)
+    n_all = np.concatenate(nn)
+    supp, inv = np.unique(s_all, return_inverse=True)
+    waits = np.bincount(inv, weights=n_all.astype(np.float64)) \
+        .astype(np.int64)  # counts ≪ 2^53: exact
+    keys, names = ray.get(side)
+    pos = np.searchsorted(keys, supp)
+    return pa.table({
+        "s_suppkey": pa.array(supp, pa.int64()),
+        "s_name": pa.array([str(names[p]) for p in pos], pa.string()),
+        "numwait": pa.array(waits, pa.int64()),
+    })
 
 
 def sole_late_supplier_sql(late_days: int = Q21_LATE_DAYS) -> str:
