@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-4 additions — newest first:
+        "event_type_affinity": events.event_type_affinity,  # basket pairs
+        "value_correlations": events.value_correlations,  # metric coupling
+        "degree_distribution": graph.degree_distribution,  # graph audit
+        "tool_transitions": kg.tool_transitions,  # tool-chaining matrix
         "feature_hashing": textstats.feature_hashing,  # hashing trick
         "product_type_profit": relational.product_type_profit,  # Q9
         "important_stock": relational.important_stock,  # Q11
@@ -251,6 +255,10 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "event_type_affinity": events.event_type_affinity_sql(),
+        "value_correlations": events.value_correlations_sql(),
+        "degree_distribution": graph.degree_distribution_sql(),
+        "tool_transitions": kg.tool_transitions_sql(),
         "feature_hashing": textstats.feature_hashing_sql(),
         "product_type_profit": relational.product_type_profit_sql(),
         "important_stock": relational.important_stock_sql(),

@@ -381,6 +381,10 @@ def run_suite() -> dict:
         "supplier_relationship": ("nativeextractor_ray.pipelines.relational", "supplier_relationship"),
         "potential_promotion": ("nativeextractor_ray.pipelines.relational", "potential_promotion"),
         "feature_hashing": ("nativeextractor_ray.pipelines.textstats", "feature_hashing"),
+        "event_type_affinity": ("nativeextractor_ray.pipelines.events", "event_type_affinity"),
+        "value_correlations": ("nativeextractor_ray.pipelines.events", "value_correlations"),
+        "degree_distribution": ("nativeextractor_ray.pipelines.graph", "degree_distribution"),
+        "tool_transitions": ("nativeextractor_ray.pipelines.kg", "tool_transitions"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

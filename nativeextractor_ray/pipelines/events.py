@@ -968,3 +968,171 @@ SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
        CAST(count(*) AS BIGINT) AS n_users
 FROM ud JOIN c USING (user_id)
 GROUP BY 1, 2"""
+
+
+# -------------------------------------------------- event-type affinity
+
+
+_AFFINITY_PARTS = 64
+
+
+def event_type_affinity(sf_dir: str):
+    """Market-basket pair support over users: for every unordered pair
+    of event types, how many DISTINCT users triggered both — the
+    level-2 A-priori itemset count that seeds recommendation and
+    anomaly ("users who X also Y") analyses.
+
+    Scale shape: per-batch DISTINCT (user, type) partials (Arrow
+    group_by dedup, 16-byte-ish rows) → ONE ``hash(user)``
+    co-partition so every user's type set is local → per-partition
+    vectorized pair expansion (≤ |types|² combinations per user, types
+    is a tiny closed set) folds to ≤ |types|² count partials per
+    partition → a tiny final groupby.  The in-partition dedup is
+    globally exact because a user lands in exactly one partition.
+
+    Output: ``(type_a, type_b, n_users)`` with type_a < type_b."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["user_id", "event_type"]).aggregate([]))
+        return g.append_column(
+            "part", stable_part(g, ["user_id"], _AFFINITY_PARTS))
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates(["user_id", "event_type"])
+        # |types| is a closed tiny set: pair space is types², counted
+        # via one merge per partition rather than per-user loops
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        g = (m.groupby(["event_type_x", "event_type_y"], sort=False)
+             .size().reset_index(name="n"))
+        return pd.DataFrame({
+            "type_a": g["event_type_x"].astype(str),
+            "type_b": g["event_type_y"].astype(str),
+            "n_users": g["n"].to_numpy(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(pairs, batch_format="pandas")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def event_type_affinity_sql() -> str:
+    return """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+GROUP BY 1, 2"""
+
+
+# ------------------------------------------- per-type value correlations
+
+
+def value_correlations(sf_dir: str):
+    """Pearson correlation between event types' DAILY value sums — the
+    metric-coupling audit ("do purchases track clicks?") over the event
+    stream.  All moments accumulate as EXACT integer cents; only the
+    final textbook formula runs in doubles, with the identical
+    expression on both engines (the ``percentiles_cont`` float-parity
+    convention), rounded to 6 dp.
+
+    Scale shape: per-batch (type, day, cents) partials → one tiny
+    (types × days)-bounded groupby → the pair moments fold on the
+    driver over that calendar-bounded table — no per-event data ever
+    co-locates.
+
+    Output: ``(type_a, type_b, n_days, corr)`` for days where BOTH
+    types have a sum (inner day join), type_a < type_b."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        cents = np.floor(t.column("value").to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "day": pa.array(day, pa.int64()),
+            "v": pa.array(cents, pa.int64()),
+        }).group_by(["event_type", "day"]).aggregate([("v", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "v": g.column("v_sum")})
+
+    per_day = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["event_type", "day"])
+               .aggregate(Sum("v", alias_name="v")))
+
+    series: dict[str, dict[int, int]] = {}
+    for t in arrow_blocks(per_day, stream=False):
+        for ty, d, v in zip(t.column("event_type").to_pylist(),
+                            t.column("day").to_numpy(),
+                            t.column("v").to_numpy()):
+            series.setdefault(ty, {})[int(d)] = int(v)
+
+    types = sorted(series)
+    ta, tb, ns, cs = [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            days = sorted(set(series[a]) & set(series[b]))
+            n = len(days)
+            if n < 2:
+                continue
+            x = [series[a][d] for d in days]
+            y = [series[b][d] for d in days]
+            sx, sy = sum(x), sum(y)
+            sxx = sum(v * v for v in x)
+            syy = sum(v * v for v in y)
+            sxy = sum(u * v for u, v in zip(x, y))
+            den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            if den2 <= 0:
+                continue
+            corr = (n * sxy - sx * sy) / math.sqrt(den2)
+            ta.append(a)
+            tb.append(b)
+            ns.append(n)
+            cs.append(round(corr, 6))
+    return pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "n_days": pa.array(ns, pa.int64()),
+        "corr": pa.array(cs, pa.float64()),
+    })
+
+
+def value_correlations_sql() -> str:
+    return """WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(a.v AS HUGEINT)) AS sx, sum(CAST(b.v AS HUGEINT)) AS sy,
+         sum(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+         sum(CAST(b.v AS HUGEINT) * b.v) AS syy,
+         sum(CAST(a.v AS HUGEINT) * b.v) AS sxy
+  FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                         AS DOUBLE)), 6) AS corr
+FROM p
+WHERE n_days >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0"""

@@ -1175,3 +1175,48 @@ a{i} AS MATERIALIZED (SELECT entity FROM d{i} WHERE deg >= {k})""")
             + f"""
 SELECT d.entity, d.deg FROM d{rounds} d
 JOIN a{rounds} a ON a.entity = d.entity""")
+
+
+# ------------------------------------------------- degree distribution
+
+
+def degree_distribution(sf_dir: str):
+    """Count-of-counts over total entity degree (in + out, distinct
+    edges): how many entities have degree d — the first thing a graph
+    audit plots (hub detection, power-law sanity).
+
+    Scale shape: rides :func:`entity_degree`'s partial-aggregate
+    groupby, then per-batch count-of-counts partials fold the entity
+    axis away (the ``term_freq_histogram`` shape) into a tiny final
+    groupby.
+
+    Output: ``(degree, n_entities)``."""
+    from ray.data.aggregate import Sum
+
+    deg = entity_degree(sf_dir)
+
+    def coc(t: pa.Table) -> pa.Table:
+        total = (t.column("out_deg").to_numpy()
+                 + t.column("in_deg").to_numpy())
+        g = pa.table({"degree": pa.array(total, pa.int64())}) \
+            .group_by("degree").aggregate([([], "count_all")])
+        return pa.table({
+            "degree": g.column("degree"),
+            "n_entities": pc.cast(g.column("count_all"), pa.int64())})
+
+    return (deg.map_batches(coc, batch_format="pyarrow")
+            .groupby("degree")
+            .aggregate(Sum("n_entities", alias_name="n_entities")))
+
+
+def degree_distribution_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import TRIPLES_SQL
+
+    return f"""WITH t AS MATERIALIZED ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj, obj FROM t),
+d AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT subj AS entity FROM e UNION ALL SELECT obj FROM e)
+  GROUP BY entity)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
+FROM d GROUP BY degree"""

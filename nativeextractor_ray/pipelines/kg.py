@@ -760,3 +760,77 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY minute ORDER BY n DESC, term) AS rn
       FROM counts)
 WHERE rn <= {k}"""
+
+
+def tool_transitions(sf_dir: str):
+    """Tool-chaining matrix: counts of (from_tool, to_tool) over
+    consecutive TOOL-BEARING turns within each conversation (empty-tool
+    turns are skipped, so the matrix reads "which tool follows which"
+    across the intervening chat) — the agent-workflow fingerprint that
+    complements :func:`turn_role_transitions`'s role matrix.
+
+    Scale shape: identical to the role matrix — prune to tool-bearing
+    turns map-side FIRST (a minority slice on agent corpora), one
+    hash(conv_id) shuffle of (conv, turn, tool), in-partition lexsort +
+    boundary-masked shift, ≤ tools² partial rows per partition.
+
+    Output: ``(from_tool, to_tool, n)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    ds = transcripts_dataset(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("tool"), "")
+        t = t.filter(keep)
+        tbl = pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "tool": t.column("tool"),
+        })
+        return tbl.append_column(
+            "part", stable_part(tbl, ["conv_id"], 64))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy()
+        order = np.lexsort((idx, conv))
+        conv_s = conv[order]
+        tool_s = df["tool"].to_numpy()[order]
+        if len(conv_s) < 2:
+            return pd_.DataFrame({"from_tool": [], "to_tool": [],
+                                  "n": np.array([], np.int64)})
+        same = conv_s[1:] == conv_s[:-1]
+        g = pd_.DataFrame({
+            "from_tool": tool_s[:-1][same],
+            "to_tool": tool_s[1:][same],
+        }).groupby(["from_tool", "to_tool"], sort=False).size().reset_index(
+            name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby(["from_tool", "to_tool"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def tool_transitions_sql() -> str:
+    from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"""WITH t AS ({TRANSCRIPTS_SQL}),
+w AS (
+  SELECT tool AS from_tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS to_tool
+  FROM t WHERE tool <> '')
+SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE to_tool IS NOT NULL
+GROUP BY 1, 2"""
