@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-4 additions — newest first:
+        "session_duration_quantiles": quantiles.session_duration_quantiles,
         "event_type_affinity": events.event_type_affinity,  # basket pairs
         "value_correlations": events.value_correlations,  # metric coupling
         "degree_distribution": graph.degree_distribution,  # graph audit
@@ -255,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "session_duration_quantiles":
+            quantiles.session_duration_quantiles_sql(),
         "event_type_affinity": events.event_type_affinity_sql(),
         "value_correlations": events.value_correlations_sql(),
         "degree_distribution": graph.degree_distribution_sql(),

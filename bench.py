@@ -385,6 +385,7 @@ def run_suite() -> dict:
         "value_correlations": ("nativeextractor_ray.pipelines.events", "value_correlations"),
         "degree_distribution": ("nativeextractor_ray.pipelines.graph", "degree_distribution"),
         "tool_transitions": ("nativeextractor_ray.pipelines.kg", "tool_transitions"),
+        "session_duration_quantiles": ("nativeextractor_ray.pipelines.quantiles", "session_duration_quantiles"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -568,3 +568,107 @@ SELECT m.event_type, m.median,
        max(CASE WHEN s2.r = CAST(ceil(0.5 * s2.n) AS BIGINT)
            THEN s2.absdev END) AS mad
 FROM s2 JOIN med m USING (event_type) GROUP BY 1, 2"""
+
+
+# ------------------------------------------- session-duration quantiles
+
+
+SESSION_QS = (0.5, 0.9)
+#: the test events are sparse (~1 event/user/11 h), so the default gap
+#: here is 12 h — wide enough that sessions span multiple events and the
+#: quantiles discriminate; events_sessionized keeps the classic 30 min
+SESSION_Q_GAP_US = 12 * 3600 * 1_000_000
+
+
+def session_duration_quantiles(sf_dir: str, qs=SESSION_QS,
+                               gap_us: int = SESSION_Q_GAP_US):
+    """Exact quantiles of per-session DURATION (µs) — the engagement
+    statistic over the sessionized event stream, and the engine's
+    demonstration that the refinement kernel composes over a DERIVED
+    table (sessions exist only as a streaming intermediate, never on
+    disk).
+
+    Scale shape: ONE hash(user) co-partition sessionizes vectorized
+    (the :func:`~nativeextractor_ray.pipelines.events.events_sessionized`
+    kernel — session starts where the 30-min gap rule fires), folds
+    each partition to (session) duration rows, and the exact
+    histogram-refinement kernel (R+1 streaming scans, no global sort)
+    selects the order statistics.  Durations are integer µs, exact in
+    float64.
+
+    Output: ``(q, dur_us)``."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        from nativeextractor_ray.functions.hashing import stable_part
+
+        tbl = pa.table({"user_id": t.column("user_id"),
+                        "ts": t.column("ts")})
+        return tbl.append_column(
+            "part", stable_part(tbl, ["user_id"], 64))
+
+    def durations(part: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(part):
+            return pd.DataFrame({"dur_us": pd.Series([], dtype=np.float64)})
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        uid = part["user_id"].to_numpy()
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(len(part), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(part), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) >= gap_us
+        starts = new_user | gap
+        sess = np.cumsum(starts)
+        df = pd.DataFrame({"sess": sess, "ts": ts})
+        g = df.groupby("sess", sort=False)["ts"].agg(["min", "max"])
+        return pd.DataFrame({
+            "dur_us": (g["max"] - g["min"]).to_numpy(np.float64)})
+
+    sessions = (ds.map_batches(add_part, batch_format="pyarrow")
+                .groupby("part").map_groups(durations,
+                                            batch_format="pandas"))
+    got = _exact_quantiles(sessions, "dur_us", qs)
+    qs_sorted = sorted(q for _, q in got)
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(qs_sorted, pa.float64()),
+        "dur_us": pa.array([got[("", q)] for q in qs_sorted],
+                           pa.float64()),
+    }))
+
+
+def session_duration_quantiles_sql(qs=SESSION_QS,
+                                   gap_us: int = SESSION_Q_GAP_US) -> str:
+    vals = ", ".join(f"({q})" for q in sorted(qs))
+    return f"""WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                 >= {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m),
+d AS (
+  SELECT CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) AS dur_us
+  FROM s GROUP BY user_id, sess),
+r AS (
+  SELECT dur_us, row_number() OVER (ORDER BY dur_us) AS r,
+         count(*) OVER () AS n
+  FROM d)
+SELECT CAST(q AS DOUBLE) AS q, dur_us
+FROM (VALUES {vals}) AS qs(q)
+JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""

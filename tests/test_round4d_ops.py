@@ -118,3 +118,29 @@ def test_tool_transitions_skips_empty(ray_session):
         columns=["from_tool", "to_tool", "n"])
         .sort_values(["from_tool", "to_tool"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_duration_quantiles_planted(ray_session, tmp_path):
+    """Sessions break at the gap; durations are last-first; the exact
+    kernel picks rank ceil(q*n)."""
+    rows = [
+        # u1: session A 00:00->00:10 (600s), then 13h gap, session B
+        # 13:10->13:15 (300s)
+        (1, "u1", "2024-01-01T00:00:00", "c", 1),
+        (2, "u1", "2024-01-01T00:10:00", "c", 1),
+        (3, "u1", "2024-01-01T13:10:00", "c", 1),
+        (4, "u1", "2024-01-01T13:15:00", "c", 1),
+        # u2: one singleton session (0s)
+        (5, "u2", "2024-01-01T00:00:00", "c", 1),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from nativeextractor_ray.pipelines.quantiles import (
+        session_duration_quantiles)
+
+    got = _df(session_duration_quantiles(
+        sf, qs=(0.5, 1.0), gap_us=12 * 3600 * 1_000_000)).sort_values(
+        "q").reset_index(drop=True)
+    # durations sorted: [0, 300s, 600s]; p50 -> rank 2 (300s),
+    # p100 -> rank 3 (600s)
+    assert list(got["q"]) == [0.5, 1.0]
+    assert list(got["dur_us"]) == [300e6, 600e6]
