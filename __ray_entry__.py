@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-4 additions — newest first:
+        "curriculum_assign": curation.curriculum_assign,  # stage buckets
         "session_duration_quantiles": quantiles.session_duration_quantiles,
         "event_type_affinity": events.event_type_affinity,  # basket pairs
         "value_correlations": events.value_correlations,  # metric coupling
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "curriculum_assign": curation.curriculum_assign_sql(),
         "session_duration_quantiles":
             quantiles.session_duration_quantiles_sql(),
         "event_type_affinity": events.event_type_affinity_sql(),

@@ -386,6 +386,7 @@ def run_suite() -> dict:
         "degree_distribution": ("nativeextractor_ray.pipelines.graph", "degree_distribution"),
         "tool_transitions": ("nativeextractor_ray.pipelines.kg", "tool_transitions"),
         "session_duration_quantiles": ("nativeextractor_ray.pipelines.quantiles", "session_duration_quantiles"),
+        "curriculum_assign": ("nativeextractor_ray.pipelines.curation", "curriculum_assign"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

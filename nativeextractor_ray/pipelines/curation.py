@@ -1226,3 +1226,75 @@ FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= {k}"""
+
+
+# ------------------------------------------------- curriculum assignment
+
+
+CURRICULUM_STAGES = 4
+
+
+def curriculum_assign(sf_dir: str, stages: int = CURRICULUM_STAGES):
+    """Curriculum-learning stage assignment: documents bucket into
+    ``stages`` difficulty tiers by whitespace token count (the standard
+    short→long curriculum), with tier edges at EXACT corpus quantiles —
+    every doc gets a deterministic ``stage`` in 1..stages.
+
+    Scale shape: the exact histogram-refinement kernel
+    (:mod:`~nativeextractor_ray.pipelines.quantiles`) selects the
+    stage-edge order statistics in R+1 streaming scans (no sort); the
+    assignment is then ONE more streaming map against the ≤ stages−1
+    broadcast edges.  A doc with ``n_tokens`` ≤ edge_i belongs to the
+    first such stage (edges at ranks ``ceil(i·n/stages)``).
+
+    Output: ``(doc_id, n_tokens, stage)``."""
+    from nativeextractor_ray.pipelines.quantiles import _exact_quantiles
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        # count \S+ runs directly — a trim+split would miscount the
+        # empty/whitespace-only document (1 vs the oracle's 0)
+        n = pc.count_substring_regex(t.column("text"), r"\S+")
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_tokens": pc.cast(n, pa.int64())})
+
+    counted = ds.map_batches(toks, batch_format="pyarrow").materialize()
+
+    qs = tuple(i / stages for i in range(1, stages))
+    got = _exact_quantiles(counted, "n_tokens", qs)
+    edges = [got[("", q)] for q in sorted(q for _, q in got)]
+
+    def assign(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy()
+        stage = np.ones(len(n), np.int64) * len(edges)
+        # first edge with n <= edge wins; above all edges -> last stage
+        for i in range(len(edges) - 1, -1, -1):
+            stage[n <= edges[i]] = i
+        return t.append_column("stage", pa.array(stage + 1, pa.int64()))
+
+    return counted.map_batches(assign, batch_format="pyarrow")
+
+
+def curriculum_assign_sql(stages: int = CURRICULUM_STAGES) -> str:
+    edge_ranks = ", ".join(
+        f"(SELECT n_tokens FROM r WHERE r.r = CAST(ceil({i}.0 * "
+        f"(SELECT n FROM cnt) / {stages}) AS BIGINT)) AS e{i}"
+        for i in range(1, stages))
+    case = " ".join(
+        f"WHEN n_tokens <= (SELECT e{i} FROM edges) THEN {i}"
+        for i in range(1, stages))
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS r
+      FROM toks),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+edges AS (SELECT {edge_ranks})
+SELECT doc_id, n_tokens,
+       CAST(CASE {case} ELSE {stages} END AS BIGINT) AS stage
+FROM toks"""

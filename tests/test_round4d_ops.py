@@ -144,3 +144,24 @@ def test_session_duration_quantiles_planted(ray_session, tmp_path):
     # p100 -> rank 3 (600s)
     assert list(got["q"]) == [0.5, 1.0]
     assert list(got["dur_us"]) == [300e6, 600e6]
+
+
+def test_curriculum_assign_planted(ray_session, tmp_path):
+    """Edges at exact quantile ranks; boundary docs take the FIRST
+    qualifying stage; empty text counts zero tokens."""
+    texts = ["a", "a b", "a b c", "a b c d", "", "a b c d e f"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    from nativeextractor_ray.pipelines.curation import curriculum_assign
+
+    got = _df(curriculum_assign(str(tmp_path), stages=2)).sort_values(
+        "doc_id").reset_index(drop=True)
+    # token counts: 1, 2, 3, 4, 0, 6 -> sorted 0 1 2 3 4 6; median edge
+    # at rank ceil(6/2)=3 -> value 2; stage 1 iff n_tokens <= 2
+    assert list(got["n_tokens"]) == [1, 2, 3, 4, 0, 6]
+    assert list(got["stage"]) == [1, 1, 2, 2, 1, 2]
