@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row) come FIRST this round (VERDICT r2 item 4).
     q: dict[str, Callable[[str], Any]] = {
         # round-4 additions — newest first:
+        "dup_cluster_sizes": dedup.dup_cluster_sizes,  # dedup post-mortem
+        "sampled_value_quantiles": quantiles.sampled_value_quantiles,
         "curriculum_assign": curation.curriculum_assign,  # stage buckets
         "session_duration_quantiles": quantiles.session_duration_quantiles,
         "event_type_affinity": events.event_type_affinity,  # basket pairs
@@ -257,6 +259,8 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import windows
 
     sqls = {
+        "dup_cluster_sizes": dedup.dup_cluster_sizes_sql(),
+        "sampled_value_quantiles": quantiles.sampled_value_quantiles_sql(),
         "curriculum_assign": curation.curriculum_assign_sql(),
         "session_duration_quantiles":
             quantiles.session_duration_quantiles_sql(),

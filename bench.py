@@ -387,6 +387,8 @@ def run_suite() -> dict:
         "tool_transitions": ("nativeextractor_ray.pipelines.kg", "tool_transitions"),
         "session_duration_quantiles": ("nativeextractor_ray.pipelines.quantiles", "session_duration_quantiles"),
         "curriculum_assign": ("nativeextractor_ray.pipelines.curation", "curriculum_assign"),
+        "dup_cluster_sizes": ("nativeextractor_ray.pipelines.dedup", "dup_cluster_sizes"),
+        "sampled_value_quantiles": ("nativeextractor_ray.pipelines.quantiles", "sampled_value_quantiles"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -1801,3 +1801,57 @@ SELECT d.doc_id,
        COALESCE(r.max_jaccard, 0.0) AS max_jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0) d
 LEFT JOIN rollup r USING (doc_id)"""
+
+
+# ------------------------------------------------ dup-cluster size audit
+
+
+def dup_cluster_sizes(sf_dir: str, threshold: float = 0.5,
+                      shingle_n: int = 3):
+    """Near-dup cluster-size histogram: how many clusters have exactly
+    ``s`` members — the dedup post-mortem that distinguishes a corpus of
+    pairwise copies (sizes ≈ 2) from template farms (heavy tail), and
+    sizes the keep-list savings before committing to a drop.
+
+    Scale shape: rides :func:`dedup_clusters` (all its gates apply);
+    per-batch (cluster_id, n) Arrow partials → one cluster-keyed
+    groupby → count-of-counts folds the cluster axis away (the
+    ``term_freq_histogram`` shape).  Singleton documents are excluded —
+    the histogram reads over ACTUAL dup clusters (size ≥ 2).
+
+    Output: ``(cluster_size, n_clusters)``."""
+    from ray.data.aggregate import Sum
+
+    clusters = dedup_clusters(sf_dir, threshold, shingle_n)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["cluster_id"]).group_by("cluster_id")
+             .aggregate([([], "count_all")]))
+        return pa.table({
+            "cluster_id": pc.cast(g.column("cluster_id"), pa.int64()),
+            "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    sizes = (clusters.map_batches(partial, batch_format="pyarrow")
+             .groupby("cluster_id").aggregate(Sum("n", alias_name="n")))
+
+    def coc(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        keep = n >= 2
+        g = (pa.table({"cluster_size": pa.array(n[keep], pa.int64())})
+             .group_by("cluster_size").aggregate([([], "count_all")]))
+        return pa.table({
+            "cluster_size": g.column("cluster_size"),
+            "n_clusters": pc.cast(g.column("count_all"), pa.int64())})
+
+    return (sizes.map_batches(coc, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+
+
+def dup_cluster_sizes_sql(threshold: float = 0.5,
+                          shingle_n: int = 3) -> str:
+    return f"""WITH base AS ({dedup_clusters_sql(threshold, shingle_n)}),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+       FROM base GROUP BY cluster_id)
+SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz WHERE n >= 2 GROUP BY n"""

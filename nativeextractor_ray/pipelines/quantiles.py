@@ -672,3 +672,68 @@ r AS (
 SELECT CAST(q AS DOUBLE) AS q, dur_us
 FROM (VALUES {vals}) AS qs(q)
 JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""
+
+
+# --------------------------------------- sampled (approximate) quantiles
+
+
+SAMPLE_MOD = 4
+SAMPLE_QS = (0.5, 0.9, 0.99)
+
+
+def sampled_value_quantiles(sf_dir: str, qs=SAMPLE_QS,
+                            mod: int = SAMPLE_MOD):
+    """Approximate quantiles by DETERMINISTIC sampling: exact order
+    statistics of the ``md5(event_id) % mod == 0`` sample — the scale
+    path when even R+1 full refinement scans are too many (sample once,
+    quantile the 1/mod slice).  Unlike a random sample, the md5 gate is
+    a pure function of the row, so the result is reproducible, append-
+    stable, and EXACTLY replayable in SQL — the error bound is the
+    classic sample-quantile one, but the check is exact.
+
+    Scale shape: one streaming sample map (no RNG state, no
+    coordination) feeding the exact refinement kernel over the 1/mod
+    slice.
+
+    Output: ``(q, value)``."""
+    import hashlib
+
+    import ray.data
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                            "little") for i in ids),
+            np.uint64, count=len(ids))
+        keep = (h % mod) == 0
+        return pa.table({
+            "value": pa.array(t.column("value").to_numpy()[keep],
+                              pa.float64())})
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    got = _exact_quantiles(sampled, "value", qs)
+    qs_sorted = sorted(q for _, q in got)
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(qs_sorted, pa.float64()),
+        "value": pa.array([got[("", q)] for q in qs_sorted],
+                          pa.float64()),
+    }))
+
+
+def sampled_value_quantiles_sql(qs=SAMPLE_QS,
+                                mod: int = SAMPLE_MOD) -> str:
+    vals = ", ".join(f"({q})" for q in sorted(qs))
+    return f"""WITH s AS (
+  SELECT value FROM events
+  WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % {mod} = 0),
+r AS (SELECT value, row_number() OVER (ORDER BY value) AS r,
+             count(*) OVER () AS n
+      FROM s)
+SELECT CAST(q AS DOUBLE) AS q, value
+FROM (VALUES {vals}) AS qs(q)
+JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""
