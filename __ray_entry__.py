@@ -60,7 +60,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hash-checked (r2: pack_sequences, curation_e2e, training_batches and
     # the mentions_* family — in-repo oracle-parity green, but no driver
     # row) come FIRST this round (VERDICT r2 item 4).
+    from nativeextractor_ray.pipelines import skyline, ssjoin
+
     q: dict[str, Callable[[str], Any]] = {
+        # round-4 (this session) additions — newest first:
+        "ssjoin_jaccard": ssjoin.ssjoin_jaccard,  # prefix-filter SSJoin
+        "peak_concurrency": events.peak_concurrency,  # sweep-line max
+        "skyline_orders": skyline.skyline_orders,  # Pareto frontier
+        "weighted_sample": curation.weighted_sample,  # priority sampling
+        "column_profile": audit.column_profile,  # ingest validation
+        "modal_value_by_type": events.modal_value_by_type,  # grouped mode
+        "event_path_trigrams": windows.event_path_trigrams,  # LEAD² n-grams
         # round-4 additions — newest first:
         "dup_cluster_sizes": dedup.dup_cluster_sizes,  # dedup post-mortem
         "sampled_value_quantiles": quantiles.sampled_value_quantiles,
@@ -258,7 +268,16 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import vectorstats
     from nativeextractor_ray.pipelines import windows
 
+    from nativeextractor_ray.pipelines import skyline, ssjoin
+
     sqls = {
+        "ssjoin_jaccard": ssjoin.ssjoin_jaccard_sql(),
+        "peak_concurrency": events.peak_concurrency_sql(),
+        "skyline_orders": skyline.skyline_orders_sql(),
+        "weighted_sample": curation.weighted_sample_sql(),
+        "column_profile": audit.column_profile_sql(),
+        "modal_value_by_type": events.modal_value_by_type_sql(),
+        "event_path_trigrams": windows.event_path_trigrams_sql(),
         "dup_cluster_sizes": dedup.dup_cluster_sizes_sql(),
         "sampled_value_quantiles": quantiles.sampled_value_quantiles_sql(),
         "curriculum_assign": curation.curriculum_assign_sql(),

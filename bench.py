@@ -389,6 +389,13 @@ def run_suite() -> dict:
         "curriculum_assign": ("nativeextractor_ray.pipelines.curation", "curriculum_assign"),
         "dup_cluster_sizes": ("nativeextractor_ray.pipelines.dedup", "dup_cluster_sizes"),
         "sampled_value_quantiles": ("nativeextractor_ray.pipelines.quantiles", "sampled_value_quantiles"),
+        "ssjoin_jaccard": ("nativeextractor_ray.pipelines.ssjoin", "ssjoin_jaccard"),
+        "peak_concurrency": ("nativeextractor_ray.pipelines.events", "peak_concurrency"),
+        "skyline_orders": ("nativeextractor_ray.pipelines.skyline", "skyline_orders"),
+        "weighted_sample": ("nativeextractor_ray.pipelines.curation", "weighted_sample"),
+        "column_profile": ("nativeextractor_ray.pipelines.audit", "column_profile"),
+        "modal_value_by_type": ("nativeextractor_ray.pipelines.events", "modal_value_by_type"),
+        "event_path_trigrams": ("nativeextractor_ray.pipelines.windows", "event_path_trigrams"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -323,3 +323,136 @@ SELECT user_id, n,
 FROM c, tot
 ORDER BY n DESC, user_id
 LIMIT {top_n}"""
+
+
+# --------------------------------------------------- column profiling
+
+
+#: profiled orders columns: (name, kind) — 'cents' converts the double
+#: price to exact integer cents before profiling
+PROFILE_COLS = [("o_custkey", "int"), ("o_totalprice", "cents"),
+                ("o_orderstatus", "str"), ("o_orderpriority", "str")]
+
+_PROFILE_PARTS = 64
+
+
+def column_profile(sf_dir: str):
+    """Per-column data-quality profile of ``orders`` — row count, null
+    count, EXACT distinct count, min and max (rendered as VARCHAR so one
+    schema carries mixed column types) — the ingest-validation report a
+    lakehouse runs before accepting a drop.
+
+    Scale shape: scalar stats (n/nulls/min/max) fold to ONE partial row
+    per column per batch and finish on the driver (columns are bounded);
+    the exact distinct counts use the ``daily_active_users`` combiner —
+    per-batch DISTINCT (column, value-hash) 16-byte partials, one
+    composite groupby dedups globally, per-column recount partials sum in
+    a tiny final groupby.  The values themselves never shuffle.
+
+    Output: ``(column, n_rows, n_null, n_distinct, min_v, max_v)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "orders", [c for c, _ in PROFILE_COLS])
+
+    def _col_values(t: pa.Table, name: str, kind: str) -> pa.Array:
+        col = t.column(name)
+        if kind == "cents":
+            col = pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)),
+                          pa.int64())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for name, kind in PROFILE_COLS:
+            col = _col_values(t, name, kind)
+            valid = len(col) - col.null_count
+            mn = pc.min(col).as_py() if valid else None
+            mx = pc.max(col).as_py() if valid else None
+            rows.append({"column": name, "n_rows": len(col),
+                         "n_null": col.null_count,
+                         "min_v": None if mn is None else str(mn),
+                         "max_v": None if mx is None else str(mx)})
+        return pa.Table.from_pylist(rows)
+
+    scal = [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+            for b in ray.get(
+                ds.map_batches(scalar_partial, batch_format="pyarrow")
+                .to_arrow_refs())]
+    scal = [x for x in scal if x.num_rows]
+    sdf = pa.concat_tables(scal, promote_options="default").to_pandas()
+    folded = (sdf.groupby("column", sort=False)
+              .agg(n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
+                   min_v=("min_v", "min"), max_v=("max_v", "max"))
+              .reset_index())
+    # string min/max over stringified ints is wrong — min/max computed on
+    # the TYPED values per batch; the driver fold re-compares the batch
+    # winners typed-wise
+    typed_min, typed_max = {}, {}
+    for _, r in sdf.iterrows():
+        name = r["column"]
+        kind = dict(PROFILE_COLS)[name]
+        for v, store, cmp_ in ((r["min_v"], typed_min, min),
+                               (r["max_v"], typed_max, max)):
+            if v is None:
+                continue
+            tv = int(v) if kind in ("int", "cents") else v
+            store[name] = tv if name not in store else cmp_(store[name], tv)
+    folded["min_v"] = folded["column"].map(
+        lambda c: None if c not in typed_min else str(typed_min[c]))
+    folded["max_v"] = folded["column"].map(
+        lambda c: None if c not in typed_max else str(typed_max[c]))
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for name, kind in PROFILE_COLS:
+            col = _col_values(t, name, kind)
+            u = pc.unique(pc.cast(col.drop_null(), pa.string()))
+            outs.append(pa.table({
+                "column": pa.array([name] * len(u), pa.string()),
+                "v": u}))
+        out = pa.concat_tables(outs, promote_options="default")
+        return out.append_column(
+            "part", stable_part(out, ["column", "v"], _PROFILE_PARTS))
+
+    def recount(df: "pd.DataFrame") -> "pd.DataFrame":
+        ded = df.drop_duplicates(["column", "v"])
+        vc = ded.groupby("column", sort=False).size()
+        return pd.DataFrame({"column": vc.index.to_numpy(object),
+                             "n_distinct": vc.to_numpy(np.int64)})
+
+    nd = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+          .groupby("part").map_groups(recount, batch_format="pandas")
+          .groupby("column").aggregate(Sum("n_distinct",
+                                           alias_name="n_distinct")))
+    ndf = pa.concat_tables(
+        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+         for b in ray.get(nd.to_arrow_refs())],
+        promote_options="default").to_pandas()
+    out = folded.merge(ndf, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return out[["column", "n_rows", "n_null", "n_distinct",
+                "min_v", "max_v"]]
+
+
+def column_profile_sql() -> str:
+    legs = []
+    for name, kind in PROFILE_COLS:
+        expr = (f"CAST(floor({name} * 100.0 + 0.5) AS BIGINT)"
+                if kind == "cents" else name)
+        legs.append(f"""SELECT '{name}' AS column,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER ({expr} IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(min({expr}) AS VARCHAR) AS min_v,
+       CAST(max({expr}) AS VARCHAR) AS max_v
+FROM orders""")
+    return "\nUNION ALL\n".join(legs)

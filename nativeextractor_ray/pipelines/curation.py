@@ -1298,3 +1298,82 @@ edges AS (SELECT {edge_ranks})
 SELECT doc_id, n_tokens,
        CAST(CASE {case} ELSE {stages} END AS BIGINT) AS stage
 FROM toks"""
+
+
+# -------------------------------------------- weighted priority sampling
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
+    """Deterministic weight-proportional sample of ``documents`` —
+    priority sampling (Duffield–Lund–Thorup, JACM'07): each doc draws a
+    pseudo-uniform ``u`` from its id hash and gets priority ``u / w``
+    (weight ``w`` = ``n_chars``); the ``k`` SMALLEST priorities win, so
+    heavier docs are proportionally likelier to be kept, yet the sample
+    is fully reproducible and append-stable (no RNG state — the
+    ``sample_k_per_source`` economics with weights).
+
+    Cross-engine exactness: ``u`` is the md5 lower-64 shifted to 53 bits
+    (+1, never zero) — an EXACT integer both engines hold; the priority
+    is ONE double division of that integer by the integer weight, and
+    IEEE-754 division is correctly rounded, so numpy and DuckDB produce
+    bit-identical doubles (unlike ``ln``/``pow``, which are libm-
+    dependent and deliberately avoided).
+
+    Scale shape: k-smallest is associative — every block folds to ≤ k
+    rows map-side, the union (blocks × k) resolves once on the driver.
+    No shuffle.
+
+    Output: ``(doc_id, weight, priority)`` — the k winners."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        w = t.column("n_chars").to_numpy()
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[8:16], "little")
+             for i in ids),
+            dtype=np.uint64, count=len(ids))
+        u = (h >> np.uint64(11)).astype(np.float64) + 1.0
+        pri = u / w.astype(np.float64)
+        order = np.lexsort((ids, pri))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "weight": pa.array(w[order].astype(np.int64)),
+            "priority": pa.array(pri[order])})
+
+    local = ds.map_batches(partial, batch_format="pyarrow")
+    parts = [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+             for b in ray.get(local.to_arrow_refs())]
+    parts = [x for x in parts if x.num_rows]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.int64()),
+                         "priority": pa.array([], pa.float64())})
+    t = pa.concat_tables(parts, promote_options="default")
+    pri = t.column("priority").to_numpy()
+    ids = t.column("doc_id").to_numpy()
+    order = np.lexsort((ids, pri))[:k]
+    return t.take(pa.array(order))
+
+
+def weighted_sample_sql(k: int = WEIGHTED_SAMPLE_K) -> str:
+    return f"""SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) // 2048 + 1 AS DOUBLE)
+         / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority, doc_id
+LIMIT {k}"""

@@ -1136,3 +1136,207 @@ SELECT type_a, type_b, n_days,
                          AS DOUBLE)), 6) AS corr
 FROM p
 WHERE n_days >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0"""
+
+
+# ------------------------------------------------- sweep-line concurrency
+
+
+def peak_concurrency(sf_dir: str):
+    """Peak number of simultaneously-active sessions across the whole
+    event stream, plus the first instant it is reached — the capacity-
+    planning statistic (how many concurrent agent sessions must the
+    serving fleet hold?).  A session is the same 30-min-gap burst as
+    :func:`events_sessionized`; it is active on the closed interval
+    ``[min ts, max ts]`` of its events.
+
+    This is the classic SWEEP-LINE over interval endpoints, and the
+    running maximum of a ±1 stream is a GLOBAL prefix computation — the
+    one shape that genuinely needs a total order.  Scale shape:
+
+    1. session bounds from ONE hash(user) co-partition (vectorized, the
+       sessionization kernel) — each session folds to two 32-byte
+       endpoint rows, so the sweep input is O(sessions), not O(events);
+    2. one narrow sort shuffle establishes the (ts, delta DESC) total
+       order — starts sort before ends at the same instant (sessions are
+       CLOSED intervals, active through their last event), so two
+       sessions touching at a point DO count as concurrent;
+    3. the pack_sequences two-pass prefix: per sorted block, ONE partial
+       row (first key, block sum, local max-prefix, first ts attaining
+       it) goes to the driver; running offsets make every local max a
+       global candidate — ``global_max = max(offset_b + lmax_b)`` and the
+       first block attaining it holds the first instant (any earlier
+       block's prefix there would exceed its own local max, impossible).
+
+    Output: one row ``(peak_sessions, first_peak_us)``."""
+    import ray
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "upart", pa.array(t.column("user_id").to_numpy() % 256))
+
+    def bounds_part(part: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        uid = part["user_id"].to_numpy()
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(len(part), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(part), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) >= SESSION_GAP_US
+        starts = new_user | gap
+        sess = np.cumsum(starts)
+        df = pd.DataFrame({"user_id": uid, "sess": sess, "ts": ts})
+        b = (df.groupby(["user_id", "sess"], sort=False)["ts"]
+             .agg(["min", "max"]).reset_index())
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "sess": b["sess"].to_numpy(np.int64),
+            "st": b["min"].to_numpy(np.int64),
+            "en": b["max"].to_numpy(np.int64)})
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        st = t.column("st").to_numpy(zero_copy_only=False)
+        en = t.column("en").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        sess = t.column("sess").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tu": pa.array(np.concatenate([st, en])),
+            "delta": pa.array(np.concatenate(
+                [np.ones(len(st), np.int64), -np.ones(len(en), np.int64)])),
+            "uid": pa.array(np.concatenate([uid, uid])),
+            "sess": pa.array(np.concatenate([sess, sess]))})
+
+    ordered = (ds.map_batches(add_part, batch_format="pyarrow")
+               .groupby("upart")
+               .map_groups(bounds_part, batch_format="pandas")
+               .map_batches(endpoints, batch_format="pyarrow")
+               .sort(["tu", "delta", "uid", "sess"],
+                     descending=[False, True, False, False]).materialize())
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k0": pa.array([], pa.int64()),
+                             "k1": pa.array([], pa.int64()),
+                             "k2": pa.array([], pa.int64()),
+                             "k3": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64()),
+                             "lmax": pa.array([], pa.int64()),
+                             "lmax_ts": pa.array([], pa.int64())})
+        d = t.column("delta").to_numpy(zero_copy_only=False)
+        tu = t.column("tu").to_numpy(zero_copy_only=False)
+        pref = np.cumsum(d)
+        lmax = int(pref.max())
+        first = int(np.argmax(pref == lmax))
+        return pa.table({
+            "k0": pa.array([int(tu[0])], pa.int64()),
+            "k1": pa.array([int(d[0])], pa.int64()),
+            "k2": pa.array([int(t.column("uid")[0].as_py())], pa.int64()),
+            "k3": pa.array([int(t.column("sess")[0].as_py())], pa.int64()),
+            "total": pa.array([int(pref[-1])], pa.int64()),
+            "lmax": pa.array([lmax], pa.int64()),
+            "lmax_ts": pa.array([int(tu[first])], pa.int64())})
+
+    import pandas as pd
+
+    partials = sorted(
+        ((r["k0"], -r["k1"], r["k2"], r["k3"]),
+         r["total"], r["lmax"], r["lmax_ts"])
+        for r in ordered.map_batches(block_partial, batch_format="pyarrow",
+                                     batch_size=None).take_all())
+    peak, peak_ts, acc = None, None, 0
+    for _key, total, lmax, lmax_ts in partials:
+        cand = acc + lmax
+        if peak is None or cand > peak:
+            peak, peak_ts = cand, lmax_ts
+        acc += total
+    return pd.DataFrame({"peak_sessions": pd.array([peak], dtype="int64"),
+                         "first_peak_us": pd.array([peak_ts], dtype="int64")})
+
+
+def peak_concurrency_sql() -> str:
+    return """WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTES
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o),
+b AS (
+  SELECT user_id, session_id, epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+  FROM s GROUP BY 1, 2),
+d AS (
+  SELECT st AS tu, 1 AS delta FROM b
+  UNION ALL
+  SELECT en AS tu, -1 AS delta FROM b),
+run AS (
+  SELECT tu, sum(delta) OVER (ORDER BY tu, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS c
+  FROM d)
+SELECT CAST((SELECT max(c) FROM run) AS BIGINT) AS peak_sessions,
+       CAST((SELECT min(tu) FROM run
+             WHERE c = (SELECT max(c) FROM run)) AS BIGINT) AS first_peak_us"""
+
+
+# ------------------------------------------------------- modal value
+
+
+def modal_value_by_type(sf_dir: str):
+    """Per-event-type MODE of the value (integer cents): the most
+    frequent amount, ties resolved to the smallest — the 'default price
+    point' detector for billing audits.
+
+    Scale shape: per-batch (type, cents) Arrow count partials → ONE
+    composite groupby makes counts exact → per-type argmax resolves in a
+    types-bounded pandas pass.  Output: ``(event_type, cents, n)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("value"), 100.0), 0.5)), pa.int64())
+        g = (pa.table({"event_type": t.column("event_type"),
+                       "cents": cents})
+             .group_by(["event_type", "cents"])
+             .aggregate([("cents", "count")]))
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "n": pc.cast(g.column("cents_count"), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "cents"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def argmax(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["n", "cents"], ascending=[False, True],
+                            kind="stable")
+        return df.head(1)[["event_type", "cents", "n"]]
+
+    return counts.groupby("event_type").map_groups(
+        argmax, batch_format="pandas")
+
+
+def modal_value_by_type_sql() -> str:
+    return """WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, cents, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, cents ASC) AS rn
+  FROM c)
+SELECT event_type, cents, n FROM r WHERE rn = 1"""

@@ -765,3 +765,65 @@ SELECT event_type,
                          THEN prev_max - ts_us END), 0) AS BIGINT
        ) AS max_lateness_us
 FROM w GROUP BY event_type"""
+
+
+# --------------------------------------------- sequential path n-grams
+
+
+def event_path_trigrams(sf_dir: str):
+    """Per-user consecutive event-type TRIGRAM counts — the sequential-
+    pattern statistic behind "what do users do right before churning/
+    converting" funnels (n-gram mining over per-key ordered streams,
+    double-LEAD shape).
+
+    Scale shape: the per-key windows' single hash(user) shuffle over
+    pruned (user, ts, event_id, type); in-partition lexsort + two shifts
+    masked at user-run boundaries fold each partition to ≤ |types|³
+    partial rows; one tiny final groupby sums.  Output:
+    ``(t1, t2, t3, n)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "upart", pa.array(t.column("user_id").to_numpy() % 256))
+
+    def tri_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        typ = df["event_type"].to_numpy()
+        n = len(df)
+        if n < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [], "n": []})
+        same = (uid[2:] == uid[:-2])
+        t1, t2, t3 = typ[:-2][same], typ[1:-1][same], typ[2:][same]
+        out = (pd.DataFrame({"t1": t1, "t2": t2, "t3": t3})
+               .groupby(["t1", "t2", "t3"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("upart")
+            .map_groups(tri_partial, batch_format="pandas")
+            .groupby(["t1", "t2", "t3"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def event_path_trigrams_sql() -> str:
+    return """WITH s AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3"""
