@@ -60,10 +60,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hash-checked (r2: pack_sequences, curation_e2e, training_batches and
     # the mentions_* family — in-repo oracle-parity green, but no driver
     # row) come FIRST this round (VERDICT r2 item 4).
-    from nativeextractor_ray.pipelines import skyline, ssjoin
+    from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "snapshot_compact": versioned.snapshot_compact,  # MERGE latest-wins
+        "snapshot_diff": versioned.snapshot_diff,  # cross-version diff
+        "table_checksums": audit.table_checksums,  # anti-entropy audit
+        "conversion_latency_quantiles":
+            quantiles.conversion_latency_quantiles,  # funnel latency
         "ssjoin_jaccard": ssjoin.ssjoin_jaccard,  # prefix-filter SSJoin
         "peak_concurrency": events.peak_concurrency,  # sweep-line max
         "skyline_orders": skyline.skyline_orders,  # Pareto frontier
@@ -268,9 +273,14 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import vectorstats
     from nativeextractor_ray.pipelines import windows
 
-    from nativeextractor_ray.pipelines import skyline, ssjoin
+    from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "snapshot_compact": versioned.snapshot_compact_sql(),
+        "snapshot_diff": versioned.snapshot_diff_sql(),
+        "table_checksums": audit.table_checksums_sql(),
+        "conversion_latency_quantiles":
+            quantiles.conversion_latency_quantiles_sql(),
         "ssjoin_jaccard": ssjoin.ssjoin_jaccard_sql(),
         "peak_concurrency": events.peak_concurrency_sql(),
         "skyline_orders": skyline.skyline_orders_sql(),

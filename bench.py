@@ -396,6 +396,10 @@ def run_suite() -> dict:
         "column_profile": ("nativeextractor_ray.pipelines.audit", "column_profile"),
         "modal_value_by_type": ("nativeextractor_ray.pipelines.events", "modal_value_by_type"),
         "event_path_trigrams": ("nativeextractor_ray.pipelines.windows", "event_path_trigrams"),
+        "snapshot_compact": ("nativeextractor_ray.pipelines.versioned", "snapshot_compact"),
+        "snapshot_diff": ("nativeextractor_ray.pipelines.versioned", "snapshot_diff"),
+        "table_checksums": ("nativeextractor_ray.pipelines.audit", "table_checksums"),
+        "conversion_latency_quantiles": ("nativeextractor_ray.pipelines.quantiles", "conversion_latency_quantiles"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -456,3 +456,79 @@ def column_profile_sql() -> str:
        CAST(max({expr}) AS VARCHAR) AS max_v
 FROM orders""")
     return "\nUNION ALL\n".join(legs)
+
+
+# ----------------------------------------------------- table checksums
+
+
+#: (table, [columns folded into the row rendering]) — the pk plus the
+#: most mutation-prone attribute, '|'-joined
+CHECKSUM_TABLES = [
+    ("region", ["r_regionkey", "r_name"]),
+    ("nation", ["n_nationkey", "n_name"]),
+    ("customer", ["c_custkey", "c_mktsegment"]),
+    ("supplier", ["s_suppkey", "s_name"]),
+    ("part", ["p_partkey", "p_brand"]),
+]
+
+_CKS_MOD = 2305843009213693951  # 2^61 - 7, fits BIGINT after mod
+
+
+def table_checksums(sf_dir: str):
+    """Order-independent content checksum + row count per table — the
+    anti-entropy audit a replicated lakehouse runs after a migration or
+    backfill (two replicas agree iff every row agrees, independent of
+    row order and partitioning).
+
+    Checksum = Σ md5-lower-64(col1 || '|' || col2) over rows, mod
+    2⁶¹−7 — addition is commutative/associative, so per-batch partial
+    sums fold map-side and ONE scalar per (table, block) reaches the
+    driver.  Zero shuffle, zero row movement.
+
+    Output: ``(tbl, n_rows, checksum)``."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    rows = []
+    for tbl, cols in CHECKSUM_TABLES:
+        ds = read_table(sf_dir, tbl, cols)
+
+        def partial(t: pa.Table, cols=cols) -> pa.Table:
+            rendered = pc.binary_join_element_wise(
+                *[pc.cast(t.column(c), pa.string()) for c in cols], "|")
+            if isinstance(rendered, pa.ChunkedArray):
+                rendered = rendered.combine_chunks()
+            acc = 0
+            for s in rendered.to_pylist():
+                acc += int.from_bytes(
+                    hashlib.md5(s.encode()).digest()[8:16], "little")
+            return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                             "h": pa.array([acc % _CKS_MOD], pa.int64())})
+
+        parts = [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame)
+                 else b
+                 for b in ray.get(
+                     ds.map_batches(partial, batch_format="pyarrow")
+                     .to_arrow_refs())]
+        parts = [x for x in parts if x.num_rows]
+        n = sum(int(pc.sum(x.column("n")).as_py()) for x in parts)
+        h = sum(int(v) for x in parts
+                for v in x.column("h").to_pylist()) % _CKS_MOD
+        rows.append({"tbl": tbl, "n_rows": n, "checksum": h})
+    return pd.DataFrame(rows)
+
+
+def table_checksums_sql() -> str:
+    legs = []
+    for tbl, cols in CHECKSUM_TABLES:
+        rend = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        legs.append(f"""SELECT '{tbl}' AS tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(md5_number_lower({rend}) AS HUGEINT)) % {_CKS_MOD}
+            AS BIGINT) AS checksum
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(legs)

@@ -737,3 +737,85 @@ r AS (SELECT value, row_number() OVER (ORDER BY value) AS r,
 SELECT CAST(q AS DOUBLE) AS q, value
 FROM (VALUES {vals}) AS qs(q)
 JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""
+
+
+# ------------------------------------------- conversion latency quantiles
+
+
+CONVERSION_QS = (0.5, 0.9)
+
+
+def conversion_latency_quantiles(sf_dir: str, qs=CONVERSION_QS):
+    """Exact quantiles of per-user conversion latency — first ``click``
+    to first ``purchase`` (µs; negative when the purchase came first) —
+    the funnel-health statistic product teams watch.  Users missing
+    either event are excluded, SQL-style.
+
+    Scale shape: the :func:`~nativeextractor_ray.pipelines.kg
+    .first_response_latency` join-free conditional-min combiner (two
+    sentinel-neutral int64 Min partials per user per batch → ONE user
+    groupby → streaming subtract/filter) feeding the exact histogram-
+    refinement kernel (R+1 streaming scans, no global sort, no group on
+    one node).  Output: ``(q, latency_us)``."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    SENT = np.iinfo(np.int64).max
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = (t.column("ts").to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        typ = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(uid, sort=False)
+        c = np.full(len(uniq), SENT, np.int64)
+        p = np.full(len(uniq), SENT, np.int64)
+        cm, pm = typ == "click", typ == "purchase"
+        np.minimum.at(c, codes[cm], ts[cm])
+        np.minimum.at(p, codes[pm], ts[pm])
+        return pa.table({"user_id": pa.array(uniq.astype(np.int64)),
+                         "c_ts": pa.array(c), "p_ts": pa.array(p)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Min("c_ts", alias_name="c_ts"),
+                      Min("p_ts", alias_name="p_ts")))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        c = t.column("c_ts").to_numpy()
+        p = t.column("p_ts").to_numpy()
+        ok = (c != SENT) & (p != SENT)
+        return pa.table({"lat_us": pa.array(
+            (p[ok] - c[ok]).astype(np.float64), pa.float64())})
+
+    lat = agg.map_batches(resolve, batch_format="pyarrow")
+    got = _exact_quantiles(lat, "lat_us", qs)
+    qs_sorted = sorted(q for _, q in got)
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(qs_sorted, pa.float64()),
+        "latency_us": pa.array([got[("", q)] for q in qs_sorted],
+                               pa.float64())}))
+
+
+def conversion_latency_quantiles_sql(qs=CONVERSION_QS) -> str:
+    vals = ", ".join(f"({q})" for q in sorted(qs))
+    return f"""WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c_ts,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_ts
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT CAST(p_ts - c_ts AS DOUBLE) AS lat_us
+  FROM m WHERE c_ts IS NOT NULL AND p_ts IS NOT NULL),
+r AS (
+  SELECT lat_us, row_number() OVER (ORDER BY lat_us) AS r,
+         count(*) OVER () AS n
+  FROM d)
+SELECT CAST(q AS DOUBLE) AS q, lat_us AS latency_us
+FROM (VALUES {vals}) AS qs(q)
+JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""

@@ -1,0 +1,235 @@
+"""Snapshot versioning operators — latest-wins merge compaction and
+cross-snapshot diff (the Iceberg/Delta MERGE + table_changes shapes a
+lakehouse runs on every ingest cycle), over a deterministically DERIVED
+second snapshot of ``documents`` (no external data in this sandbox — the
+``sources/partsupp.py`` derivation pattern: v2 is a pure function of v1,
+rendered identically in Python and in the SQL oracle's CTEs).
+
+Derived delta (version 2):
+- **updates**   — ``doc_id % 7 == 0`` → text re-cased upper;
+- **inserts**   — ``doc_id % 13 == 0`` → new row at ``doc_id + 10⁹``;
+- **tombstones** — ``doc_id % 11 == 3`` and not an update → deleted.
+
+Scale shapes
+------------
+``snapshot_compact``: the base and delta stream through ONE hash(doc_id)
+co-partition; each group keeps its max-version row and tombstones drop —
+the MERGE INTO latest-wins semantics with exactly one narrow exchange
+(16-byte keys + content hashes; text never shuffles — the output carries
+``content_h``, not text).
+
+``snapshot_diff``: the OLD snapshot and the COMPACTED new one are two
+independent Datasets diffed by a tagged-union co-partition on the same
+key hash (the repo's attach shape) — per partition a vectorized
+merge classifies added / deleted / changed / unchanged and folds to ≤ 4
+partial rows; one tiny final groupby sums.  This is the generic
+content-hash diff: nothing about the derivation is assumed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+INSERT_OFFSET = 1_000_000_000
+_MOD = 2305843009213693951  # 2^61 - 7
+
+N_PARTS = 64
+
+
+def _h64_text(arr: pa.Array) -> np.ndarray:
+    """md5 lower-64 (little-endian) of each string, mod 2⁶¹−7 →
+    int64; == DuckDB ``md5_number_lower(text) % mod``."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+         % _MOD for s in arr.to_pylist()),
+        dtype=np.int64, count=len(arr))
+
+
+def _base(sf_dir: str):
+    from nativeextractor_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"])
+
+
+def _v1_rows(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_numpy()
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "version": pa.array(np.ones(len(ids), np.int64)),
+        "deleted": pa.array(np.zeros(len(ids), bool)),
+        "content_h": pa.array(_h64_text(
+            t.column("text").combine_chunks()
+            if isinstance(t.column("text"), pa.ChunkedArray)
+            else t.column("text")))})
+
+
+def _v2_rows(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_numpy()
+    text = t.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    upd = ids % 7 == 0
+    ins = ids % 13 == 0
+    tomb = (ids % 11 == 3) & ~upd
+    parts = []
+    if upd.any():
+        parts.append(pa.table({
+            "doc_id": pa.array(ids[upd], pa.int64()),
+            "version": pa.array(np.full(int(upd.sum()), 2, np.int64)),
+            "deleted": pa.array(np.zeros(int(upd.sum()), bool)),
+            "content_h": pa.array(_h64_text(
+                pc.utf8_upper(text.filter(pa.array(upd)))))}))
+    if ins.any():
+        parts.append(pa.table({
+            "doc_id": pa.array(ids[ins] + INSERT_OFFSET, pa.int64()),
+            "version": pa.array(np.full(int(ins.sum()), 2, np.int64)),
+            "deleted": pa.array(np.zeros(int(ins.sum()), bool)),
+            "content_h": pa.array(_h64_text(text.filter(pa.array(ins))))}))
+    if tomb.any():
+        parts.append(pa.table({
+            "doc_id": pa.array(ids[tomb], pa.int64()),
+            "version": pa.array(np.full(int(tomb.sum()), 2, np.int64)),
+            "deleted": pa.array(np.ones(int(tomb.sum()), bool)),
+            "content_h": pa.array(np.zeros(int(tomb.sum()), np.int64))}))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "version": pa.array([], pa.int64()),
+                         "deleted": pa.array([], pa.bool_()),
+                         "content_h": pa.array([], pa.int64())})
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def _tagged_union(sf_dir: str):
+    base = _base(sf_dir).map_batches(_v1_rows, batch_format="pyarrow")
+    delta = _base(sf_dir).map_batches(_v2_rows, batch_format="pyarrow")
+    return base.union(delta)
+
+
+def snapshot_compact(sf_dir: str):
+    """Latest-wins MERGE of base + derived delta:
+    ``(doc_id, version, content_h)`` — tombstoned docs gone."""
+    ds = _tagged_union(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(t.column("doc_id").to_numpy() % N_PARTS))
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "version"],
+                            ascending=[True, False], kind="stable")
+        keep = df.drop_duplicates("doc_id", keep="first")
+        keep = keep[~keep["deleted"]]
+        return keep[["doc_id", "version", "content_h"]].astype("int64")
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(latest, batch_format="pandas"))
+
+
+#: CTE rendering of the derived delta — MUST stay in lockstep with
+#: ``_v2_rows`` (asserted by the oracle-parity gate)
+_DELTA_CTE = f"""v1 AS (
+  SELECT doc_id, 1 AS version, FALSE AS deleted,
+         md5_number_lower(text) % {_MOD} AS content_h
+  FROM documents),
+v2 AS (
+  SELECT doc_id, 2 AS version, FALSE AS deleted,
+         md5_number_lower(upper(text)) % {_MOD} AS content_h
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + {INSERT_OFFSET}, 2, FALSE,
+         md5_number_lower(text) % {_MOD}
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, 2, TRUE, 0
+  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0)"""
+
+
+def snapshot_compact_sql() -> str:
+    return f"""WITH {_DELTA_CTE},
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+r AS (
+  SELECT doc_id, version, deleted, content_h,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY version DESC) AS rn
+  FROM u)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+       CAST(content_h AS BIGINT) AS content_h
+FROM r WHERE rn = 1 AND NOT deleted"""
+
+
+def snapshot_diff(sf_dir: str):
+    """Change-class counts between the old snapshot and the compacted
+    new one, by content hash: ``(change, n)`` over {added, deleted,
+    changed, unchanged}."""
+    from ray.data.aggregate import Sum
+
+    old = _base(sf_dir).map_batches(
+        lambda t: _v1_rows(t).select(["doc_id", "content_h"]),
+        batch_format="pyarrow")
+    new = snapshot_compact(sf_dir)
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "side": pa.array(np.zeros(t.num_rows, np.int64)),
+            "content_h": t.column("content_h"),
+            "part": pa.array(t.column("doc_id").to_numpy() % N_PARTS)})
+
+    def tag_new(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: a union of mixed pandas/arrow block types breaks
+        # the sort-shuffle's boundary sampler
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "side": pa.array(np.ones(len(df), np.int64)),
+            "content_h": pa.array(df["content_h"].to_numpy(np.int64)),
+            "part": pa.array(ids % N_PARTS)})
+
+    both = (old.map_batches(tag_old, batch_format="pyarrow")
+            .union(new.map_batches(tag_new, batch_format="pandas")))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0].set_index("doc_id")["content_h"]
+        n = df[df["side"] == 1].set_index("doc_id")["content_h"]
+        added = int((~n.index.isin(o.index)).sum())
+        deleted = int((~o.index.isin(n.index)).sum())
+        common = o.index.intersection(n.index)
+        changed = int((o.loc[common] != n.loc[common]).sum())
+        unchanged = len(common) - changed
+        return pd.DataFrame({
+            "change": ["added", "deleted", "changed", "unchanged"],
+            "n": np.array([added, deleted, changed, unchanged],
+                          np.int64)})
+
+    def drop_empty(t: pa.Table) -> pa.Table:
+        # classes absent from the corpus don't appear (SQL semantics);
+        # partition partials legitimately carry zeros until the sum
+        return t.filter(pc.greater(t.column("n"), 0))
+
+    return (both.groupby("part")
+            .map_groups(classify, batch_format="pandas")
+            .groupby("change").aggregate(Sum("n", alias_name="n"))
+            .map_batches(drop_empty, batch_format="pyarrow"))
+
+
+def snapshot_diff_sql() -> str:
+    return f"""WITH {_DELTA_CTE},
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+r AS (
+  SELECT doc_id, version, deleted, content_h,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY version DESC) AS rn
+  FROM u),
+new AS (SELECT doc_id, content_h FROM r WHERE rn = 1 AND NOT deleted),
+cls AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'deleted'
+              WHEN o.content_h <> n.content_h THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM v1 o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT change, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY change"""
