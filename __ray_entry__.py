@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "embedding_covariance":
+            vectorstats.embedding_covariance,  # distributed Gram matrix
+        "value_histogram": events.value_histogram,  # equi-width bins
+        "daily_trend_by_type": events.daily_trend_by_type,  # OLS slope
+        "chunk_documents": curation.chunk_documents,  # RAG windows
+        "exact_stratified_split":
+            curation.exact_stratified_split,  # per-stratum quota split
         "snapshot_compact": versioned.snapshot_compact,  # MERGE latest-wins
         "snapshot_diff": versioned.snapshot_diff,  # cross-version diff
         "table_checksums": audit.table_checksums,  # anti-entropy audit
@@ -276,6 +283,11 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "embedding_covariance": vectorstats.embedding_covariance_sql(),
+        "value_histogram": events.value_histogram_sql(),
+        "daily_trend_by_type": events.daily_trend_by_type_sql(),
+        "chunk_documents": curation.chunk_documents_sql(),
+        "exact_stratified_split": curation.exact_stratified_split_sql(),
         "snapshot_compact": versioned.snapshot_compact_sql(),
         "snapshot_diff": versioned.snapshot_diff_sql(),
         "table_checksums": audit.table_checksums_sql(),

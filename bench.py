@@ -400,6 +400,11 @@ def run_suite() -> dict:
         "snapshot_diff": ("nativeextractor_ray.pipelines.versioned", "snapshot_diff"),
         "table_checksums": ("nativeextractor_ray.pipelines.audit", "table_checksums"),
         "conversion_latency_quantiles": ("nativeextractor_ray.pipelines.quantiles", "conversion_latency_quantiles"),
+        "embedding_covariance": ("nativeextractor_ray.pipelines.vectorstats", "embedding_covariance"),
+        "value_histogram": ("nativeextractor_ray.pipelines.events", "value_histogram"),
+        "daily_trend_by_type": ("nativeextractor_ray.pipelines.events", "daily_trend_by_type"),
+        "chunk_documents": ("nativeextractor_ray.pipelines.curation", "chunk_documents"),
+        "exact_stratified_split": ("nativeextractor_ray.pipelines.curation", "exact_stratified_split"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

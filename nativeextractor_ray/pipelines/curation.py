@@ -1377,3 +1377,153 @@ FROM documents
 WHERE n_chars > 0
 ORDER BY priority, doc_id
 LIMIT {k}"""
+
+
+# ------------------------------------------------------ context chunking
+
+
+CHUNK_W = 32   # window tokens
+CHUNK_S = 24   # stride (overlap = W - S)
+
+
+def chunk_documents(sf_dir: str, window: int = CHUNK_W,
+                    stride: int = CHUNK_S):
+    """Overlapping fixed-token context chunks per document — the RAG /
+    long-context row-explosion stage (chunk k covers tokens
+    ``[k·stride, k·stride + window)``; the last chunk may be short;
+    every token position is covered and consecutive chunks share
+    ``window − stride`` tokens).
+
+    Scale shape: pure streaming flat-map — a doc never spans batches, so
+    chunk rows derive vectorized per batch (np.repeat over per-doc chunk
+    counts) with zero shuffle and zero driver state.  Emitting offsets
+    instead of chunk text keeps the fan-out narrow; a downstream stage
+    slices text lazily.
+
+    Output: ``(doc_id, chunk_idx, start_tok, n_tok)``."""
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            t.column("text"), _TOKEN_RE), pa.int64()).to_numpy()
+        ids = t.column("doc_id").to_numpy()
+        pos = n > 0
+        ids, n = ids[pos], n[pos]
+        # chunk count = ceil(max(n - window, 0) / stride) + 1
+        k = np.maximum(n - window, 0)
+        nch = (k + stride - 1) // stride + 1
+        doc = np.repeat(ids, nch)
+        tot = np.repeat(n, nch)
+        offs = np.concatenate([np.arange(c) for c in nch]) if len(nch) \
+            else np.empty(0, np.int64)
+        start = offs * stride
+        ntok = np.minimum(tot - start, window)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "chunk_idx": pa.array(offs.astype(np.int64)),
+            "start_tok": pa.array(start.astype(np.int64)),
+            "n_tok": pa.array(ntok.astype(np.int64))})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def chunk_documents_sql(window: int = CHUNK_W,
+                        stride: int = CHUNK_S) -> str:
+    return f"""WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+           AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, n,
+         (greatest(n - {window}, 0) + {stride} - 1) // {stride} + 1
+           AS nch
+  FROM tok WHERE n > 0),
+c AS (
+  SELECT doc_id, n, CAST(unnest(range(0, nch)) AS BIGINT) AS i FROM k)
+SELECT doc_id,
+       i AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS start_tok,
+       CAST(least(n - i * {stride}, {window}) AS BIGINT) AS n_tok
+FROM c"""
+
+
+# ------------------------------------------- exact stratified splitting
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+def exact_stratified_split(sf_dir: str):
+    """Exact-proportion train/val/test split WITHIN each language
+    stratum: docs rank by (md5(doc_id), doc_id) inside their lang and
+    the first ⌊0.8·n⌋ are train, the next ⌊0.1·n⌋ val, the rest test —
+    the evaluation-grade split (hash splits like :func:`split_assign`
+    only hit proportions in expectation; per-stratum quota splits hit
+    them exactly, at the cost of one narrow exchange).
+
+    Scale shape: ONE hash(lang) co-partition (24-byte rows — doc_id,
+    lang, hash; text never moves); a language lives wholly in one
+    partition, so per-lang ranks AND totals resolve locally — no second
+    pass, no broadcast.  Output: ``(doc_id, lang, rnk, split)``."""
+    import hashlib
+
+    import pandas as pd
+
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[8:16], "little")
+             for i in ids),
+            dtype=np.uint64, count=len(ids))
+        # h stays UNSIGNED (uint64) — the SQL twin orders by the raw
+        # md5_number_lower UBIGINT; an int64 cast would flip the order
+        # of high-bit hashes
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "lang": t.column("lang"),
+                        "h": pa.array(h, pa.uint64())})
+        return out.append_column("part", stable_part(out, ["lang"], 64))
+
+    def ranks(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["lang", "h", "doc_id"], kind="stable")
+        rnk = df.groupby("lang", sort=False).cumcount().to_numpy() + 1
+        tot = df.groupby("lang", sort=False)["doc_id"].transform(
+            "size").to_numpy()
+        tr = tot * SPLIT_TRAIN_PCT // 100
+        va = tot * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100
+        split = np.where(rnk <= tr, "train",
+                         np.where(rnk <= va, "val", "test"))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"].to_numpy(object),
+            "rnk": rnk.astype(np.int64),
+            "split": split})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(ranks, batch_format="pandas"))
+
+
+def exact_stratified_split_sql() -> str:
+    return f"""WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS tot
+  FROM documents)
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk,
+       CASE WHEN rnk <= tot * {SPLIT_TRAIN_PCT} // 100 THEN 'train'
+            WHEN rnk <= tot * {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} // 100
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM r"""

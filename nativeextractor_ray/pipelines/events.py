@@ -1340,3 +1340,177 @@ r AS (
                             ORDER BY n DESC, cents ASC) AS rn
   FROM c)
 SELECT event_type, cents, n FROM r WHERE rn = 1"""
+
+
+# -------------------------------------------------- equi-width histogram
+
+
+HIST_BINS = 20
+
+
+def value_histogram(sf_dir: str, n_bins: int = HIST_BINS):
+    """Global equi-width histogram of event value (integer cents) — the
+    distribution sketch dashboards draw.  Two streaming passes, zero
+    shuffle: pass 1 folds each block to one (min, max) partial; pass 2
+    computes every row's bin with the EXACT integer formula
+    ``(c - min_c) * n_bins // (max_c - min_c + 1)`` (no float widths, so
+    the bin edges cannot disagree between engines) and folds each block
+    to ≤ n_bins count partials.
+
+    Output: ``(bin, lo_c, hi_c, n)`` — closed-open integer edges, empty
+    bins omitted (SQL GROUP BY semantics)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"c": pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("value"), 100.0), 0.5)), pa.int64())})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([pc.min(t.column("c")).as_py()]),
+                         "hi": pa.array([pc.max(t.column("c")).as_py()])})
+
+    lo, hi = None, None
+    for r in cds.map_batches(minmax, batch_format="pyarrow").take_all():
+        lo = r["lo"] if lo is None else min(lo, r["lo"])
+        hi = r["hi"] if hi is None else max(hi, r["hi"])
+    if lo is None:
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "lo_c": pd.Series([], dtype="int64"),
+                             "hi_c": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    span = hi - lo + 1
+
+    def bins(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy()
+        b = (c - lo) * n_bins // span
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = cds.map_batches(bins, batch_format="pyarrow").groupby(
+        "bin").aggregate(Sum("n", alias_name="n"))
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy()
+        # bin k covers cents c with (c-lo)·n_bins // span == k:
+        # lo_c = lo + ceil(k·span / n_bins), hi_c = lo + ceil((k+1)·span
+        # / n_bins) - 1 (exact integer edges)
+        lo_c = lo + (b * span + n_bins - 1) // n_bins
+        hi_c = lo + ((b + 1) * span + n_bins - 1) // n_bins - 1
+        return pa.table({"bin": t.column("bin"),
+                         "lo_c": pa.array(lo_c.astype(np.int64)),
+                         "hi_c": pa.array(hi_c.astype(np.int64)),
+                         "n": t.column("n")})
+
+    return agg.map_batches(edges, batch_format="pyarrow")
+
+
+def value_histogram_sql(n_bins: int = HIST_BINS) -> str:
+    return f"""WITH c AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+mm AS (SELECT min(c) AS lo, max(c) - min(c) + 1 AS span FROM c),
+b AS (
+  SELECT (c.c - mm.lo) * {n_bins} // mm.span AS bin,
+         mm.lo AS lo, mm.span AS span
+  FROM c, mm)
+SELECT bin,
+       CAST(lo + (bin * span + {n_bins} - 1) // {n_bins} AS BIGINT) AS lo_c,
+       CAST(lo + ((bin + 1) * span + {n_bins} - 1) // {n_bins} - 1
+            AS BIGINT) AS hi_c,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin, lo, span"""
+
+
+# --------------------------------------------------- per-type OLS trend
+
+
+def daily_trend_by_type(sf_dir: str):
+    """Per-event-type OLS slope of DAILY revenue (cents/day) over the
+    epoch-day axis — the trend line a metrics dashboard fits; positive
+    slope = growing spend.  Types with < 2 distinct days are excluded
+    (slope undefined), ties to ``value_correlations``' moment discipline:
+    all five moments are EXACT integers (epoch days × integer cents), the
+    slope is one identical double expression on both engines, rounded to
+    6 dp.
+
+    Scale shape: per-batch (type, day) cent partials → one (type, day)
+    groupby → per-type exact moment fold (days are calendar-bounded) →
+    slope arithmetic on a types-bounded table.  Output:
+    ``(event_type, n_days, slope)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(pc.cast(
+            t.column("ts"), pa.int64()), 86_400_000_000)), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("value"), 100.0), 0.5)), pa.int64())
+        g = (pa.table({"event_type": t.column("event_type"),
+                       "day": day, "v": cents})
+             .group_by(["event_type", "day"]).aggregate([("v", "sum")]))
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "v": pc.cast(g.column("v_sum"), pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("v", alias_name="v")))
+
+    def slope(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) < 2:
+            return pd.DataFrame({"event_type": [], "n_days": [],
+                                 "slope": []})
+        x = [int(v) for v in df["day"]]
+        y = [int(v) for v in df["v"]]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxx = sum(a * a for a in x)
+        sxy = sum(a * b for a, b in zip(x, y))
+        den = n * sxx - sx * sx
+        if den == 0:
+            return pd.DataFrame({"event_type": [], "n_days": [],
+                                 "slope": []})
+        num = n * sxy - sx * sy
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "n_days": np.array([n], np.int64),
+            "slope": [round(float(num) / float(den), 6)]})
+
+    return daily.groupby("event_type").map_groups(
+        slope, batch_format="pandas")
+
+
+def daily_trend_by_type_sql() -> str:
+    return """WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(day AS HUGEINT)) AS sx,
+         sum(CAST(v AS HUGEINT)) AS sy,
+         sum(CAST(day AS HUGEINT) * day) AS sxx,
+         sum(CAST(day AS HUGEINT) * v) AS sxy
+  FROM d GROUP BY 1)
+SELECT event_type, n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM m
+WHERE n_days >= 2 AND n * sxx - sx * sx <> 0"""

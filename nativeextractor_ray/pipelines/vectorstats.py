@@ -190,3 +190,101 @@ SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(floor((CAST(sum(q) AS DOUBLE) / {QSCALE}.0 / count(*))
                   * {QSCALE}.0 + 0.5) AS BIGINT) AS mean_micro
 FROM q GROUP BY label, dim"""
+
+
+# ------------------------------------------------- covariance (Gram) pass
+
+
+def embedding_covariance(sf_dir: str):
+    """Exact upper-triangle covariance matrix of the embedding column —
+    the distributed GRAM-MATRIX pass that PCA / whitening / linear
+    probes are built on (X^T X is the one statistic that turns a
+    10^10-vector corpus into a D×D driver-side problem).
+
+    Scale shape: each batch folds to ONE D×(D+1)/2 partial via an int64
+    ``q^T q`` matmul over the 1e-6 fixed-point quantization (exactness:
+    ``|q| ≤ 2^25`` asserted → per-batch ``|Σ q_i q_j| ≤ 4096·2^50 <
+    2^63`` with the enforced batch size), cross-block sums carry hi/lo
+    int64 pairs (Python-int reassembly — no corpus size overflows), one
+    tiny ``groupby((i, j))`` finishes.  The covariance derives from the
+    exact integer moments by ONE identical float expression on both
+    engines, emitted as half-up micro units.
+
+    Output: ``(i, j, n_vecs, cov_micro)`` for 1 ≤ i ≤ j ≤ D."""
+    import pandas as pd
+
+    from nativeextractor_ray.functions.vectors import embedding_matrix
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["embedding"])
+    iu, ju = np.triu_indices(EMB_DIM)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding")).astype(np.float64)
+        if m.shape[1] != EMB_DIM:
+            raise ValueError(
+                f"embedding_covariance: expected dim {EMB_DIM}, "
+                f"got {m.shape[1]}")
+        if len(m) > 4096:
+            raise ValueError(
+                "embedding_covariance: batch too large for the proven "
+                "int64 bound — lower batch_size")
+        q = np.floor(m * float(QSCALE) + 0.5).astype(np.int64)
+        if q.size and np.abs(q).max() >= QBOUND:
+            raise ValueError(
+                "embedding_covariance: |value| exceeds the fixed-point "
+                f"bound ({QBOUND / QSCALE:.1f})")
+        gram = q.T @ q                  # exact within the proven bound
+        s1 = q.sum(axis=0)
+        sij = gram[iu, ju]
+        return pa.table({
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "n": pa.array(np.full(len(iu), len(q), np.int64)),
+            "sij_hi": pa.array(sij >> 62, pa.int64()),
+            "sij_lo": pa.array(sij & _LO_MASK, pa.int64()),
+            "si": pa.array(s1[iu], pa.int64()),
+            "sj": pa.array(s1[ju], pa.int64()),
+        })
+
+    def finish(g):
+        sij = sum((int(h) << 62) + int(l)
+                  for h, l in zip(g["sij_hi"], g["sij_lo"]))
+        si = int(np.asarray(g["si"], dtype=object).sum())
+        sj = int(np.asarray(g["sj"], dtype=object).sum())
+        n = int(g["n"].sum())
+        num = n * sij - si * sj          # exact Python int
+        cov_raw = float(num) / float(n * n) / float(QSCALE)
+        return pd.DataFrame({
+            "i": [int(g["i"].iloc[0])],
+            "j": [int(g["j"].iloc[0])],
+            "n_vecs": np.array([n], np.int64),
+            "cov_micro": np.array(
+                [np.floor(cov_raw / QSCALE * QSCALE + 0.5)], np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=1024)
+              .groupby(["i", "j"])
+              .map_groups(finish, batch_format="pandas"))
+
+
+def embedding_covariance_sql() -> str:
+    return f"""WITH q AS (
+  SELECT e.vec_id, CAST(r.dim AS BIGINT) AS dim,
+         CAST(floor(CAST(list_extract(e.embedding, r.dim) AS DOUBLE)
+                    * {QSCALE}.0 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, range(1, {EMB_DIM + 1}) r(dim)),
+p AS (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(a.q AS HUGEINT) * b.q) AS sij,
+         sum(CAST(a.q AS HUGEINT)) AS si,
+         sum(CAST(b.q AS HUGEINT)) AS sj
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2)
+SELECT i, j, n AS n_vecs,
+       CAST(floor(CAST(CAST(n AS HUGEINT) * sij - si * sj AS DOUBLE)
+                  / CAST(n * n AS DOUBLE) / {QSCALE}.0
+                  / {QSCALE}.0 * {QSCALE}.0 + 0.5) AS BIGINT) AS cov_micro
+FROM p"""
