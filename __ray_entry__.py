@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "source_similarity_minhash":
+            sketches.source_similarity_minhash,  # mergeable MinHash union
+        "lang_source_chisq": audit.lang_source_chisq,  # χ² independence
         "embedding_covariance":
             vectorstats.embedding_covariance,  # distributed Gram matrix
         "value_histogram": events.value_histogram,  # equi-width bins
@@ -283,6 +286,9 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "source_similarity_minhash":
+            sketches.source_similarity_minhash_sql(),
+        "lang_source_chisq": audit.lang_source_chisq_sql(),
         "embedding_covariance": vectorstats.embedding_covariance_sql(),
         "value_histogram": events.value_histogram_sql(),
         "daily_trend_by_type": events.daily_trend_by_type_sql(),

@@ -405,6 +405,8 @@ def run_suite() -> dict:
         "daily_trend_by_type": ("nativeextractor_ray.pipelines.events", "daily_trend_by_type"),
         "chunk_documents": ("nativeextractor_ray.pipelines.curation", "chunk_documents"),
         "exact_stratified_split": ("nativeextractor_ray.pipelines.curation", "exact_stratified_split"),
+        "source_similarity_minhash": ("nativeextractor_ray.pipelines.sketches", "source_similarity_minhash"),
+        "lang_source_chisq": ("nativeextractor_ray.pipelines.audit", "lang_source_chisq"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -532,3 +532,87 @@ def table_checksums_sql() -> str:
             AS BIGINT) AS checksum
 FROM {tbl}""")
     return "\nUNION ALL\n".join(legs)
+
+
+# ------------------------------------------- chi-square independence
+
+
+def lang_source_chisq(sf_dir: str):
+    """Per-cell chi-square contributions for the lang × source
+    contingency table — "does language depend on crawl source?", the
+    drift/contamination audit run when a new source joins the mix.
+    Everything is EXACT integer arithmetic: expected counts and
+    contributions are half-up micro ratios of exact products (the repo's
+    float-parity discipline — no engine-dependent summation order, the
+    statistic is the SUM of the emitted column, computable by any
+    consumer).
+
+    Scale shape: per-batch (lang, source) Arrow count partials → ONE
+    tiny composite groupby (cells are langs × sources bounded) → totals
+    and contributions fold on the driver.  Output:
+    ``(lang, source, o, e_micro, contrib_micro)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": t.column("lang"),
+                       "source": t.column("source")})
+             .group_by(["lang", "source"])
+             .aggregate([("source", "count")]))
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "o": pc.cast(g.column("source_count"),
+                                      pa.int64())})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("o", alias_name="o")))
+    t = pa.concat_tables(
+        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+         for b in ray.get(cells.to_arrow_refs())],
+        promote_options="default")
+    df = t.to_pandas()
+    rt = df.groupby("lang")["o"].transform("sum").astype("int64")
+    ct = df.groupby("source")["o"].transform("sum").astype("int64")
+    n = int(df["o"].sum())
+    e_micro, contrib = [], []
+    for o, r, c in zip(df["o"], rt, ct):
+        o, r, c = int(o), int(r), int(c)
+        e_micro.append((2 * r * c * 1_000_000 + n) // (2 * n))
+        num = (o * n - r * c) ** 2 * 1_000_000
+        den = n * r * c
+        contrib.append((2 * num + den) // (2 * den))
+    return pd.DataFrame({
+        "lang": df["lang"], "source": df["source"],
+        "o": df["o"].astype("int64"),
+        "e_micro": np.array(e_micro, np.int64),
+        "contrib_micro": np.array(contrib, np.int64)})
+
+
+def lang_source_chisq_sql() -> str:
+    return """WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT lang, source, o,
+         sum(o) OVER (PARTITION BY lang) AS rt,
+         sum(o) OVER (PARTITION BY source) AS ct,
+         sum(o) OVER () AS n
+  FROM c),
+d AS (
+  -- dev must square via self-multiplication: ** is a DOUBLE power
+  SELECT lang, source, o, rt, ct, n,
+         CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS dev
+  FROM tot)
+SELECT lang, source, o,
+       CAST((2 * CAST(rt AS HUGEINT) * ct * 1000000 + n) // (2 * n)
+            AS BIGINT) AS e_micro,
+       CAST((2 * dev * dev * 1000000 + CAST(n AS HUGEINT) * rt * ct)
+            // (2 * CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
+         AS contrib_micro
+FROM d"""

@@ -447,3 +447,119 @@ SELECT ex.user_id, ex.n_exact, CAST(e.est AS BIGINT) AS cms_est
 FROM est e JOIN (SELECT user_id, cnt AS n_exact FROM ex) ex USING (user_id)
 WHERE e.est >= ((SELECT count(*) FROM events) * {CMS_PHI_NUM}
                 + {CMS_PHI_DEN - 1}) // {CMS_PHI_DEN}"""
+
+
+# --------------------------------------- mergeable MinHash source sketch
+
+
+MHS_K = 16  # permutations
+
+
+def source_similarity_minhash(sf_dir: str, k: int = MHS_K):
+    """Corpus-level similarity between SOURCES by mergeable MinHash —
+    "which crawl domains feed near-identical material?"  Each source's
+    sketch is the per-permutation MIN over its distinct word universe;
+    min is associative/commutative, so per-batch partials fold map-side
+    and the shuffle carries ≤ sources × k 24-byte rows — the sketch
+    property that makes corpus-level similarity O(sources²), never
+    O(docs²).
+
+    Determinism: permutation ``i`` hashes a word as
+    ``md5_number_lower(i || ':' || word)`` — exactly replayable in SQL
+    (the HLL/simhash precedent; the xor-multiply family used for
+    per-DOC MinHash needs mod-2⁶⁴ wraparound DuckDB's checked arithmetic
+    can't express).  The estimate is the exact half-up micro ratio
+    ``matches / k``.
+
+    Output: ``(src_a, src_b, matches, est_jacc_micro)``, src_a < src_b."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(t.column("text"), " ")
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        src = t.column("source").to_numpy(zero_copy_only=False)[parent]
+        df = pd.DataFrame({"source": src,
+                           "w": flat.to_numpy(zero_copy_only=False)})
+        df = df.drop_duplicates()
+        words = df["w"].unique()
+        # k md5s per DISTINCT word in the batch (vocab-bounded, cached
+        # upstream of the min fold)
+        hs = {w: [int.from_bytes(
+            hashlib.md5(f"{i}:{w}".encode()).digest()[8:16], "little")
+            for i in range(k)] for w in words}
+        rows_src, rows_i, rows_h = [], [], []
+        for s, grp in df.groupby("source", sort=False):
+            hm = np.array([hs[w] for w in grp["w"]], dtype=np.uint64)
+            # top-bit xor: unsigned order ⟺ signed order, so the int64
+            # Min aggregate (uint64 blocks overflow Ray's rebuild) folds
+            # the same sketch; only equality is consumed downstream
+            mins = (hm.min(axis=0)
+                    ^ np.uint64(0x8000000000000000)).view(np.int64)
+            rows_src.extend([s] * k)
+            rows_i.extend(range(k))
+            rows_h.extend(int(v) for v in mins)
+        return pa.table({
+            "source": pa.array(rows_src, pa.string()),
+            "i": pa.array(rows_i, pa.int64()),
+            "h": pa.array(np.array(rows_h, np.int64))})
+
+    sig = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "i"]).aggregate(Min("h", alias_name="h")))
+    t = pa.concat_tables(
+        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+         for b in ray.get(sig.to_arrow_refs())],
+        promote_options="default")
+    df = t.to_pandas().sort_values(["source", "i"])
+    srcs = sorted(df["source"].unique())
+    sigs = {s: df[df["source"] == s].sort_values("i")["h"].to_numpy()
+            for s in srcs}
+    out = []
+    for a_i in range(len(srcs)):
+        for b_i in range(a_i + 1, len(srcs)):
+            a, b = srcs[a_i], srcs[b_i]
+            m = int((sigs[a] == sigs[b]).sum())
+            out.append({"src_a": a, "src_b": b, "matches": m,
+                        "est_jacc_micro": (2 * m * 1_000_000 + k)
+                        // (2 * k)})
+    res = pd.DataFrame(out)
+    res["matches"] = res["matches"].astype("int64")
+    res["est_jacc_micro"] = res["est_jacc_micro"].astype("int64")
+    return res
+
+
+def source_similarity_minhash_sql(k: int = MHS_K) -> str:
+    return f"""WITH w AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+sig AS (
+  SELECT source, CAST(r.i AS BIGINT) AS i,
+         min(md5_number_lower(CAST(r.i AS VARCHAR) || ':' || w)) AS h
+  FROM w, range(0, {k}) r(i)
+  GROUP BY 1, 2),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) FILTER (a.h = b.h) AS BIGINT) AS matches
+  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, matches,
+       CAST((2 * matches * 1000000 + {k}) // (2 * {k}) AS BIGINT)
+         AS est_jacc_micro
+FROM p"""
