@@ -80,7 +80,7 @@ def _doc_gram_sets(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def per_batch(t: pa.Table) -> pa.Table:
-        from nativeextractor_ray.functions.hashing import h64_many
+        from nativeextractor_ray.functions.hashing import GOLDEN, h64_many
 
         toks = pc.split_pattern(t.column("text"), " ")
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -91,15 +91,21 @@ def _doc_gram_sets(sf_dir: str):
         flat = flat.filter(keep)
         parent = parent[keep.to_numpy(zero_copy_only=False)]
         # adjacent-word bigrams within a doc (post empty-filter adjacency,
-        # matching the SQL list_filter-then-slide)
+        # matching the SQL list_filter-then-slide).  Hash discipline:
+        # md5 runs once per DISTINCT WORD (Zipf: vocab ≪ tokens); bigram
+        # ids mix the two word hashes with the golden multiply-xor chain
+        # — the gram id never leaves the operator, so no SQL replay is
+        # needed (the oracle joins on the strings themselves)
         if len(parent) >= GRAM_N:
+            wdict = pc.dictionary_encode(flat)
+            codes = wdict.indices.to_numpy(zero_copy_only=False)
+            wh = h64_many(wdict.dictionary.to_pylist()).astype(np.uint64)
+            th = wh[codes]
             same = parent[GRAM_N - 1:] == parent[:-(GRAM_N - 1)]
-            lhs = flat.slice(0, len(flat) - (GRAM_N - 1))
-            rhs = flat.slice(GRAM_N - 1)
-            grams = pc.binary_join_element_wise(lhs, rhs, " ")
+            mix = (th[:-(GRAM_N - 1)] * GOLDEN) ^ th[GRAM_N - 1:]
+            mix = (mix * GOLDEN) >> np.uint64(1)  # clears the sign bit
             gdoc = parent[:-(GRAM_N - 1)][same]
-            gstr = grams.filter(pa.array(same)).to_pylist()
-            gh = h64_many(gstr).astype(np.int64) & _MASK
+            gh = mix[same].astype(np.int64)
         else:
             gdoc = np.empty(0, np.int64)
             gh = np.empty(0, np.int64)
@@ -165,7 +171,9 @@ def ssjoin_jaccard(sf_dir: str, use_df_order: bool = True):
     ``(doc_a, doc_b, inter, un, jacc_micro)``, ``doc_a < doc_b``."""
     import ray
 
-    sets_ds = _doc_gram_sets(sf_dir)
+    # materialized once: both the df pass and the prefix pass scan it,
+    # and the gram-set derivation (tokenize + hash) is the expensive leg
+    sets_ds = _doc_gram_sets(sf_dir).materialize()
     rank_map = _df_rank(sets_ds) if use_df_order else None
     rank_ref = ray.put(rank_map)
 
@@ -176,96 +184,168 @@ def ssjoin_jaccard(sf_dir: str, use_df_order: bool = True):
         grams = t.column("grams")
         offs = grams.combine_chunks().offsets.to_numpy(
             zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # rebase: sliced arrays keep raw offsets
         flat = pc.list_flatten(grams).to_numpy()
         if rm is not None:
             gsort, rnk = rm
             flat = rnk[np.searchsorted(gsort, flat)]
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        s = t.column("s").to_numpy(zero_copy_only=False)
-        out_tok, out_doc, out_s, out_row = [], [], [], []
-        for i in range(len(doc)):
-            lo, hi = offs[i], offs[i + 1]
-            si = hi - lo
-            if si == 0:
-                continue
-            ranks = np.sort(flat[lo:hi])
-            # p = s - ceil(τ·s) + 1
-            p = si - ((si * num + den - 1) // den) + 1
-            out_tok.append(ranks[:p])
-            out_doc.append(np.full(p, doc[i], np.int64))
-            out_s.append(np.full(p, si, np.int64))
-            out_row.append(np.full(p, i, np.int64))
-        if not out_tok:
+        s = (offs[1:] - offs[:-1])
+        nz = s > 0
+        if not nz.any():
             return pa.table({"tok": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64()),
                              "ranks": pa.array([], pa.list_(pa.int64())),
                              "part": pa.array([], pa.int64())})
-        tok = np.concatenate(out_tok)
-        docr = np.concatenate(out_doc)
-        sr = np.concatenate(out_s)
-        rows = np.concatenate(out_row)
-        # the full (rank-sorted) arrays ride along for the exact verify
-        per_row_sorted = []
-        for i in range(len(doc)):
-            lo, hi = offs[i], offs[i + 1]
-            per_row_sorted.append(np.sort(
-                flat[lo:hi] if rm is None else flat[lo:hi]))
-        ranks_col = pa.array([per_row_sorted[r].tolist() for r in rows],
-                             pa.list_(pa.int64()))
+        # in-doc rank sort, vectorized across the whole batch: one
+        # lexsort on (rank, doc-segment) orders every doc's grams
+        seg = np.repeat(np.arange(len(doc)), s)
+        order = np.lexsort((flat, seg))
+        flat = flat[order]
+        # p = s - ceil(τ·s) + 1 per doc
+        p = s - ((s * num + den - 1) // den) + 1
+        p[~nz] = 0
+        # prefix mask over the sorted flat array
+        pos_in_doc = np.arange(len(flat)) - np.repeat(offs[:-1], s)
+        pref_mask = pos_in_doc < np.repeat(p, s)
+        tok = flat[pref_mask]
+        docr = np.repeat(doc, p)
+        sr = np.repeat(s, p)
+        # every prefix row carries its doc's FULL sorted rank array:
+        # values = doc i's slice tiled p_i times (list-of-arrays concat —
+        # no per-row Python lists, one ListArray build)
+        tiles = [flat[offs[i]:offs[i + 1]]
+                 for i in range(len(doc)) for _ in range(int(p[i]))]
+        if tiles:
+            values = np.concatenate(tiles)
+            lens = np.fromiter((len(a) for a in tiles), np.int64,
+                               count=len(tiles))
+        else:
+            values = np.empty(0, np.int64)
+            lens = np.empty(0, np.int64)
+        loffs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=loffs[1:])
+        ranks_col = pa.ListArray.from_arrays(
+            pa.array(loffs, pa.int32()), pa.array(values))
         return pa.table({"tok": pa.array(tok),
                          "doc_id": pa.array(docr),
                          "s": pa.array(sr),
                          "ranks": ranks_col,
                          "part": pa.array(tok % N_PARTS)})
 
+    _POP = np.array([bin(x).count("1") for x in range(256)],
+                    dtype=np.uint8)
+
+    def _popcount_rows(a: np.ndarray) -> np.ndarray:
+        return _POP[a.view(np.uint8)].reshape(len(a), -1).sum(
+            axis=1).astype(np.int64)
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "inter": pd.Series([], dtype=np.int64),
+                          "un": pd.Series([], dtype=np.int64),
+                          "jacc_micro": pd.Series([], dtype=np.int64)})
+
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_i, out_u = [], [], [], []
-        for tok, grp in df.groupby("tok", sort=False):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values("doc_id", kind="stable")
-            docs = grp["doc_id"].to_numpy()
-            sizes = grp["s"].to_numpy()
-            arrs = [np.asarray(a, dtype=np.int64)
-                    for a in grp["ranks"].to_numpy()]
-            n = len(docs)
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if docs[i] == docs[j]:
-                        continue
-                    sa, sb = int(sizes[i]), int(sizes[j])
-                    if num * (sa + sb) > (num + den) * min(sa, sb):
-                        continue  # length filter: J ≥ τ impossible
-                    a, b = arrs[i], arrs[j]
-                    common = np.intersect1d(a, b, assume_unique=True)
-                    if len(common) == 0:
-                        continue
-                    pa_ = sa - ((sa * num + den - 1) // den) + 1
-                    pb_ = sb - ((sb * num + den - 1) // den) + 1
-                    pref_common = np.intersect1d(
-                        a[:pa_], b[:pb_], assume_unique=True)
-                    if len(pref_common) == 0 or pref_common[0] != tok:
-                        continue  # another (smaller) prefix gram owns it
-                    inter = len(common)
-                    if (den + num) * inter < num * (sa + sb):
-                        continue
-                    un = sa + sb - inter
-                    out_a.append(min(docs[i], docs[j]))
-                    out_b.append(max(docs[i], docs[j]))
-                    out_i.append(inter)
-                    out_u.append(un)
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "inter": pd.Series([], dtype=np.int64),
-                                 "un": pd.Series([], dtype=np.int64),
-                                 "jacc_micro": pd.Series([], dtype=np.int64)})
-        inter = np.asarray(out_i, np.int64)
-        un = np.asarray(out_u, np.int64)
+        """Vectorized in-partition verify.  Every doc's gram set becomes
+        a BITSET over partition-local dense gram ids; candidate pairs
+        (docs sharing a prefix gram here) resolve with popcounted ANDs —
+        no per-pair Python, no intersect1d.  A pair is emitted only in
+        the partition OWNING its smallest common prefix gram
+        (r0 % N_PARTS == this partition), which dedups globally without
+        a second shuffle."""
+        if df.empty:
+            return empty
+        # unique docs in this partition
+        docs_all = df["doc_id"].to_numpy()
+        uniq_docs, first_idx, doc_code = np.unique(
+            docs_all, return_index=True, return_inverse=True)
+        m = len(uniq_docs)
+        sizes = df["s"].to_numpy()[first_idx].astype(np.int64)
+        arrs = df["ranks"].to_numpy()[first_idx]
+        # partition-local dense gram ids (works on both rank orders)
+        all_grams = np.concatenate(
+            [np.asarray(a, np.int64) for a in arrs])
+        vocab = np.unique(all_grams)
+        W = (len(vocab) + 63) // 64
+        full_bs = np.zeros((m, W), np.uint64)
+        pref_bs = np.zeros((m, W), np.uint64)
+        prefs = sizes - ((sizes * num + den - 1) // den) + 1
+        lens = np.fromiter((len(np.asarray(a)) for a in arrs), np.int64,
+                           count=m)
+        flat_local = np.searchsorted(vocab, all_grams)
+        row_of = np.repeat(np.arange(m), lens)
+        pos = np.concatenate([np.arange(l) for l in lens]) if m else \
+            np.empty(0, np.int64)
+        w_idx, b_idx = flat_local >> 6, flat_local & 63
+        np.bitwise_or.at(full_bs, (row_of, w_idx),
+                         np.uint64(1) << b_idx.astype(np.uint64))
+        pm = pos < prefs[row_of]
+        np.bitwise_or.at(pref_bs, (row_of[pm], w_idx[pm]),
+                         np.uint64(1) << b_idx[pm].astype(np.uint64))
+        # candidate pairs: docs sharing a token group (indices are cheap
+        # numpy per group; the heavy math below is fully vectorized)
+        tok_codes, tok_first = pd.factorize(df["tok"].to_numpy())[0], None
+        order = np.argsort(tok_codes, kind="stable")
+        sorted_docs = doc_code[order]
+        grp_sizes = np.bincount(tok_codes)
+        pi, pj = [], []
+        start = 0
+        for g in grp_sizes:
+            if g >= 2:
+                members = np.unique(sorted_docs[start:start + g])
+                if len(members) >= 2:
+                    ii, jj = np.triu_indices(len(members), k=1)
+                    pi.append(members[ii])
+                    pj.append(members[jj])
+            start += g
+        if not pi:
+            return empty
+        pi = np.concatenate(pi)
+        pj = np.concatenate(pj)
+        packed = np.unique(pi.astype(np.int64) * m + pj)
+        pi, pj = packed // m, packed % m
+        # length filter
+        sa, sb = sizes[pi], sizes[pj]
+        ok = num * (sa + sb) <= (num + den) * np.minimum(sa, sb)
+        pi, pj, sa, sb = pi[ok], pj[ok], sa[ok], sb[ok]
+        if not len(pi):
+            return empty
+        # exact intersection via popcounted AND
+        inter = _popcount_rows(full_bs[pi] & full_bs[pj])
+        ok = (den + num) * inter >= num * (sa + sb)
+        pi, pj, sa, sb, inter = pi[ok], pj[ok], sa[ok], sb[ok], inter[ok]
+        if not len(pi):
+            return empty
+        # smallest common PREFIX gram r0 → canonical owner partition
+        pand = pref_bs[pi] & pref_bs[pj]
+        nz = pand != 0
+        first_w = np.argmax(nz, axis=1)
+        any_common = nz.any(axis=1)
+        words = pand[np.arange(len(pi)), first_w]
+        # lowest set bit index of each word
+        low = (words & (~words + np.uint64(1)))
+        bit = np.zeros(len(low), np.int64)
+        lowv = low.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = lowv >= (np.uint64(1) << np.uint64(shift))
+            bit[big] += shift
+            lowv[big] >>= np.uint64(shift)
+        r0_local = first_w.astype(np.int64) * 64 + bit
+        r0 = vocab[np.minimum(r0_local, len(vocab) - 1)]
+        pid = int(df["part"].iloc[0])
+        keep = any_common & (r0 % N_PARTS == pid)
+        pi, pj, sa, sb, inter = (pi[keep], pj[keep], sa[keep], sb[keep],
+                                 inter[keep])
+        if not len(pi):
+            return empty
+        un = sa + sb - inter
+        da, db = uniq_docs[pi], uniq_docs[pj]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
         return pd.DataFrame({
-            "doc_a": np.asarray(out_a, np.int64),
-            "doc_b": np.asarray(out_b, np.int64),
+            "doc_a": lo.astype(np.int64),
+            "doc_b": hi.astype(np.int64),
             "inter": inter,
             "un": un,
             "jacc_micro": (2 * inter * 1_000_000 + un) // (2 * un)})

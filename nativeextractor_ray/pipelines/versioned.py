@@ -168,43 +168,34 @@ def snapshot_diff(sf_dir: str):
     changed, unchanged}."""
     from ray.data.aggregate import Sum
 
-    old = _base(sf_dir).map_batches(
-        lambda t: _v1_rows(t).select(["doc_id", "content_h"]),
-        batch_format="pyarrow")
-    new = snapshot_compact(sf_dir)
+    # ONE co-partition: the tagged union already carries everything the
+    # per-doc class decision needs (v1 row = the old snapshot, max-
+    # version row = the compacted new one), so compaction and diff fuse
+    # into the same exchange — running snapshot_compact separately would
+    # pay a second shuffle and a third text-hash pass for nothing
+    ds = _tagged_union(sf_dir)
 
-    def tag_old(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "side": pa.array(np.zeros(t.num_rows, np.int64)),
-            "content_h": t.column("content_h"),
-            "part": pa.array(t.column("doc_id").to_numpy() % N_PARTS)})
-
-    def tag_new(df: pd.DataFrame) -> pa.Table:
-        # Arrow out: a union of mixed pandas/arrow block types breaks
-        # the sort-shuffle's boundary sampler
-        ids = df["doc_id"].to_numpy(np.int64)
-        return pa.table({
-            "doc_id": pa.array(ids),
-            "side": pa.array(np.ones(len(df), np.int64)),
-            "content_h": pa.array(df["content_h"].to_numpy(np.int64)),
-            "part": pa.array(ids % N_PARTS)})
-
-    both = (old.map_batches(tag_old, batch_format="pyarrow")
-            .union(new.map_batches(tag_new, batch_format="pandas")))
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(t.column("doc_id").to_numpy() % N_PARTS))
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        o = df[df["side"] == 0].set_index("doc_id")["content_h"]
-        n = df[df["side"] == 1].set_index("doc_id")["content_h"]
-        added = int((~n.index.isin(o.index)).sum())
-        deleted = int((~o.index.isin(n.index)).sum())
-        common = o.index.intersection(n.index)
-        changed = int((o.loc[common] != n.loc[common]).sum())
+        df = df.sort_values(["doc_id", "version"],
+                            ascending=[True, False], kind="stable")
+        win = df.drop_duplicates("doc_id", keep="first")
+        new = win[~win["deleted"]].set_index("doc_id")["content_h"]
+        o = df[df["version"] == 1].set_index("doc_id")["content_h"]
+        added = int((~new.index.isin(o.index)).sum())
+        deleted = int((~o.index.isin(new.index)).sum())
+        common = o.index.intersection(new.index)
+        changed = int((o.loc[common] != new.loc[common]).sum())
         unchanged = len(common) - changed
         return pd.DataFrame({
             "change": ["added", "deleted", "changed", "unchanged"],
             "n": np.array([added, deleted, changed, unchanged],
                           np.int64)})
+
+    both = ds.map_batches(add_part, batch_format="pyarrow")
 
     def drop_empty(t: pa.Table) -> pa.Table:
         # classes absent from the corpus don't appear (SQL semantics);
