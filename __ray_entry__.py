@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "entity_timeline": kg.entity_timeline,  # temporal-KG rollup
+        "entity_adoption": kg.entity_adoption,  # user→assistant handoff
         "source_similarity_minhash":
             sketches.source_similarity_minhash,  # mergeable MinHash union
         "lang_source_chisq": audit.lang_source_chisq,  # χ² independence
@@ -286,6 +288,8 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "entity_timeline": kg.entity_timeline_sql(),
+        "entity_adoption": kg.entity_adoption_sql(),
         "source_similarity_minhash":
             sketches.source_similarity_minhash_sql(),
         "lang_source_chisq": audit.lang_source_chisq_sql(),

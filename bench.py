@@ -407,6 +407,8 @@ def run_suite() -> dict:
         "exact_stratified_split": ("nativeextractor_ray.pipelines.curation", "exact_stratified_split"),
         "source_similarity_minhash": ("nativeextractor_ray.pipelines.sketches", "source_similarity_minhash"),
         "lang_source_chisq": ("nativeextractor_ray.pipelines.audit", "lang_source_chisq"),
+        "entity_timeline": ("nativeextractor_ray.pipelines.kg", "entity_timeline"),
+        "entity_adoption": ("nativeextractor_ray.pipelines.kg", "entity_adoption"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

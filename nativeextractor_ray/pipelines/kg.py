@@ -834,3 +834,186 @@ w AS (
 SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
 FROM w WHERE to_tool IS NOT NULL
 GROUP BY 1, 2"""
+
+
+# --------------------------------------------------- temporal entity KG
+
+
+def entity_turn_role_ts_dataset(sf_dir: str):
+    """(conv_id, turn_idx, role, ts_us, ent) — the entity-turn stream
+    with its temporal/speaker context carried through extraction (no
+    join back to transcripts is ever needed: the extractor already holds
+    the row)."""
+
+    class EntityTurnsCtx(KgExtract):
+        def _extract(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            conv = batch.column("conv_id").to_pylist()
+            turn = batch.column("turn_idx").to_pylist()
+            role = batch.column("role").to_pylist()
+            ts = pc.cast(batch.column("ts"), pa.int64()).to_pylist()
+            text = batch.column("text").to_pylist()
+            c_out, t_out, r_out, s_out, e_out = [], [], [], [], []
+            all_ents = self.batch_entities(text)
+            for r in range(len(text)):
+                for e in all_ents[r]:
+                    c_out.append(conv[r])
+                    t_out.append(turn[r])
+                    r_out.append(role[r])
+                    s_out.append(ts[r])
+                    e_out.append(e)
+            return pa.table({
+                "conv_id": pa.array(c_out, pa.string()),
+                "turn_idx": pa.array(t_out, pa.int32()),
+                "role": pa.array(r_out, pa.string()),
+                "ts_us": pa.array(s_out, pa.int64()),
+                "ent": pa.array(e_out, pa.string()),
+            })
+
+    ds = transcripts_dataset(sf_dir, fuse=True)
+    return ds.map_batches(EntityTurnsCtx(), batch_format="pyarrow",
+                          batch_size=None)
+
+
+def entity_timeline(sf_dir: str):
+    """Per-entity temporal profile — first/last mention instant, distinct
+    active days, mention-turn count: the temporal-KG rollup ("when did
+    this entity enter the corpus, is it still live?") that validity-
+    intervaled knowledge graphs start from.
+
+    Scale shape: per-batch (ent, day) partials (n, min_ts, max_ts) —
+    day-bucketing bounds the partial table at entities × days — ONE
+    composite groupby makes them exact, and the per-entity fold (count
+    of days, sums, min/min) is a second tiny groupby.  Mentions never
+    shuffle row-wise.
+
+    Output: ``(entity_id, n_mentions, n_days, first_us, last_us)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = entity_turn_role_ts_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy()
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({"ent": t.column("ent").to_numpy(
+            zero_copy_only=False), "day": day, "ts": ts})
+        g = df.groupby(["ent", "day"], sort=False)["ts"].agg(
+            ["size", "min", "max"]).reset_index()
+        return pa.table({
+            "ent": pa.array(g["ent"], pa.string()),
+            "day": pa.array(g["day"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+            "lo": pa.array(g["min"].to_numpy(np.int64)),
+            "hi": pa.array(g["max"].to_numpy(np.int64))})
+
+    per_day = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["ent", "day"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Min("lo", alias_name="lo"),
+                          Max("hi", alias_name="hi")))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ent", sort=False).agg(
+            n_mentions=("n", "sum"), n_days=("day", "size"),
+            first_us=("lo", "min"), last_us=("hi", "max")).reset_index()
+        g = g.rename(columns={"ent": "entity_id"})
+        for c in ("n_mentions", "n_days", "first_us", "last_us"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return per_day.groupby("ent").map_groups(fold, batch_format="pandas")
+
+
+def entity_timeline_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import _ENTS, _T
+
+    return f"""{_T},
+{_ENTS},
+w AS (
+  SELECT e.ent, epoch_us(t.ts) AS ts_us,
+         epoch_us(t.ts) // 86400000000 AS day
+  FROM ents_d e JOIN t ON e.conv_id = t.conv_id
+                      AND e.turn_idx = t.turn_idx)
+SELECT ent AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(min(ts_us) AS BIGINT) AS first_us,
+       CAST(max(ts_us) AS BIGINT) AS last_us
+FROM w GROUP BY ent"""
+
+
+def entity_adoption(sf_dir: str):
+    """Entity handoff across speakers: for each entity, in how many
+    conversations does the USER introduce it strictly before the
+    assistant first echoes it — the grounding/adoption signal ("did the
+    assistant pick up the user's reference?") that dialogue-KG quality
+    metrics are built on.
+
+    Scale shape: the ``first_response_latency`` conditional-Min combiner
+    applied per (ent, conv): two sentinel-neutral int64 Min partials per
+    batch → ONE (ent, conv) groupby → streaming strict-compare → per-
+    entity count partials → tiny entity groupby.
+
+    Output: ``(entity_id, n_convs, n_adopted)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    SENT = np.iinfo(np.int64).max
+
+    ds = entity_turn_role_ts_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ent": t.column("ent").to_numpy(zero_copy_only=False),
+            "conv_id": t.column("conv_id").to_numpy(zero_copy_only=False),
+            "turn": t.column("turn_idx").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "role": t.column("role").to_numpy(zero_copy_only=False)})
+        df["u"] = np.where(df["role"] == "user", df["turn"], SENT)
+        df["a"] = np.where(df["role"] == "assistant", df["turn"], SENT)
+        g = df.groupby(["ent", "conv_id"], sort=False).agg(
+            u=("u", "min"), a=("a", "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["ent", "conv_id"])
+           .aggregate(Min("u", alias_name="u"),
+                      Min("a", alias_name="a")))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        a = t.column("a").to_numpy()
+        adopted = ((u != SENT) & (a != SENT) & (u < a)).astype(np.int64)
+        return pa.table({
+            "ent": t.column("ent"),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "adopted": pa.array(adopted)})
+
+    return (agg.map_batches(resolve, batch_format="pyarrow")
+            .groupby("ent")
+            .aggregate(Sum("one", alias_name="n_convs"),
+                       Sum("adopted", alias_name="n_adopted"))
+            .map_batches(lambda t: t.rename_columns(
+                ["entity_id", "n_convs", "n_adopted"]),
+                batch_format="pyarrow"))
+
+
+def entity_adoption_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import _ENTS, _T
+
+    return f"""{_T},
+{_ENTS},
+m AS (
+  SELECT ent, conv_id,
+         min(CASE WHEN role = 'user' THEN turn_idx END) AS u,
+         min(CASE WHEN role = 'assistant' THEN turn_idx END) AS a
+  FROM ents_d GROUP BY 1, 2)
+SELECT ent AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(count(*) FILTER (u IS NOT NULL AND a IS NOT NULL AND u < a)
+            AS BIGINT) AS n_adopted
+FROM m GROUP BY ent"""
