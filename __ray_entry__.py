@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "weekly_active_users": events.weekly_active_users,  # rolling WAU
+        "transition_dwell": events.transition_dwell,  # step dwell times
+        "length_drift_ks": audit.length_drift_ks,  # exact two-sample KS
         "entity_timeline": kg.entity_timeline,  # temporal-KG rollup
         "entity_adoption": kg.entity_adoption,  # user→assistant handoff
         "source_similarity_minhash":
@@ -288,6 +291,9 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "weekly_active_users": events.weekly_active_users_sql(),
+        "transition_dwell": events.transition_dwell_sql(),
+        "length_drift_ks": audit.length_drift_ks_sql(),
         "entity_timeline": kg.entity_timeline_sql(),
         "entity_adoption": kg.entity_adoption_sql(),
         "source_similarity_minhash":

@@ -409,6 +409,9 @@ def run_suite() -> dict:
         "lang_source_chisq": ("nativeextractor_ray.pipelines.audit", "lang_source_chisq"),
         "entity_timeline": ("nativeextractor_ray.pipelines.kg", "entity_timeline"),
         "entity_adoption": ("nativeextractor_ray.pipelines.kg", "entity_adoption"),
+        "weekly_active_users": ("nativeextractor_ray.pipelines.events", "weekly_active_users"),
+        "transition_dwell": ("nativeextractor_ray.pipelines.events", "transition_dwell"),
+        "length_drift_ks": ("nativeextractor_ray.pipelines.audit", "length_drift_ks"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

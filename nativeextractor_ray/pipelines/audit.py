@@ -616,3 +616,93 @@ SELECT lang, source, o,
             // (2 * CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
          AS contrib_micro
 FROM d"""
+
+
+# ------------------------------------------- KS distribution drift
+
+
+def length_drift_ks(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic on the document
+    LENGTH distribution (``n_chars``) between every pair of sources —
+    the distribution-drift audit ("is the new crawl's length profile the
+    old one's?").  The KS statistic over an integer-valued variable is
+    EXACT integer arithmetic: ``D = max_v |c₁(v)·n₂ − c₂(v)·n₁| /
+    (n₁·n₂)`` with cumulative counts c — reported as the half-up micro
+    ratio, no float CDFs anywhere.
+
+    Scale shape: per-batch (source, n_chars) count partials → ONE
+    composite groupby (the value domain is bounded — lengths, not
+    documents) → driver fold over the sources × values table computes
+    every pairwise max.  Output: ``(src_a, src_b, ks_micro)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"source": t.column("source"),
+                       "v": t.column("n_chars")})
+             .group_by(["source", "v"]).aggregate([("v", "count")]))
+        return pa.table({"source": g.column("source"),
+                         "v": g.column("v"),
+                         "n": pc.cast(g.column("v_count"), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "v"])
+              .aggregate(Sum("n", alias_name="n")))
+    t = pa.concat_tables(
+        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+         for b in ray.get(counts.to_arrow_refs())],
+        promote_options="default")
+    df = t.to_pandas()
+    vals = np.sort(df["v"].unique())
+    srcs = sorted(df["source"].unique())
+    cum = {}
+    tot = {}
+    for s in srcs:
+        sub = df[df["source"] == s]
+        hist = np.zeros(len(vals), np.int64)
+        hist[np.searchsorted(vals, sub["v"].to_numpy())] = \
+            sub["n"].to_numpy()
+        cum[s] = np.cumsum(hist)
+        tot[s] = int(cum[s][-1])
+    out = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            n1, n2 = tot[a], tot[b]
+            d = int(np.abs(cum[a] * n2 - cum[b] * n1).max())
+            den = n1 * n2
+            out.append({"src_a": a, "src_b": b,
+                        "ks_micro": (2 * d * 1_000_000 + den)
+                        // (2 * den)})
+    res = pd.DataFrame(out)
+    res["ks_micro"] = res["ks_micro"].astype("int64")
+    return res
+
+
+def length_drift_ks_sql() -> str:
+    return """WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM c),
+srcs AS (SELECT source, sum(n) AS tot FROM c GROUP BY source),
+grid AS (
+  SELECT s.source, s.tot, vals.v,
+         COALESCE((SELECT sum(n) FROM c
+                   WHERE c.source = s.source AND c.v <= vals.v), 0)
+           AS cum
+  FROM srcs s, vals),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         max(abs(CAST(a.cum AS HUGEINT) * b.tot
+                 - CAST(b.cum AS HUGEINT) * a.tot)) AS d,
+         CAST(any_value(a.tot) AS HUGEINT) * any_value(b.tot) AS den
+  FROM grid a JOIN grid b ON a.v = b.v AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b,
+       CAST((2 * d * 1000000 + den) // (2 * den) AS BIGINT) AS ks_micro
+FROM p"""

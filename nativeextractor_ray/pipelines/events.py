@@ -1514,3 +1514,176 @@ SELECT event_type, n_days,
              / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
 FROM m
 WHERE n_days >= 2 AND n * sxx - sx * sx <> 0"""
+
+
+# ------------------------------------------------ rolling distinct users
+
+
+WAU_WINDOW = 7
+
+
+def weekly_active_users(sf_dir: str, window: int = WAU_WINDOW):
+    """EXACT rolling 7-day active users per event type — the WAU curve
+    (for each day: distinct users with ≥1 event in the trailing window).
+    Distinct-over-a-window does not decompose like a sum, so the shape
+    is interval COVERAGE: each distinct (type, user, active-day) covers
+    the ``window`` window-end days it contributes to; exploding coverage
+    BEFORE the dedup keeps everything 24-byte rows and bounds the blowup
+    at ×window.
+
+    Scale shape: per-batch distinct (type, user, day) partials → range
+    explosion (day .. day+window−1) → per-batch dedup again → ONE
+    hash(user) co-partition dedups (type, user, window_day) globally and
+    folds to per-(type, window_day) count partials → tiny final groupby.
+    Window days past the calendar edge are clipped SQL-side identically.
+
+    Output: ``(event_type, window_day, n_users)`` — window_day is the
+    epoch-day the window ENDS on, restricted to days with data."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def cover(t: pa.Table) -> pa.Table:
+        ts = (t.column("ts").to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "day": day}).drop_duplicates()
+        n = len(df)
+        rep = df.loc[df.index.repeat(window)]
+        off = np.tile(np.arange(window), n)
+        rep = rep.assign(window_day=rep["day"].to_numpy() + off)
+        rep = rep.drop(columns=["day"]).drop_duplicates()
+        rep["upart"] = rep["user_id"].to_numpy() % 256
+        return pa.Table.from_pandas(rep, preserve_index=False)
+
+    def dedup_count(df: "pd.DataFrame") -> "pd.DataFrame":
+        ded = df.drop_duplicates(["event_type", "user_id", "window_day"])
+        g = (ded.groupby(["event_type", "window_day"], sort=False)
+             .size().reset_index(name="n_users"))
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    counted = (ds.map_batches(cover, batch_format="pyarrow")
+               .groupby("upart")
+               .map_groups(dedup_count, batch_format="pandas")
+               .groupby(["event_type", "window_day"])
+               .aggregate(Sum("n_users", alias_name="n_users")))
+
+    # restrict to window-end days that actually have data (SQL inner
+    # join against observed days) — a tiny calendar-bounded broadcast
+    def day_partial(t: pa.Table) -> pa.Table:
+        ts = (t.column("ts").to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        u = np.unique(ts // 86_400_000_000)
+        return pa.table({"day": pa.array(u)})
+
+    days = set()
+    for r in (_events(sf_dir, ["ts"])
+              .map_batches(day_partial, batch_format="pyarrow")
+              .take_all()):
+        days.add(int(r["day"]))
+
+    def clip(t: pa.Table) -> pa.Table:
+        wd = t.column("window_day").to_numpy()
+        keep = np.fromiter((int(d) in days for d in wd), bool,
+                           count=len(wd))
+        return t.filter(pa.array(keep))
+
+    return counted.map_batches(clip, batch_format="pyarrow")
+
+
+def weekly_active_users_sql(window: int = WAU_WINDOW) -> str:
+    return f"""WITH a AS (
+  SELECT DISTINCT event_type, user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+obs AS (SELECT DISTINCT day FROM a),
+cov AS (
+  SELECT DISTINCT event_type, user_id, day + r.i AS window_day
+  FROM a, range(0, {window}) r(i))
+SELECT event_type, CAST(window_day AS BIGINT) AS window_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cov JOIN obs ON obs.day = cov.window_day
+GROUP BY 1, 2"""
+
+
+# -------------------------------------------------- transition dwell
+
+
+def transition_dwell(sf_dir: str):
+    """Per (from → to) event-type transition: count and EXACT mean dwell
+    time (µs between consecutive events of a user, half-up micro…
+    integer µs mean as the exact half-up ratio) — the "how long do users
+    sit between steps" statistic complementing the transition-count
+    Markov matrix.
+
+    Scale shape: the per-key window shuffle (hash(user) co-partition,
+    lexsort, boundary-masked shift) folds each partition to ≤ types²
+    (count, µs-sum) partials; one tiny groupby sums; the mean derives
+    from exact integers.  Output: ``(t_from, t_to, n, mean_us)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "upart", pa.array(t.column("user_id").to_numpy() % 256))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        typ = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(df) < 2:
+            return pd.DataFrame({"t_from": [], "t_to": [], "n": [],
+                                 "s": []})
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({
+            "t_from": typ[:-1][same], "t_to": typ[1:][same],
+            "d": (ts[1:] - ts[:-1])[same]})
+        g = out.groupby(["t_from", "t_to"], sort=False)["d"].agg(
+            ["size", "sum"]).reset_index()
+        return pd.DataFrame({
+            "t_from": g["t_from"], "t_to": g["t_to"],
+            "n": g["size"].astype("int64"),
+            "s": g["sum"].astype("int64")})
+
+    agg = (ds.map_batches(add_part, batch_format="pyarrow")
+           .groupby("upart").map_groups(partial, batch_format="pandas")
+           .groupby(["t_from", "t_to"])
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+
+    def mean(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        s = t.column("s").to_numpy()
+        return pa.table({
+            "t_from": t.column("t_from"), "t_to": t.column("t_to"),
+            "n": t.column("n"),
+            "mean_us": pa.array((2 * s + n) // (2 * n))})
+
+    return agg.map_batches(mean, batch_format="pyarrow")
+
+
+def transition_dwell_sql() -> str:
+    return """WITH s AS (
+  SELECT user_id, event_type AS t_from,
+         lead(event_type) OVER w AS t_to,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n,
+       CAST((2 * sum(d) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_us
+FROM s WHERE t_to IS NOT NULL
+GROUP BY 1, 2"""

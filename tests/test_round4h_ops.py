@@ -133,3 +133,81 @@ def test_entity_timeline_matches_adoption_universe(ray_session):
     assert (tl["n_days"] >= 1).all()
     assert (tl["last_us"] >= tl["first_us"]).all()
     assert (ad["n_adopted"] <= ad["n_convs"]).all()
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[2], "us") for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_weekly_active_users_planted(ray_session, tmp_path):
+    """u1 active on day 0, u2 on day 3: the day-3 window counts both;
+    the day-0 window only u1; repeat events don't double count; a
+    window-end day with no events is excluded."""
+    sf = _write_events(tmp_path, [
+        (1, 1, "2024-01-01T00:00", "a", 0),
+        (2, 1, "2024-01-01T01:00", "a", 0),   # repeat, same day
+        (3, 2, "2024-01-04T00:00", "a", 0),
+    ])
+    from nativeextractor_ray.pipelines.events import weekly_active_users
+
+    got = _df(weekly_active_users(sf))
+    d0 = int(np.datetime64("2024-01-01").astype("datetime64[D]")
+             .astype(np.int64))
+    by_day = got.set_index("window_day")["n_users"]
+    assert int(by_day[d0]) == 1
+    assert int(by_day[d0 + 3]) == 2
+    assert set(got["window_day"]) == {d0, d0 + 3}  # only observed days
+
+
+def test_transition_dwell_planted(ray_session, tmp_path):
+    """a→b twice with 60 s and 120 s gaps → mean 90 s; transitions never
+    cross users."""
+    sf = _write_events(tmp_path, [
+        (1, 1, "2024-01-01T00:00:00", "a", 0),
+        (2, 1, "2024-01-01T00:01:00", "b", 0),
+        (3, 2, "2024-01-01T00:00:00", "a", 0),
+        (4, 2, "2024-01-01T00:02:00", "b", 0),
+        (5, 3, "2024-01-01T00:00:00", "c", 0),  # lone event: no row
+    ])
+    from nativeextractor_ray.pipelines.events import transition_dwell
+
+    got = _df(transition_dwell(sf))
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["t_from"], r["t_to"], r["n"]) == ("a", "b", 2)
+    assert int(r["mean_us"]) == 90_000_000
+
+
+def test_length_drift_ks_planted(ray_session, tmp_path):
+    """Identical length distributions → KS 0; disjoint supports →
+    KS 1 (micro = 1e6)."""
+    import pyarrow.parquet as pq
+
+    rows = ([(i, "a" * 10, "en") for i in range(5)]          # s1: len 10
+            + [(10 + i, "b" * 10, "en") for i in range(5)]   # s2: len 10
+            + [(20 + i, "c" * 30, "en") for i in range(5)])  # s3: len 30
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array([r[2] for r in rows]),
+        "source": pa.array(["s1"] * 5 + ["s2"] * 5 + ["s3"] * 5),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    from nativeextractor_ray.pipelines.audit import length_drift_ks
+
+    got = _df(length_drift_ks(str(tmp_path))).set_index(
+        ["src_a", "src_b"])["ks_micro"]
+    assert int(got[("s1", "s2")]) == 0
+    assert int(got[("s1", "s3")]) == 1_000_000
+    assert int(got[("s2", "s3")]) == 1_000_000
