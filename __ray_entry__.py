@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "high_value_events": events.high_value_events,  # pushdown scan
+        "price_reconciliation": audit.price_reconciliation,  # invariant
         "weekly_active_users": events.weekly_active_users,  # rolling WAU
         "transition_dwell": events.transition_dwell,  # step dwell times
         "length_drift_ks": audit.length_drift_ks,  # exact two-sample KS
@@ -291,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "high_value_events": events.high_value_events_sql(),
+        "price_reconciliation": audit.price_reconciliation_sql(),
         "weekly_active_users": events.weekly_active_users_sql(),
         "transition_dwell": events.transition_dwell_sql(),
         "length_drift_ks": audit.length_drift_ks_sql(),

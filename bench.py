@@ -412,6 +412,8 @@ def run_suite() -> dict:
         "weekly_active_users": ("nativeextractor_ray.pipelines.events", "weekly_active_users"),
         "transition_dwell": ("nativeextractor_ray.pipelines.events", "transition_dwell"),
         "length_drift_ks": ("nativeextractor_ray.pipelines.audit", "length_drift_ks"),
+        "high_value_events": ("nativeextractor_ray.pipelines.events", "high_value_events"),
+        "price_reconciliation": ("nativeextractor_ray.pipelines.audit", "price_reconciliation"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -706,3 +706,111 @@ p AS (
 SELECT src_a, src_b,
        CAST((2 * d * 1000000 + den) // (2 * den) AS BIGINT) AS ks_micro
 FROM p"""
+
+
+# --------------------------------------------- financial reconciliation
+
+
+RECON_TOL_C = 0  # exact-match tolerance, cents
+
+
+def price_reconciliation(sf_dir: str):
+    """Cross-table financial reconciliation: per order, does
+    ``o_totalprice`` equal the lineitem-derived charge
+    ``Σ extprice·(1−disc)·(1+tax)``?  The invariant audit a warehouse
+    runs after every backfill; on this synthetic star the columns are
+    independently generated, so virtually everything lands in
+    ``mismatch`` — the AUDIT is the product, not the pass rate.
+
+    Float discipline: the per-line charge is computed in one identical
+    double expression on both engines and floored half-up to cents
+    BEFORE summation, so the per-order sums are exact integers.
+
+    Scale shape: lineitem folds to per-order integer-cents partials
+    before its ONLY shuffle; the orders side attaches via the size-gated
+    broadcast (orderkey, cents) map; output folds to 3 status rows.
+
+    Output: ``(status, n_orders)`` over {match, mismatch, no_lineitems}."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_tax"])
+
+    def charge_partial(t: pa.Table) -> pa.Table:
+        ext = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        tax = t.column("l_tax").to_numpy()
+        cents = np.floor(ext * (1.0 - disc) * (1.0 + tax) * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"k": t.column("l_orderkey").to_numpy(),
+                           "c": cents})
+        g = df.groupby("k", sort=False)["c"].sum().reset_index()
+        return pa.table({"o_orderkey": pa.array(g["k"].to_numpy(np.int64)),
+                         "charge_c": pa.array(g["c"].to_numpy(np.int64))})
+
+    per_order = (li.map_batches(charge_partial, batch_format="pyarrow")
+                 .groupby("o_orderkey")
+                 .aggregate(Sum("charge_c", alias_name="charge_c")))
+    # charge map is (orderkey → cents): 16 bytes/order — broadcastable
+    # far beyond any realistic order count; collected once, ray.put once
+    t = pa.concat_tables(
+        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+         for b in ray.get(per_order.to_arrow_refs())],
+        promote_options="default")
+    keys = t.column("o_orderkey").to_numpy()
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    charge = t.column("charge_c").to_numpy()[order]
+    ref = ray.put((keys, charge))
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        k, c = ray.get(ref)
+        ok_ = t.column("o_orderkey").to_numpy()
+        tot = np.floor(t.column("o_totalprice").to_numpy() * 100.0
+                       + 0.5).astype(np.int64)
+        pos = np.searchsorted(k, ok_)
+        has = (pos < len(k)) & (k[np.minimum(pos, max(len(k) - 1, 0))]
+                                == ok_) if len(k) else np.zeros(
+            len(ok_), bool)
+        got = np.where(has, c[np.minimum(pos, max(len(k) - 1, 0))]
+                       if len(k) else 0, 0)
+        match = has & (np.abs(got - tot) <= RECON_TOL_C)
+        status = np.where(~has, "no_lineitems",
+                          np.where(match, "match", "mismatch"))
+        df = pd.DataFrame({"status": status})
+        g = df.groupby("status", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (orders.map_batches(classify, batch_format="pyarrow")
+           .groupby("status").aggregate(Sum("n", alias_name="n_orders")))
+
+    def nonzero(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_orders"), 0))
+
+    return agg.map_batches(nonzero, batch_format="pyarrow")
+
+
+def price_reconciliation_sql() -> str:
+    return f"""WITH ch AS (
+  SELECT l_orderkey AS k,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                        * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT))
+           AS charge_c
+  FROM lineitem GROUP BY 1),
+cls AS (
+  SELECT CASE
+    WHEN ch.k IS NULL THEN 'no_lineitems'
+    WHEN abs(ch.charge_c
+             - CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         <= {RECON_TOL_C} THEN 'match'
+    ELSE 'mismatch' END AS status
+  FROM orders LEFT JOIN ch ON ch.k = o_orderkey)
+SELECT status, CAST(count(*) AS BIGINT) AS n_orders
+FROM cls GROUP BY status"""

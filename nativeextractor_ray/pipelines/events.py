@@ -1687,3 +1687,66 @@ SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n,
          AS mean_us
 FROM s WHERE t_to IS NOT NULL
 GROUP BY 1, 2"""
+
+
+# ------------------------------------------- pushdown-pruned scan
+
+
+PRUNE_MIN_VALUE = 150.0
+
+
+def high_value_events(sf_dir: str, min_value: float = PRUNE_MIN_VALUE):
+    """Per-type count + cents sum of events with ``value ≥ min_value`` —
+    deliberately expressed as a PREDICATE-PUSHDOWN read: the filter and
+    the column pruning ride ``read_parquet`` itself, so row groups whose
+    statistics exclude the range never leave storage (the prune-at-the-
+    read discipline; on a 100-TB events table the selective filter is
+    the difference between scanning terabytes and scanning the matching
+    row groups).
+
+    Output: ``(event_type, n, cents)``."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    import os
+
+    import pyarrow.dataset as pads
+
+    from nativeextractor_ray.sources.tables import target_parallelism
+
+    path = f"{sf_dir}/events"
+    if not os.path.isdir(path):
+        path = f"{path}.parquet"
+    ds = ray.data.read_parquet(
+        path,
+        columns=["event_type", "value"],
+        filter=(pads.field("value") >= min_value),
+        override_num_blocks=target_parallelism())
+
+    def partial(t: pa.Table) -> pa.Table:
+        # the pushdown is row-group granular — re-apply exactly
+        t = t.filter(pc.greater_equal(t.column("value"), min_value))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("value"), 100.0), 0.5)), pa.int64())
+        g = (pa.table({"event_type": t.column("event_type"),
+                       "c": cents})
+             .group_by("event_type")
+             .aggregate([("c", "count"), ("c", "sum")]))
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("c_count"), pa.int64()),
+            "cents": pc.cast(g.column("c_sum"), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents")))
+
+
+def high_value_events_sql(min_value: float = PRUNE_MIN_VALUE) -> str:
+    return f"""SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events WHERE value >= {min_value}
+GROUP BY event_type"""

@@ -38,3 +38,12 @@ def format_mentions_plain(ds, limit: int = 1000) -> str:
     return "\n".join(
         f"{r['pos']};{r['len']};{r['surface']};{r['label']}" for r in rows
     )
+
+
+def write_parquet_partitioned(ds, path: str, cols: list[str], **kwargs):
+    """Hive-layout sink: one ``col=value/`` directory per key value —
+    the resumable / prunable output layout (a rerun can skip finished
+    key directories, a reader can push ``filter`` straight at the
+    partition path).  Streams exactly like ``write_parquet``."""
+    ds.write_parquet(path, partition_cols=cols, **kwargs)
+    return path

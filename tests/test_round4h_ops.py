@@ -211,3 +211,65 @@ def test_length_drift_ks_planted(ray_session, tmp_path):
     assert int(got[("s1", "s2")]) == 0
     assert int(got[("s1", "s3")]) == 1_000_000
     assert int(got[("s2", "s3")]) == 1_000_000
+
+
+def test_price_reconciliation_planted(ray_session, tmp_path):
+    """One exactly-reconciling order, one off-by-a-cent, one with no
+    lineitems."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        # order 1: charge = 100·(1-0)·(1+0) = 100.00 → match
+        # order 2: totalprice off by 0.01 → mismatch
+        "o_totalprice": pa.array([100.00, 100.01, 5.0]),
+        "o_orderdate": pa.array([np.datetime64("2024-01-01", "us")] * 3,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+        "l_tax": pa.array([0.0, 0.0]),
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0, 1.0]),
+        "l_returnflag": pa.array(["N", "N"]),
+        "l_linestatus": pa.array(["O", "O"]),
+        "l_shipdate": pa.array([np.datetime64("2024-01-02", "us")] * 2,
+                               pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    from nativeextractor_ray.pipelines.audit import price_reconciliation
+
+    got = _df(price_reconciliation(str(tmp_path))).set_index(
+        "status")["n_orders"]
+    assert int(got["match"]) == 1
+    assert int(got["mismatch"]) == 1
+    assert int(got["no_lineitems"]) == 1
+
+
+def test_high_value_events_pushdown(ray_session, tmp_path):
+    """The pushdown read + residual filter matches the plain WHERE; the
+    boundary value (== threshold) is included."""
+    from nativeextractor_ray.pipelines.events import (
+        PRUNE_MIN_VALUE, high_value_events)
+
+    sf = _write_events(tmp_path, [
+        (1, 1, "2024-01-01T00:00", "a", 0),
+        (2, 1, "2024-01-01T00:01", "a", 0),
+    ])
+    # overwrite values: one below, one exactly at the threshold
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(tmp_path / "events.parquet")
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     pa.array([PRUNE_MIN_VALUE - 1.0, PRUNE_MIN_VALUE]))
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = _df(high_value_events(sf))
+    assert len(got) == 1
+    assert int(got.iloc[0]["n"]) == 1
+    assert int(got.iloc[0]["cents"]) == int(PRUNE_MIN_VALUE * 100)

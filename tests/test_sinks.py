@@ -65,3 +65,26 @@ def test_plain_format(sf_dir, ray_session):
     for ln in lines:
         parts = ln.split(";")
         assert len(parts) >= 4 and parts[0].isdigit() and parts[1].isdigit()
+
+
+def test_parquet_partitioned_layout(sf_dir, tmp_path, ray_session):
+    """Hive-style partition_cols layout: one lang=<v>/ directory per key,
+    and reading the root back recovers the full table."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nativeextractor_ray.pipelines import io
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    out = str(tmp_path / "part_out")
+    io.write_parquet_partitioned(ds, out, ["lang"])
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert len(langs) >= 2
+    back = pads.dataset(out, partitioning="hive").to_table()
+    orig = read_table(sf_dir, "documents", ["doc_id"]).count()
+    assert back.num_rows == orig
+    # the partition key survives as a readable column
+    assert "lang" in back.schema.names
