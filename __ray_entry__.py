@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "rfm_segments": distributions.rfm_segments,  # quantile-edge RFM
+        "ship_latency_quantiles":
+            quantiles.ship_latency_quantiles_by_priority,  # joined SLA
         "high_value_events": events.high_value_events,  # pushdown scan
         "price_reconciliation": audit.price_reconciliation,  # invariant
         "weekly_active_users": events.weekly_active_users,  # rolling WAU
@@ -293,6 +296,9 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "rfm_segments": distributions.rfm_segments_sql(),
+        "ship_latency_quantiles":
+            quantiles.ship_latency_quantiles_by_priority_sql(),
         "high_value_events": events.high_value_events_sql(),
         "price_reconciliation": audit.price_reconciliation_sql(),
         "weekly_active_users": events.weekly_active_users_sql(),

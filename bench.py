@@ -414,6 +414,8 @@ def run_suite() -> dict:
         "length_drift_ks": ("nativeextractor_ray.pipelines.audit", "length_drift_ks"),
         "high_value_events": ("nativeextractor_ray.pipelines.events", "high_value_events"),
         "price_reconciliation": ("nativeextractor_ray.pipelines.audit", "price_reconciliation"),
+        "rfm_segments": ("nativeextractor_ray.pipelines.distributions", "rfm_segments"),
+        "ship_latency_quantiles": ("nativeextractor_ray.pipelines.quantiles", "ship_latency_quantiles_by_priority"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

@@ -26,6 +26,7 @@ operator family (the same partial-aggregate economics as
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -126,3 +127,121 @@ FROM (
   GROUP BY c.c_custkey
 )
 GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+
+# ------------------------------------------------------ RFM segmentation
+
+
+RFM_TIERS = 3
+
+
+def rfm_segments(sf_dir: str, tiers: int = RFM_TIERS):
+    """Customer RFM segmentation — recency (last order epoch-day),
+    frequency (order count), monetary (integer total cents) each scored
+    into ``tiers`` buckets at EXACT corpus quantiles (the
+    ``curriculum_assign`` edge discipline applied three times), plus the
+    composite segment code ``r·100 + f·10 + m``.
+
+    Scale shape: orders fold to per-customer partials per batch (ONE
+    custkey groupby: Max/Sum/Sum of 24-byte rows), the derived customer
+    table materializes once and feeds the histogram-refinement kernel
+    three times (R+1 streaming scans each, no sort); the three edge sets
+    broadcast as literals into a final streaming assignment map.
+
+    Output: ``(c_custkey, r_day, f, m_cents, r_score, f_score, m_score,
+    segment)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    from nativeextractor_ray.pipelines.quantiles import _exact_quantiles
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"c_custkey": t.column("o_custkey").to_numpy(),
+                           "day": day, "cents": cents})
+        g = df.groupby("c_custkey", sort=False).agg(
+            r_day=("day", "max"), f=("day", "size"),
+            m_cents=("cents", "sum")).reset_index()
+        for c in ("r_day", "f", "m_cents"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Max("r_day", alias_name="r_day"),
+                       Sum("f", alias_name="f"),
+                       Sum("m_cents", alias_name="m_cents"))
+            ).materialize()
+
+    qs = tuple(i / tiers for i in range(1, tiers))
+    edges = {}
+    for col in ("r_day", "f", "m_cents"):
+        got = _exact_quantiles(cust, col, qs)
+        edges[col] = [got[("", q)] for q in sorted(q for _, q in got)]
+
+    def score(v: np.ndarray, es) -> np.ndarray:
+        s = np.full(len(v), len(es) + 1, np.int64)
+        for i in range(len(es) - 1, -1, -1):
+            s[v <= es[i]] = i + 1
+        return s
+
+    def assign(t: pa.Table) -> pa.Table:
+        r = t.column("r_day").to_numpy()
+        f = t.column("f").to_numpy()
+        m = t.column("m_cents").to_numpy()
+        rs, fs, ms = (score(r, edges["r_day"]), score(f, edges["f"]),
+                      score(m, edges["m_cents"]))
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "r_day": t.column("r_day"), "f": t.column("f"),
+            "m_cents": t.column("m_cents"),
+            "r_score": pa.array(rs), "f_score": pa.array(fs),
+            "m_score": pa.array(ms),
+            "segment": pa.array(rs * 100 + fs * 10 + ms)})
+
+    return cust.map_batches(assign, batch_format="pyarrow")
+
+
+def rfm_segments_sql(tiers: int = RFM_TIERS) -> str:
+    def dim(col: str) -> str:
+        edge_sel = ", ".join(
+            f"(SELECT {col} FROM rk_{col} WHERE rk_{col}.r = CAST("
+            f"ceil({i}.0 * (SELECT n FROM cnt) / {tiers}) AS BIGINT))"
+            f" AS e{i}" for i in range(1, tiers))
+        return (f"rk_{col} AS (SELECT {col}, row_number() OVER "
+                f"(ORDER BY {col}) AS r FROM cust),\n"
+                f"e_{col} AS (SELECT {edge_sel})")
+
+    def case(col: str) -> str:
+        whens = " ".join(
+            f"WHEN {col} <= (SELECT e{i} FROM e_{col}) THEN {i}"
+            for i in range(1, tiers))
+        return f"CAST(CASE {whens} ELSE {tiers} END AS BIGINT)"
+
+    return f"""WITH cust AS (
+  SELECT o_custkey AS c_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+         CAST(count(*) AS BIGINT) AS f,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS m_cents
+  FROM orders GROUP BY 1),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+{dim('r_day')},
+{dim('f')},
+{dim('m_cents')}
+SELECT c_custkey, CAST(r_day AS BIGINT) AS r_day, f,
+       CAST(m_cents AS BIGINT) AS m_cents,
+       {case('r_day')} AS r_score,
+       {case('f')} AS f_score,
+       {case('m_cents')} AS m_score,
+       {case('r_day')} * 100 + {case('f')} * 10 + {case('m_cents')}
+         AS segment
+FROM cust"""

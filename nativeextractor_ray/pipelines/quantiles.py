@@ -819,3 +819,101 @@ r AS (
 SELECT CAST(q AS DOUBLE) AS q, lat_us AS latency_us
 FROM (VALUES {vals}) AS qs(q)
 JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""
+
+
+# -------------------------------------- shipping latency by priority
+
+
+SHIP_QS = (0.5, 0.9)
+_SHIP_PARTS = 64
+
+
+def ship_latency_quantiles_by_priority(sf_dir: str, qs=SHIP_QS):
+    """Exact p50/p90 of shipping latency (days from order date to line
+    ship date) per order priority — the SLA report, and the engine's
+    demonstration that the grouped refinement kernel composes over a
+    JOINED derivation (latency exists on no single table).
+
+    Scale shape: both sides prune to 16-byte key rows and co-partition
+    on ``orderkey % P`` (the tagged-union merge — no ``Dataset.join``
+    aggregator overhead); each partition emits (priority, lat_days)
+    rows, and the grouped histogram-refinement kernel selects the order
+    statistics with no global sort and no priority ever materializing
+    on one node.
+
+    Output: ``(priority, q, lat_days)``."""
+    import pandas as pd
+    import ray.data
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy()
+        day = (t.column("o_orderdate").to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        return pa.table({
+            "k": pa.array(k), "side": pa.array(
+                np.zeros(len(k), np.int64)),
+            "day": pa.array(day),
+            "priority": t.column("o_orderpriority"),
+            "part": pa.array(k % _SHIP_PARTS)})
+
+    def tag_lines(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy()
+        day = (t.column("l_shipdate").to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        return pa.table({
+            "k": pa.array(k), "side": pa.array(np.ones(len(k), np.int64)),
+            "day": pa.array(day),
+            "priority": pa.array([""] * len(k), pa.string()),
+            "part": pa.array(k % _SHIP_PARTS)})
+
+    def merge(df: "pd.DataFrame") -> pa.Table:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        ok = o.sort_values("k", kind="stable")
+        keys = ok["k"].to_numpy()
+        pos = np.searchsorted(keys, l["k"].to_numpy())
+        # FK integrity holds on this star; a missing parent would be a
+        # referential_audit finding, not silent data loss
+        lat = l["day"].to_numpy() - ok["day"].to_numpy()[pos]
+        # Arrow out: the quantile kernel reads the Arrow schema
+        return pa.table({
+            "priority": pa.array(ok["priority"].to_numpy(object)[pos],
+                                 pa.string()),
+            "lat_days": pa.array(lat.astype(np.float64))})
+
+    lat = (orders.map_batches(tag_orders, batch_format="pyarrow")
+           .union(li.map_batches(tag_lines, batch_format="pyarrow"))
+           .groupby("part").map_groups(merge, batch_format="pandas"))
+    got = _exact_quantiles(lat, "lat_days", qs, group_col="priority")
+    rows = sorted(got.items())
+    return ray.data.from_arrow(pa.table({
+        "priority": pa.array([g for (g, _), _ in rows], pa.string()),
+        "q": pa.array([q for (_, q), _ in rows], pa.float64()),
+        "lat_days": pa.array([int(v) for _, v in rows], pa.int64())}))
+
+
+def ship_latency_quantiles_by_priority_sql(qs=SHIP_QS) -> str:
+    vals = ", ".join(f"({q})" for q in sorted(qs))
+    return f"""WITH lat AS (
+  SELECT o_orderpriority AS priority,
+         epoch_us(l_shipdate) // 86400000000
+         - epoch_us(o_orderdate) // 86400000000 AS lat_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+s AS (
+  SELECT priority, lat_days,
+         row_number() OVER (PARTITION BY priority ORDER BY lat_days)
+           AS r,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM lat)
+SELECT priority, CAST(q AS DOUBLE) AS q,
+       CAST(lat_days AS BIGINT) AS lat_days
+FROM (VALUES {vals}) AS qs(q)
+JOIN s ON s.r = CAST(ceil(q * n) AS BIGINT)"""

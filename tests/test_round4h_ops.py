@@ -273,3 +273,72 @@ def test_high_value_events_pushdown(ray_session, tmp_path):
     assert len(got) == 1
     assert int(got.iloc[0]["n"]) == 1
     assert int(got.iloc[0]["cents"]) == int(PRUNE_MIN_VALUE * 100)
+
+
+def test_rfm_segments_planted(ray_session, tmp_path):
+    """3 customers, clean tertiles: scores follow the exact quantile
+    edges (value at rank ceil(q·n)), segment = r·100 + f·10 + m."""
+    import pyarrow.parquet as pq
+
+    # c1: 1 early cheap order; c2: 2 mid orders; c3: 3 late rich orders
+    rows = [
+        (1, 1, "2024-01-01", 10.0), (2, 2, "2024-02-01", 50.0),
+        (3, 2, "2024-02-02", 50.0), (4, 3, "2024-03-01", 100.0),
+        (5, 3, "2024-03-02", 100.0), (6, 3, "2024-03-03", 100.0),
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows)),
+        "o_totalprice": pa.array([r[3] for r in rows]),
+        "o_orderdate": pa.array([np.datetime64(r[2], "us") for r in rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+    }), tmp_path / "orders.parquet")
+    from nativeextractor_ray.pipelines.distributions import rfm_segments
+
+    got = _df(rfm_segments(str(tmp_path))).set_index("c_custkey")
+    assert int(got.loc[1, "segment"]) == 111
+    assert int(got.loc[2, "segment"]) == 222
+    assert int(got.loc[3, "segment"]) == 333
+
+
+def test_ship_latency_planted(ray_session, tmp_path):
+    """Latency = ship epoch-day − order epoch-day per line, quantiles
+    per priority (p50 of [1, 2, 3] = 2)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 2),
+        "o_totalprice": pa.array([1.0, 1.0]),
+        "o_orderdate": pa.array(
+            [np.datetime64("2024-01-01", "us")] * 2, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array([np.datetime64(d, "us") for d in
+                                ("2024-01-02", "2024-01-03",
+                                 "2024-01-04", "2024-01-11")],
+                               pa.timestamp("us")),
+        "l_partkey": pa.array([1] * 4, pa.int64()),
+        "l_suppkey": pa.array([1] * 4, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_quantity": pa.array([1.0] * 4),
+        "l_extendedprice": pa.array([1.0] * 4),
+        "l_discount": pa.array([0.0] * 4),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["N"] * 4),
+        "l_linestatus": pa.array(["O"] * 4),
+    }), tmp_path / "lineitem.parquet")
+    from nativeextractor_ray.pipelines.quantiles import (
+        ship_latency_quantiles_by_priority)
+
+    got = _df(ship_latency_quantiles_by_priority(str(tmp_path)))
+    urgent = got[got["priority"] == "1-URGENT"].set_index("q")
+    assert int(urgent.loc[0.5, "lat_days"]) == 2
+    assert int(urgent.loc[0.9, "lat_days"]) == 3
+    high = got[got["priority"] == "2-HIGH"].set_index("q")
+    assert int(high.loc[0.5, "lat_days"]) == 10
