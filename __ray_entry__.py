@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "embedding_pca_project":
+            vectorstats.embedding_pca_project,  # exact-int PCA map
+        "key_gaps": audit.key_gaps,  # gaps-and-islands key audit
+        "session_bounce_rate": events.session_bounce_rate,  # engagement
         "rfm_segments": distributions.rfm_segments,  # quantile-edge RFM
         "ship_latency_quantiles":
             quantiles.ship_latency_quantiles_by_priority,  # joined SLA
@@ -296,6 +300,9 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "embedding_pca_project": vectorstats.embedding_pca_project_sql(),
+        "key_gaps": audit.key_gaps_sql(),
+        "session_bounce_rate": events.session_bounce_rate_sql(),
         "rfm_segments": distributions.rfm_segments_sql(),
         "ship_latency_quantiles":
             quantiles.ship_latency_quantiles_by_priority_sql(),

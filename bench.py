@@ -416,6 +416,9 @@ def run_suite() -> dict:
         "price_reconciliation": ("nativeextractor_ray.pipelines.audit", "price_reconciliation"),
         "rfm_segments": ("nativeextractor_ray.pipelines.distributions", "rfm_segments"),
         "ship_latency_quantiles": ("nativeextractor_ray.pipelines.quantiles", "ship_latency_quantiles_by_priority"),
+        "embedding_pca_project": ("nativeextractor_ray.pipelines.vectorstats", "embedding_pca_project"),
+        "key_gaps": ("nativeextractor_ray.pipelines.audit", "key_gaps"),
+        "session_bounce_rate": ("nativeextractor_ray.pipelines.events", "session_bounce_rate"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

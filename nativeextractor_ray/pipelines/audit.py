@@ -753,19 +753,23 @@ def price_reconciliation(sf_dir: str):
         return pa.table({"o_orderkey": pa.array(g["k"].to_numpy(np.int64)),
                          "charge_c": pa.array(g["c"].to_numpy(np.int64))})
 
-    per_order = (li.map_batches(charge_partial, batch_format="pyarrow")
-                 .groupby("o_orderkey")
-                 .aggregate(Sum("charge_c", alias_name="charge_c")))
     # charge map is (orderkey → cents): 16 bytes/order — broadcastable
-    # far beyond any realistic order count; collected once, ray.put once
+    # far beyond any realistic order count.  The per-batch partials fold
+    # on the DRIVER with one np.unique + bincount pass instead of a Ray
+    # sort-aggregate (the Q21 lesson: the sort-based Aggregate costs
+    # hundreds of core-seconds on key counts a vectorized fold does in
+    # milliseconds); partial volume is bounded by orders × blocks.
     t = pa.concat_tables(
         [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(per_order.to_arrow_refs())],
+         for b in ray.get(
+             li.map_batches(charge_partial, batch_format="pyarrow")
+             .to_arrow_refs())],
         promote_options="default")
-    keys = t.column("o_orderkey").to_numpy()
-    order = np.argsort(keys, kind="stable")
-    keys = keys[order]
-    charge = t.column("charge_c").to_numpy()[order]
+    k_all = t.column("o_orderkey").to_numpy()
+    c_all = t.column("charge_c").to_numpy()
+    keys, inv = np.unique(k_all, return_inverse=True)
+    charge = np.zeros(len(keys), np.int64)
+    np.add.at(charge, inv, c_all)  # exact int64, no float weights
     ref = ray.put((keys, charge))
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -814,3 +818,67 @@ cls AS (
   FROM orders LEFT JOIN ch ON ch.k = o_orderkey)
 SELECT status, CAST(count(*) AS BIGINT) AS n_orders
 FROM cls GROUP BY status"""
+
+
+# --------------------------------------------------- gaps and islands
+
+
+def key_gaps(sf_dir: str):
+    """Holes in the ``o_orderkey`` space — the gaps-and-islands audit
+    ("did the loader drop a key range?").  A key column that should be
+    dense gets scanned once; every interior maximal run of missing keys
+    is reported as ``(gap_start, gap_end)``.
+
+    Scale shape: ONE narrow sort shuffle of the 8-byte key column
+    establishes block-range order; each sorted block folds to its
+    INTERNAL gaps (vectorized diff) plus one (min, max) boundary row;
+    the driver stitches adjacent blocks — gaps per block are bounded by
+    the data, boundary work is one row per block (the pack_sequences
+    economics).
+
+    Output: ``(gap_start, gap_end)`` — inclusive bounds, interior gaps
+    only."""
+    import pandas as pd
+
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "orders", ["o_orderkey"])
+    ordered = ds.sort("o_orderkey").materialize()
+
+    def block_gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        k = np.unique(t.column("o_orderkey").to_numpy())
+        d = np.diff(k)
+        idx = np.nonzero(d > 1)[0]
+        gaps_a = k[idx] + 1
+        gaps_b = k[idx + 1] - 1
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(idx), np.int64), [1]])),
+            "a": pa.array(np.concatenate([gaps_a, [k[0]]])),
+            "b": pa.array(np.concatenate([gaps_b, [k[-1]]]))})
+
+    rows = ordered.map_batches(block_gaps, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    gaps = [(r["a"], r["b"]) for r in rows if r["kind"] == 0]
+    bounds = sorted((r["a"], r["b"]) for r in rows if r["kind"] == 1)
+    for (_, hi), (lo2, _) in zip(bounds, bounds[1:]):
+        if lo2 > hi + 1:
+            gaps.append((hi + 1, lo2 - 1))
+    gaps.sort()
+    return pd.DataFrame({
+        "gap_start": pd.array([a for a, _ in gaps], dtype="int64"),
+        "gap_end": pd.array([b for _, b in gaps], dtype="int64")})
+
+
+def key_gaps_sql() -> str:
+    return """WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders),
+s AS (
+  SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+       CAST(nk - 1 AS BIGINT) AS gap_end
+FROM s WHERE nk > k + 1"""

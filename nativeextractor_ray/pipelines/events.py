@@ -1750,3 +1750,77 @@ def high_value_events_sql(min_value: float = PRUNE_MIN_VALUE) -> str:
          AS cents
 FROM events WHERE value >= {min_value}
 GROUP BY event_type"""
+
+
+# ------------------------------------------------------- bounce rate
+
+
+def session_bounce_rate(sf_dir: str):
+    """Single-row session-quality report: total sessions, single-event
+    ("bounce") sessions, and the exact half-up micro bounce rate — the
+    engagement headline stat.
+
+    Scale shape: the sessionization co-partition folds each partition to
+    TWO integers; the driver sums a handful of partials.  Output:
+    ``(n_sessions, n_bounce, bounce_micro)``."""
+    import pandas as pd
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "upart", pa.array(t.column("user_id").to_numpy() % 256))
+
+    def part_counts(part: "pd.DataFrame") -> "pd.DataFrame":
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        uid = part["user_id"].to_numpy()
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(len(part), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(part), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) >= SESSION_GAP_US
+        sess = np.cumsum(new_user | gap)
+        sizes = np.bincount(sess)[1:]
+        return pd.DataFrame({
+            "n_sessions": np.array([len(sizes)], np.int64),
+            "n_bounce": np.array([int((sizes == 1).sum())], np.int64)})
+
+    parts = (ds.map_batches(add_part, batch_format="pyarrow")
+             .groupby("upart")
+             .map_groups(part_counts, batch_format="pandas")
+             .take_all())
+    n = sum(r["n_sessions"] for r in parts)
+    b = sum(r["n_bounce"] for r in parts)
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_sessions": pd.array([n], dtype="int64"),
+        "n_bounce": pd.array([b], dtype="int64"),
+        "bounce_micro": pd.array([(2 * b * 1_000_000 + n) // (2 * n)],
+                                 dtype="int64")})
+
+
+def session_bounce_rate_sql() -> str:
+    return """WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTES
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o),
+per AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounce
+  FROM per)
+SELECT n_sessions, n_bounce,
+       CAST((2 * n_bounce * 1000000 + n_sessions) // (2 * n_sessions)
+            AS BIGINT) AS bounce_micro
+FROM agg"""

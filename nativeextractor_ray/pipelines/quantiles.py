@@ -889,9 +889,12 @@ def ship_latency_quantiles_by_priority(sf_dir: str, qs=SHIP_QS):
                                  pa.string()),
             "lat_days": pa.array(lat.astype(np.float64))})
 
+    # materialized once: the refinement kernel scans R+1 times and must
+    # not re-execute the join per scan
     lat = (orders.map_batches(tag_orders, batch_format="pyarrow")
            .union(li.map_batches(tag_lines, batch_format="pyarrow"))
-           .groupby("part").map_groups(merge, batch_format="pandas"))
+           .groupby("part").map_groups(merge, batch_format="pandas")
+           ).materialize()
     got = _exact_quantiles(lat, "lat_days", qs, group_col="priority")
     rows = sorted(got.items())
     return ray.data.from_arrow(pa.table({

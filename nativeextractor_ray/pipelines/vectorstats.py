@@ -288,3 +288,109 @@ SELECT i, j, n AS n_vecs,
                   / CAST(n * n AS DOUBLE) / {QSCALE}.0
                   / {QSCALE}.0 * {QSCALE}.0 + 0.5) AS BIGINT) AS cov_micro
 FROM p"""
+
+
+# ----------------------------------------------------- PCA projection
+
+
+PCA_ITERS = 64
+
+
+def _pca_top2(sf_dir: str) -> np.ndarray:
+    """Top-2 principal directions from the EXACT integer covariance
+    (the distributed Gram pass), resolved on the driver by
+    deterministic power iteration with deflation — no RNG, fixed
+    iteration count, so the components are a pure function of the
+    corpus and can be embedded as SQL literals (the IVF-centroid /
+    LSH-plane replay pattern)."""
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    cov_ds = embedding_covariance(sf_dir)
+    parts = list(arrow_blocks(cov_ds, stream=False))
+    t = pa.concat_tables(parts, promote_options="default")
+    C = np.zeros((EMB_DIM, EMB_DIM), np.float64)
+    i = t.column("i").to_numpy() - 1
+    j = t.column("j").to_numpy() - 1
+    v = t.column("cov_micro").to_numpy() / 1e6
+    C[i, j] = v
+    C[j, i] = v
+    comps = []
+    M = C.copy()
+    for _ in range(2):
+        vec = np.ones(EMB_DIM) / np.sqrt(EMB_DIM)
+        for _ in range(PCA_ITERS):
+            vec = M @ vec
+            n = np.linalg.norm(vec)
+            if n == 0:
+                break
+            vec = vec / n
+        # sign convention: first nonzero coordinate positive
+        nz = np.nonzero(vec)[0]
+        if len(nz) and vec[nz[0]] < 0:
+            vec = -vec
+        comps.append(vec)
+        lam = vec @ M @ vec
+        M = M - lam * np.outer(vec, vec)
+    return np.stack(comps)
+
+
+#: component quantization — 1e-9 grid: |q·v_int| ≤ 2^25·2^30 = 2^55,
+#: a 64-term sum ≤ 2^61 — exact in int64, ORDER-INDEPENDENT (a float
+#: dot product is not: a left-to-right chain measured 1e-13 off
+#: DuckDB's evaluation — integers make the whole question vanish)
+VSCALE = 10**9
+
+
+def embedding_pca_project(sf_dir: str):
+    """Every embedding projected onto the corpus' top-2 principal
+    directions — the 2-D map/visualization pass layered on the Gram
+    matrix.  Both the vectors (1e-6) and the components (1e-9) are
+    fixed-point, so the projection is an exact int64 dot product —
+    bit-identical on any engine, any summation order.
+
+    Scale shape: the covariance pass (blocks × D²/2 integer partials) +
+    one streaming projection map with the 2×D quantized component
+    matrix broadcast.  Output: ``(vec_id, p1_q, p2_q)`` — integer
+    micro·nano units (divide by 1e15 for the float projection)."""
+    import ray
+
+    from nativeextractor_ray.functions.vectors import embedding_matrix
+    from nativeextractor_ray.sources.tables import read_table
+
+    V = _pca_top2(sf_dir)
+    Vq = np.floor(V * float(VSCALE) + 0.5).astype(np.int64)
+    ref = ray.put(Vq)
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        comps = ray.get(ref)
+        m = embedding_matrix(t.column("embedding")).astype(np.float64)
+        q = np.floor(m * float(QSCALE) + 0.5).astype(np.int64)
+        p = q @ comps.T  # exact: |q·v| ≤ 2^55, 64 terms < 2^63
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "p1_q": pa.array(p[:, 0]),
+                         "p2_q": pa.array(p[:, 1])})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def embedding_pca_project_sql(sf_dir: str | None = None) -> str:
+    import os
+
+    sf = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                  "/root/testdata/sf0.01")
+    V = _pca_top2(sf)
+    Vq = np.floor(V * float(VSCALE) + 0.5).astype(np.int64)
+    vals = ", ".join(f"({d + 1}, {int(Vq[0, d])}, {int(Vq[1, d])})"
+                     for d in range(EMB_DIM))
+    return f"""WITH comps(dim, v1, v2) AS (VALUES {vals}),
+q AS (
+  SELECT e.vec_id, c.dim, c.v1, c.v2,
+         CAST(floor(CAST(list_extract(e.embedding, c.dim) AS DOUBLE)
+                    * {QSCALE}.0 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, comps c)
+SELECT vec_id,
+       CAST(sum(q * v1) AS BIGINT) AS p1_q,
+       CAST(sum(q * v2) AS BIGINT) AS p2_q
+FROM q GROUP BY vec_id"""

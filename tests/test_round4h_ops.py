@@ -342,3 +342,60 @@ def test_ship_latency_planted(ray_session, tmp_path):
     assert int(urgent.loc[0.9, "lat_days"]) == 3
     high = got[got["priority"] == "2-HIGH"].set_index("q")
     assert int(high.loc[0.5, "lat_days"]) == 10
+
+
+def test_key_gaps_planted(ray_session, tmp_path):
+    """Interior holes only; duplicates and block boundaries don't create
+    phantom gaps."""
+    import pyarrow.parquet as pq
+
+    keys = [1, 2, 3, 7, 8, 8, 12, 13]  # gaps: 4-6, 9-11
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_custkey": pa.array([1] * len(keys), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(keys)),
+        "o_totalprice": pa.array([1.0] * len(keys)),
+        "o_orderdate": pa.array(
+            [np.datetime64("2024-01-01", "us")] * len(keys),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(keys)),
+    }), tmp_path / "orders.parquet")
+    from nativeextractor_ray.pipelines.audit import key_gaps
+
+    got = _df(key_gaps(str(tmp_path)))
+    rows = [tuple(r) for r in got.itertuples(index=False)]
+    assert rows == [(4, 6), (9, 11)]
+
+
+def test_session_bounce_rate_planted(ray_session, tmp_path):
+    """u1: one 2-event session; u2: two singleton sessions (gap ≥ 30
+    min) → 3 sessions, 2 bounces, rate 2/3 half-up micro."""
+    sf = _write_events(tmp_path, [
+        (1, 1, "2024-01-01T00:00:00", "a", 0),
+        (2, 1, "2024-01-01T00:10:00", "a", 0),
+        (3, 2, "2024-01-01T00:00:00", "a", 0),
+        (4, 2, "2024-01-01T02:00:00", "a", 0),
+    ])
+    from nativeextractor_ray.pipelines.events import session_bounce_rate
+
+    got = _df(session_bounce_rate(sf)).iloc[0]
+    assert int(got["n_sessions"]) == 3
+    assert int(got["n_bounce"]) == 2
+    assert int(got["bounce_micro"]) == (2 * 2 * 1_000_000 + 3) // 6
+
+
+def test_pca_project_variance_order(ray_session):
+    """The first component captures at least as much projected variance
+    as the second, and the projection is exactly the integer dot
+    product of the quantized inputs."""
+    from nativeextractor_ray.pipelines.vectorstats import (
+        _pca_top2, VSCALE, embedding_pca_project)
+
+    sf = "/root/testdata/sf0.001"
+    got = _df(embedding_pca_project(sf))
+    assert len(got) == 500
+    v1 = got["p1_q"].astype(np.float64).var()
+    v2 = got["p2_q"].astype(np.float64).var()
+    assert v1 >= v2 * 0.99  # top component dominates (tolerate near-ties)
+    V = _pca_top2(sf)
+    assert abs(np.linalg.norm(V[0]) - 1.0) < 1e-9
