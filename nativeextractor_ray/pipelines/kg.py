@@ -113,6 +113,13 @@ def triples_dataset(sf_dir: str, replicate: int = 1):
     kg = KgExtract()
     ds = transcripts_dataset(sf_dir, replicate=replicate, fuse=True)
     partial = ds.map_batches(kg, batch_format="pyarrow", batch_size=None)
+    # explicit stage boundary before the dedup shuffle: streamed into an
+    # AllToAll consumer, the streaming executor throttles the extraction
+    # map to ~1 concurrent task on small CPU counts (measured 34 s vs
+    # 10 s at 4 CPUs, 1.6M turns; equal-or-faster at 16+).  The
+    # materialized set is the compact PARTIAL aggregate — the same
+    # boundary the per-partition checkpoints commit — never the input.
+    partial = partial.materialize()
     agg = partial.groupby("part").map_groups(_final_combine, batch_format="pyarrow")
     return agg.map_batches(lambda t: t.select(TRIPLE_COLS), batch_format="pyarrow")
 
@@ -1017,3 +1024,173 @@ SELECT ent AS entity_id,
        CAST(count(*) FILTER (u IS NOT NULL AND a IS NOT NULL AND u < a)
             AS BIGINT) AS n_adopted
 FROM m GROUP BY ent"""
+
+
+def conv_entity_density(sf_dir: str):
+    """Per-conversation entity density — distinct entities, turn count,
+    and the exact half-up micro entities-per-turn ratio: the
+    information-richness ranking used to pick KG-worthy conversations.
+
+    Scale shape: two conditional partial streams share ONE conv-keyed
+    groupby — the entity stream pre-folds to per-(conv) distinct-entity
+    counts per batch (a turn's entity set never spans batches), the turn
+    stream to per-conv turn counts; both are 16-byte rows.
+
+    Output: ``(conv_id, n_entities, n_turns, density_micro)``."""
+    import numpy as np
+    import pandas as pd
+
+    ents = entity_turns_dataset(sf_dir)
+    turns = transcripts_dataset(sf_dir)
+
+    def turn_partial(t: pa.Table) -> pa.Table:
+        # turn rows tag with the empty entity (real entities are always
+        # 'label:'-prefixed, never empty)
+        g = (pa.table({"conv_id": t.column("conv_id")})
+             .group_by("conv_id").aggregate([("conv_id", "count")]))
+        return pa.table({"conv_id": g.column("conv_id"),
+                         "ent": pa.array([""] * g.num_rows, pa.string()),
+                         "nt": pc.cast(g.column("conv_id_count"),
+                                       pa.int64())})
+
+    # NOTE: a conversation's entity DISTINCT-set can span batches only if
+    # its turns do; the distinct fold below therefore runs per (conv) in
+    # the groupby, with per-batch (conv, ent) dedup partials upstream
+    def ent_distinct_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "conv_id": t.column("conv_id").to_numpy(zero_copy_only=False),
+            "ent": t.column("ent").to_numpy(zero_copy_only=False)})
+        ded = df.drop_duplicates()
+        return pa.Table.from_pandas(ded, preserve_index=False)
+
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("part", stable_part(t, ["conv_id"], 64))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ents_n = (df[df["ent"] != ""].drop_duplicates(["conv_id", "ent"])
+                  .groupby("conv_id", sort=False).size())
+        turns_n = df[df["ent"] == ""].groupby(
+            "conv_id", sort=False)["nt"].sum()
+        convs = sorted(set(ents_n.index) | set(turns_n.index))
+        ne = np.array([int(ents_n.get(c, 0)) for c in convs], np.int64)
+        nt = np.array([int(turns_n.get(c, 0)) for c in convs], np.int64)
+        dens = (2 * ne * 1_000_000 + nt) // (2 * nt)
+        return pd.DataFrame({"conv_id": convs, "n_entities": ne,
+                             "n_turns": nt, "density_micro": dens})
+
+    ent_rows = ents.map_batches(ent_distinct_partial,
+                                batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "nt", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    turn_rows = turns.map_batches(turn_partial, batch_format="pyarrow")
+    both = ent_rows.union(turn_rows)
+    return (both.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas"))
+
+
+def conv_entity_density_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import _ENTS, _T
+
+    return f"""{_T},
+{_ENTS},
+ne AS (
+  SELECT conv_id, CAST(count(DISTINCT ent) AS BIGINT) AS n_entities
+  FROM ents_d GROUP BY 1),
+nt AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM t GROUP BY 1)
+SELECT nt.conv_id,
+       COALESCE(ne.n_entities, 0) AS n_entities,
+       nt.n_turns,
+       CAST((2 * COALESCE(ne.n_entities, 0) * 1000000 + nt.n_turns)
+            // (2 * nt.n_turns) AS BIGINT) AS density_micro
+FROM nt LEFT JOIN ne ON ne.conv_id = nt.conv_id"""
+
+
+def role_vocab_divergence(sf_dir: str):
+    """Total-variation distance between the USER and ASSISTANT token
+    distributions — the style/register drift audit over transcript
+    corpora (are the two sides of the dialogue drawing from the same
+    vocabulary?).  ``TV = ½ Σ_w |p_u(w) − p_a(w)|`` is EXACT integer
+    arithmetic over token counts: ``Σ |c_u·n_a − c_a·n_u|`` in Python
+    ints over the vocabulary-bounded count table, emitted as the
+    half-up micro ratio against ``2·n_u·n_a``.
+
+    Scale shape: per-batch (role, term) Arrow count partials → ONE
+    hash(term)-style composite groupby (vocabulary-bounded) → driver
+    fold.  Output: one row ``(n_user_tokens, n_assistant_tokens,
+    tv_micro)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = transcripts_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("role"),
+                        value_set=pa.array(["user", "assistant"]))
+        t = t.filter(keep)
+        toks = pc.split_pattern(t.column("text"), " ")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ok = pc.not_equal(flat, "")
+        flat = flat.filter(ok)
+        role = pc.take(t.column("role"), parent)
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        role = role.filter(ok)
+        g = (pa.table({"role": role, "term": flat})
+             .group_by(["role", "term"]).aggregate([("term", "count")]))
+        return pa.table({"role": g.column("role"),
+                         "term": g.column("term"),
+                         "n": pc.cast(g.column("term_count"), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["role", "term"])
+              .aggregate(Sum("n", alias_name="n")))
+    t = pa.concat_tables(
+        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
+         for b in ray.get(counts.to_arrow_refs())],
+        promote_options="default")
+    df = t.to_pandas()
+    u = df[df["role"] == "user"].set_index("term")["n"]
+    a = df[df["role"] == "assistant"].set_index("term")["n"]
+    nu, na = int(u.sum()), int(a.sum())
+    vocab = sorted(set(u.index) | set(a.index))
+    num = sum(abs(int(u.get(w, 0)) * na - int(a.get(w, 0)) * nu)
+              for w in vocab)
+    den = 2 * nu * na
+    return pd.DataFrame({
+        "n_user_tokens": pd.array([nu], dtype="int64"),
+        "n_assistant_tokens": pd.array([na], dtype="int64"),
+        "tv_micro": pd.array([(2 * num * 1_000_000 + den) // (2 * den)],
+                             dtype="int64")})
+
+
+def role_vocab_divergence_sql() -> str:
+    from nativeextractor_ray.pipelines.oracles import _T
+
+    return f"""{_T},
+tok AS (
+  SELECT role,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM t WHERE role IN ('user', 'assistant')),
+c AS (
+  SELECT term,
+         CAST(count(*) FILTER (role = 'user') AS HUGEINT) AS cu,
+         CAST(count(*) FILTER (role = 'assistant') AS HUGEINT) AS ca
+  FROM tok GROUP BY term),
+tot AS (
+  SELECT sum(cu) AS nu, sum(ca) AS na FROM c),
+num AS (
+  SELECT sum(abs(c.cu * tot.na - c.ca * tot.nu)) AS s FROM c, tot)
+SELECT CAST(tot.nu AS BIGINT) AS n_user_tokens,
+       CAST(tot.na AS BIGINT) AS n_assistant_tokens,
+       CAST((2 * num.s * 1000000 + 2 * tot.nu * tot.na)
+            // (4 * tot.nu * tot.na) AS BIGINT) AS tv_micro
+FROM tot, num"""

@@ -209,13 +209,32 @@ def transcripts_dataset(
 
     blocks = None
     if fuse:
-        # fused task chains pay per-task scheduling overhead, not startup:
-        # fewer, chunkier blocks win (one ~50k-turn task per block at
-        # bench replicate; measured 2x vs cpus*2 blocks on 32 cpus)
+        # fused task chains pay per-task scheduling overhead, not
+        # startup, so the block count must track the WORKLOAD, not just
+        # the cluster: ~50k exploded turns per block amortizes the
+        # per-task cost, and the cap at cluster CPUs stops a small run
+        # from shattering into idle-scheduling confetti.  (The previous
+        # fixed cpus//2 left half the cores idle at large replicates —
+        # measured 319k → 538k turns/s at 16 CPUs / 6.4M turns, and
+        # 608k → 794k at 32 CPUs, by letting blocks reach the core
+        # count; rep=160 at 32 CPUs still picks 16 chunky blocks, which
+        # measured best there.)
         try:
+            import pyarrow.parquet as _pq
             import ray
 
-            blocks = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+            cpus = int(ray.cluster_resources().get("CPU", 16))
+            import os as _os
+
+            _p = f"{sf_dir}/documents"
+            if not _os.path.isdir(_p):
+                _p = f"{_p}.parquet"
+                n_docs = _pq.ParquetFile(_p).metadata.num_rows
+            else:
+                n_docs = sum(
+                    _pq.ParquetFile(_os.path.join(_p, f)).metadata.num_rows
+                    for f in _os.listdir(_p) if f.endswith(".parquet"))
+            blocks = max(8, min(cpus, (n_docs * replicate) // 50_000))
         except Exception:
             blocks = 8
     ds = read_table(sf_dir, "documents", ["doc_id", "text"], blocks=blocks)
