@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # round-4 (this session) additions — newest first:
+        "conv_entity_density": kg.conv_entity_density,  # KG-worthiness
+        "role_vocab_divergence":
+            kg.role_vocab_divergence,  # exact TV style drift
         "embedding_pca_project":
             vectorstats.embedding_pca_project,  # exact-int PCA map
         "key_gaps": audit.key_gaps,  # gaps-and-islands key audit
@@ -300,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "conv_entity_density": kg.conv_entity_density_sql(),
+        "role_vocab_divergence": kg.role_vocab_divergence_sql(),
         "embedding_pca_project": vectorstats.embedding_pca_project_sql(),
         "key_gaps": audit.key_gaps_sql(),
         "session_bounce_rate": events.session_bounce_rate_sql(),

@@ -419,6 +419,8 @@ def run_suite() -> dict:
         "embedding_pca_project": ("nativeextractor_ray.pipelines.vectorstats", "embedding_pca_project"),
         "key_gaps": ("nativeextractor_ray.pipelines.audit", "key_gaps"),
         "session_bounce_rate": ("nativeextractor_ray.pipelines.events", "session_bounce_rate"),
+        "conv_entity_density": ("nativeextractor_ray.pipelines.kg", "conv_entity_density"),
+        "role_vocab_divergence": ("nativeextractor_ray.pipelines.kg", "role_vocab_divergence"),
     }
     out = {}
     for name, (mod, fn) in queries.items():

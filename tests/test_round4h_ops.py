@@ -399,3 +399,29 @@ def test_pca_project_variance_order(ray_session):
     assert v1 >= v2 * 0.99  # top component dominates (tolerate near-ties)
     V = _pca_top2(sf)
     assert abs(np.linalg.norm(V[0]) - 1.0) < 1e-9
+
+
+def test_conv_entity_density_planted(ray_session):
+    """Density = distinct entities per turn, exact half-up micro, over
+    the real extraction stack at sf0.001 — cross-checked against the
+    independently derived entity-turn stream."""
+    from nativeextractor_ray.pipelines import kg
+
+    sf = "/root/testdata/sf0.001"
+    got = _df(kg.conv_entity_density(sf)).set_index("conv_id")
+    ents = _df(kg.entity_timeline(sf))
+    assert int(got["n_entities"].sum()) >= len(ents)  # convs ≥ entities
+    assert (got["n_turns"] >= 1).all()
+    d = (2 * got["n_entities"] * 1_000_000 + got["n_turns"]) \
+        // (2 * got["n_turns"])
+    assert (got["density_micro"] == d).all()
+
+
+def test_role_vocab_divergence_bounds(ray_session):
+    """TV distance lands in [0, 1e6] and both totals are positive."""
+    from nativeextractor_ray.pipelines import kg
+
+    got = _df(kg.role_vocab_divergence("/root/testdata/sf0.001")).iloc[0]
+    assert 0 <= int(got["tv_micro"]) <= 1_000_000
+    assert int(got["n_user_tokens"]) > 0
+    assert int(got["n_assistant_tokens"]) > 0
