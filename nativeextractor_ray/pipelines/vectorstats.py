@@ -296,24 +296,71 @@ FROM p"""
 PCA_ITERS = 64
 
 
-def _pca_top2(sf_dir: str) -> np.ndarray:
-    """Top-2 principal directions from the EXACT integer covariance
-    (the distributed Gram pass), resolved on the driver by
-    deterministic power iteration with deflation — no RNG, fixed
-    iteration count, so the components are a pure function of the
-    corpus and can be embedded as SQL literals (the IVF-centroid /
-    LSH-plane replay pattern)."""
+def _cov_matrix_local(sf_dir: str) -> np.ndarray:
+    """The exact-integer covariance computed LOCALLY (pure pyarrow +
+    Python ints — no Ray).  Bit-identical to the distributed Gram pass
+    by construction (both reduce to the same exact integer moments), so
+    the SQL-literal oracle can build WITHOUT a Ray session — executing
+    a distributed pipeline at ``oracle_sql()`` construction time would
+    auto-init Ray during pytest COLLECTION, before the session fixture
+    owns it (observed as a collection-time hang)."""
+    import pyarrow.parquet as pq
+
+    from nativeextractor_ray.functions.vectors import embedding_matrix
+    from nativeextractor_ray.sources.tables import read_table  # noqa: F401
+
+    import os
+
+    path = f"{sf_dir}/embeddings"
+    if not os.path.isdir(path):
+        path = f"{path}.parquet"
+        tbl = pq.read_table(path, columns=["embedding"])
+    else:
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(path, f), columns=["embedding"])
+             for f in sorted(os.listdir(path)) if f.endswith(".parquet")])
+    m = embedding_matrix(tbl.column("embedding")).astype(np.float64)
+    q = np.floor(m * float(QSCALE) + 0.5).astype(np.int64)
+    n = len(q)
+    # exact integer moments: int64 matmul per ≤4096-row chunk (the
+    # proven per-batch bound), Python-int accumulation across chunks
+    sij = np.zeros((EMB_DIM, EMB_DIM), dtype=object)
+    s1 = np.zeros(EMB_DIM, dtype=object)
+    for lo in range(0, n, 4096):
+        ch = q[lo:lo + 4096]
+        sij = sij + (ch.T @ ch).astype(object)
+        s1 = s1 + ch.sum(axis=0).astype(object)
+    C = np.zeros((EMB_DIM, EMB_DIM), np.float64)
+    for a in range(EMB_DIM):
+        for b in range(a, EMB_DIM):
+            num = n * int(sij[a, b]) - int(s1[a]) * int(s1[b])
+            cov_raw = float(num) / float(n * n) / float(QSCALE)
+            cm = np.floor(cov_raw / QSCALE * QSCALE + 0.5)
+            C[a, b] = cm / 1e6
+            C[b, a] = C[a, b]
+    return C
+
+
+def _pca_top2(sf_dir: str, cov: np.ndarray | None = None) -> np.ndarray:
+    """Top-2 principal directions from the EXACT integer covariance,
+    resolved on the driver by deterministic power iteration with
+    deflation — no RNG, fixed iteration count, so the components are a
+    pure function of the corpus and can be embedded as SQL literals
+    (the IVF-centroid / LSH-plane replay pattern)."""
     from nativeextractor_ray.functions.blocks import arrow_blocks
 
-    cov_ds = embedding_covariance(sf_dir)
-    parts = list(arrow_blocks(cov_ds, stream=False))
-    t = pa.concat_tables(parts, promote_options="default")
-    C = np.zeros((EMB_DIM, EMB_DIM), np.float64)
-    i = t.column("i").to_numpy() - 1
-    j = t.column("j").to_numpy() - 1
-    v = t.column("cov_micro").to_numpy() / 1e6
-    C[i, j] = v
-    C[j, i] = v
+    if cov is not None:
+        C = cov
+    else:
+        cov_ds = embedding_covariance(sf_dir)
+        parts = list(arrow_blocks(cov_ds, stream=False))
+        t = pa.concat_tables(parts, promote_options="default")
+        C = np.zeros((EMB_DIM, EMB_DIM), np.float64)
+        i = t.column("i").to_numpy() - 1
+        j = t.column("j").to_numpy() - 1
+        v = t.column("cov_micro").to_numpy() / 1e6
+        C[i, j] = v
+        C[j, i] = v
     comps = []
     M = C.copy()
     for _ in range(2):
@@ -380,7 +427,7 @@ def embedding_pca_project_sql(sf_dir: str | None = None) -> str:
 
     sf = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR",
                                   "/root/testdata/sf0.01")
-    V = _pca_top2(sf)
+    V = _pca_top2(sf, cov=_cov_matrix_local(sf))  # Ray-free construction
     Vq = np.floor(V * float(VSCALE) + 0.5).astype(np.int64)
     vals = ", ".join(f"({d + 1}, {int(Vq[0, d])}, {int(Vq[1, d])})"
                      for d in range(EMB_DIM))
