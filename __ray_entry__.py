@@ -272,7 +272,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_repetition_filtered": curation.documents_repetition_filtered,
         "sample_stratified": curation.sample_stratified,
     })
-    return q
+    # Round-5 rotation (VERDICT r4 item 1): the driver's correctness window
+    # hash-checks the FIRST 50 entries each round.  These 35 keys have never
+    # appeared in any r1–r4 window (in-repo DuckDB parity green, but no
+    # driver hash row), so hoist them to the front — capstones first.
+    _never_driver_checked = [
+        "curation_e2e",
+        "training_batches",
+        "pack_sequences",
+        "sole_late_supplier",
+        "market_share",
+        "returned_item_revenue",
+        "late_line_priority_mix",
+        "top_supplier_revenue",
+        "knn_graph",
+        "bpe_train",
+        "bpe_encode",
+        "lm_score",
+        "quality_classifier",
+        "decontaminate",
+        "boilerplate_ngrams",
+        "dup_spans",
+        "cdc_chunks",
+        "dedup_semantic",
+        "dedup_incremental",
+        "dedup_minhash_incremental",
+        "domain_mix",
+        "shuffle_shards",
+        "normalize_text",
+        "entity_degree",
+        "entity_pagerank",
+        "entity_pmi",
+        "embedding_quantize",
+        "split_assign",
+        "events_minute_rate",
+        "conv_length_histogram",
+        "value_mad_by_type",
+        "first_response_latency",
+        "tool_call_stats",
+        "key_skew_profile",
+        "surface_link_candidates",
+    ]
+    front = {k: q[k] for k in _never_driver_checked}
+    front.update({k: v for k, v in q.items() if k not in front})
+    return front
 
 
 def oracle_sql() -> dict[str, str]:

@@ -2,13 +2,17 @@
 — the all-pairs Jaccard join of Vernica/Carey/Li (SIGMOD'10) / PPJoin
 (Xiao et al., WWW'08), re-expressed Ray-Data-first.
 
-This is the EXACT counterpart of the approximate ``dedup_minhash`` family:
-every pair of documents whose distinct word-BIGRAM sets have Jaccard ≥ τ
-is reported, with no probability of a miss — the operator a curation
-pipeline uses when the dup decision must be auditable (legal takedowns,
-eval decontamination) rather than statistical.
+This is the exact-set counterpart of the approximate ``dedup_minhash``
+family: every pair of documents whose distinct word-BIGRAM sets have
+Jaccard ≥ τ is reported — the operator a curation pipeline uses when the
+dup decision must be auditable (legal takedowns, eval decontamination)
+rather than statistical.  Exactness caveat: bigram identities are 63-bit
+multiply-xor mixes of per-word md5 hashes, so exactness is probabilistic
+(a gram-id collision merges two distinct bigrams with probability
+~n_grams²/2⁶³ ≈ 10⁻¹⁰ even at a 10⁹-gram vocabulary), not structural;
+audits that need structural exactness must key grams by the string pair.
 
-Scale shape
+Scale shape (the two-stage PPJoin / V-SMART join-back; Vernica §4.2)
 -----------
 1. **Gram sets** — one streaming ``map_batches`` derives each doc's sorted
    distinct bigram-hash set (a list column).  A doc never spans batches,
@@ -24,16 +28,27 @@ Scale shape
 3. **Prefix fan-out** — a doc with set size ``s`` emits only its
    ``p = s - ceil(τ·s) + 1`` RAREST grams (the prefix-filter theorem: two
    sets with J ≥ τ must share a token inside these prefixes), each row
-   carrying the doc's full rank array.  Fan-out is ≤ p ≈ (1-τ)·s + 1 per
-   doc, and the partition key is the gram rank — rank 0 is the RAREST
-   gram, so the hot-key problem of stopword buckets is structurally
-   removed (the frequent grams never appear in short prefixes).
-4. **In-bucket verify** — one ``groupby(part).map_groups`` co-partitions
-   equal grams; candidate pairs pass the length filter
-   (``num·(sa+sb) ≤ (num+den)·min(sa,sb)``), are verified with an exact
-   sorted-array intersection, and are emitted ONLY at the pair's smallest
-   common prefix gram — the standard dedup rule that makes the output
-   globally distinct WITHOUT a second pair-level shuffle.
+   carrying ONLY ``(tok, doc_id, s)`` — 3 ints, so the exchange is
+   O((1-τ)·s) bytes per doc, LINEAR in doc length (the round-4 shape
+   shipped the full rank array once per prefix token: O((1-τ)·s²), a
+   scale-killer on long documents — ``tests/test_round4e_ops.py``
+   asserts the linear growth).  The partition key is the gram rank —
+   rank 0 is the RAREST gram, so the hot-key problem of stopword buckets
+   is structurally removed.
+4. **In-bucket candidates** — ``groupby(part).map_groups`` co-partitions
+   equal prefix grams; candidate pairs pass the length filter
+   (``num·(sa+sb) ≤ (num+den)·min(sa,sb)``) and are emitted as bare
+   ``(doc_a, doc_b)`` id pairs (cross-partition duplicates allowed —
+   they are cheap and deduped at the next hop).
+5. **Join-back verify** — two co-partitioned tagged-union exchanges keyed
+   on doc_id (the relational.py merge idiom): the first lands every
+   candidate pair in doc_a's partition (global pair-dedup via one
+   ``np.unique``) and attaches ``grams_a``; the second lands it in
+   doc_b's partition and verifies with a partition-local bitset
+   popcount-AND.  The gram sets ship once per exchange (O(s)/doc); only
+   VERIFIED-candidate payloads carry an array (O(C·s) where C is the
+   post-filter candidate count — small after length+prefix filtering;
+   a dup-saturated corpus should use ``dedup_minhash`` instead).
 
 Everything is integer end-to-end: the τ = num/den predicate is
 ``(den+num)·inter ≥ num·(sa+sb)`` and the reported similarity is the exact
@@ -166,13 +181,59 @@ def _df_rank(sets_ds):
     return gram, rank
 
 
+_POP = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
+
+
+def _popcount_rows(a: np.ndarray) -> np.ndarray:
+    return _POP[a.view(np.uint8)].reshape(len(a), -1).sum(
+        axis=1).astype(np.int64)
+
+
+def emit_prefix_rows(t: pa.Table, rank_map, num: int, den: int) -> pa.Table:
+    """Prefix exchange payload: ``(tok, doc_id, s, part)`` — 4 ints per
+    prefix token, O((1-τ)·s) bytes per doc (NO per-row gram arrays; the
+    round-4 shape tiled the full array once per prefix token, O((1-τ)·s²)
+    — the linear-growth pytest drives this function directly)."""
+    grams = t.column("grams")
+    offs = grams.combine_chunks().offsets.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]  # rebase: sliced arrays keep raw offsets
+    flat = pc.list_flatten(grams).to_numpy()
+    if rank_map is not None:
+        gsort, rnk = rank_map
+        flat = rnk[np.searchsorted(gsort, flat)]
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    s = (offs[1:] - offs[:-1])
+    if not (s > 0).any():
+        return pa.table({"tok": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "part": pa.array([], pa.int64())})
+    # in-doc rank sort, vectorized across the whole batch: one lexsort
+    # on (rank, doc-segment) orders every doc's grams rarest-first
+    seg = np.repeat(np.arange(len(doc)), s)
+    order = np.lexsort((flat, seg))
+    flat = flat[order]
+    # p = s - ceil(τ·s) + 1 per doc
+    p = s - ((s * num + den - 1) // den) + 1
+    p[s == 0] = 0
+    pos_in_doc = np.arange(len(flat)) - np.repeat(offs[:-1], s)
+    pref_mask = pos_in_doc < np.repeat(p, s)
+    tok = flat[pref_mask]
+    return pa.table({"tok": pa.array(tok),
+                     "doc_id": pa.array(np.repeat(doc, p)),
+                     "s": pa.array(np.repeat(s, p)),
+                     "part": pa.array(tok % N_PARTS)})
+
+
 def ssjoin_jaccard(sf_dir: str, use_df_order: bool = True):
     """All document pairs with distinct-bigram-set Jaccard ≥ τ:
     ``(doc_a, doc_b, inter, un, jacc_micro)``, ``doc_a < doc_b``."""
     import ray
 
-    # materialized once: both the df pass and the prefix pass scan it,
-    # and the gram-set derivation (tokenize + hash) is the expensive leg
+    # materialized once: the df pass, the prefix pass and BOTH join-back
+    # exchanges scan it, and the gram-set derivation (tokenize + hash)
+    # is the expensive leg
     sets_ds = _doc_gram_sets(sf_dir).materialize()
     rank_map = _df_rank(sets_ds) if use_df_order else None
     rank_ref = ray.put(rank_map)
@@ -180,179 +241,200 @@ def ssjoin_jaccard(sf_dir: str, use_df_order: bool = True):
     num, den = TAU_NUM, TAU_DEN
 
     def emit_prefix(t: pa.Table) -> pa.Table:
-        rm = ray.get(rank_ref)
-        grams = t.column("grams")
-        offs = grams.combine_chunks().offsets.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]  # rebase: sliced arrays keep raw offsets
-        flat = pc.list_flatten(grams).to_numpy()
-        if rm is not None:
-            gsort, rnk = rm
-            flat = rnk[np.searchsorted(gsort, flat)]
+        return emit_prefix_rows(t, ray.get(rank_ref), num, den)
+
+    # ---- exchange 1: prefix tokens → candidate id pairs ---------------
+    def candidates(t: pa.Table) -> pa.Table:
+        """Per prefix-gram bucket: docs sharing a token group become
+        candidate pairs iff they pass the length filter.  Emits bare
+        (doc_a, doc_b, part=doc_a % N_PARTS) id pairs, locally deduped;
+        cross-partition duplicates are deduped in doc_a's partition."""
+        e = pa.table({"k": pa.array([], pa.int64()),
+                      "other": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64()),
+                      "grams": pa.array([], pa.list_(pa.int64())),
+                      "is_set": pa.array([], pa.bool_()),
+                      "part": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return e
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        s = (offs[1:] - offs[:-1])
-        nz = s > 0
-        if not nz.any():
-            return pa.table({"tok": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64()),
-                             "ranks": pa.array([], pa.list_(pa.int64())),
-                             "part": pa.array([], pa.int64())})
-        # in-doc rank sort, vectorized across the whole batch: one
-        # lexsort on (rank, doc-segment) orders every doc's grams
-        seg = np.repeat(np.arange(len(doc)), s)
-        order = np.lexsort((flat, seg))
-        flat = flat[order]
-        # p = s - ceil(τ·s) + 1 per doc
-        p = s - ((s * num + den - 1) // den) + 1
-        p[~nz] = 0
-        # prefix mask over the sorted flat array
-        pos_in_doc = np.arange(len(flat)) - np.repeat(offs[:-1], s)
-        pref_mask = pos_in_doc < np.repeat(p, s)
-        tok = flat[pref_mask]
-        docr = np.repeat(doc, p)
-        sr = np.repeat(s, p)
-        # every prefix row carries its doc's FULL sorted rank array:
-        # values = doc i's slice tiled p_i times (list-of-arrays concat —
-        # no per-row Python lists, one ListArray build)
-        tiles = [flat[offs[i]:offs[i + 1]]
-                 for i in range(len(doc)) for _ in range(int(p[i]))]
-        if tiles:
-            values = np.concatenate(tiles)
-            lens = np.fromiter((len(a) for a in tiles), np.int64,
-                               count=len(tiles))
-        else:
-            values = np.empty(0, np.int64)
-            lens = np.empty(0, np.int64)
-        loffs = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=loffs[1:])
-        ranks_col = pa.ListArray.from_arrays(
-            pa.array(loffs, pa.int32()), pa.array(values))
-        return pa.table({"tok": pa.array(tok),
-                         "doc_id": pa.array(docr),
-                         "s": pa.array(sr),
-                         "ranks": ranks_col,
-                         "part": pa.array(tok % N_PARTS)})
-
-    _POP = np.array([bin(x).count("1") for x in range(256)],
-                    dtype=np.uint8)
-
-    def _popcount_rows(a: np.ndarray) -> np.ndarray:
-        return _POP[a.view(np.uint8)].reshape(len(a), -1).sum(
-            axis=1).astype(np.int64)
-
-    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                          "doc_b": pd.Series([], dtype=np.int64),
-                          "inter": pd.Series([], dtype=np.int64),
-                          "un": pd.Series([], dtype=np.int64),
-                          "jacc_micro": pd.Series([], dtype=np.int64)})
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized in-partition verify.  Every doc's gram set becomes
-        a BITSET over partition-local dense gram ids; candidate pairs
-        (docs sharing a prefix gram here) resolve with popcounted ANDs —
-        no per-pair Python, no intersect1d.  A pair is emitted only in
-        the partition OWNING its smallest common prefix gram
-        (r0 % N_PARTS == this partition), which dedups globally without
-        a second shuffle."""
-        if df.empty:
-            return empty
-        # unique docs in this partition
-        docs_all = df["doc_id"].to_numpy()
-        uniq_docs, first_idx, doc_code = np.unique(
-            docs_all, return_index=True, return_inverse=True)
-        m = len(uniq_docs)
-        sizes = df["s"].to_numpy()[first_idx].astype(np.int64)
-        arrs = df["ranks"].to_numpy()[first_idx]
-        # partition-local dense gram ids (works on both rank orders)
-        all_grams = np.concatenate(
-            [np.asarray(a, np.int64) for a in arrs])
-        vocab = np.unique(all_grams)
-        W = (len(vocab) + 63) // 64
-        full_bs = np.zeros((m, W), np.uint64)
-        pref_bs = np.zeros((m, W), np.uint64)
-        prefs = sizes - ((sizes * num + den - 1) // den) + 1
-        lens = np.fromiter((len(np.asarray(a)) for a in arrs), np.int64,
-                           count=m)
-        flat_local = np.searchsorted(vocab, all_grams)
-        row_of = np.repeat(np.arange(m), lens)
-        pos = np.concatenate([np.arange(l) for l in lens]) if m else \
-            np.empty(0, np.int64)
-        w_idx, b_idx = flat_local >> 6, flat_local & 63
-        np.bitwise_or.at(full_bs, (row_of, w_idx),
-                         np.uint64(1) << b_idx.astype(np.uint64))
-        pm = pos < prefs[row_of]
-        np.bitwise_or.at(pref_bs, (row_of[pm], w_idx[pm]),
-                         np.uint64(1) << b_idx[pm].astype(np.uint64))
-        # candidate pairs: docs sharing a token group (indices are cheap
-        # numpy per group; the heavy math below is fully vectorized)
-        tok_codes, tok_first = pd.factorize(df["tok"].to_numpy())[0], None
-        order = np.argsort(tok_codes, kind="stable")
-        sorted_docs = doc_code[order]
-        grp_sizes = np.bincount(tok_codes)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        uniq_docs, doc_code = np.unique(doc, return_inverse=True)
+        sizes = np.zeros(len(uniq_docs), np.int64)
+        sizes[doc_code] = s
+        order = np.argsort(tok, kind="stable")
+        tok_s, dc_s = tok[order], doc_code[order]
+        bounds = np.flatnonzero(np.r_[True, tok_s[1:] != tok_s[:-1],
+                                      True])
         pi, pj = [], []
-        start = 0
-        for g in grp_sizes:
-            if g >= 2:
-                members = np.unique(sorted_docs[start:start + g])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a >= 2:
+                members = np.unique(dc_s[a:b])
                 if len(members) >= 2:
                     ii, jj = np.triu_indices(len(members), k=1)
                     pi.append(members[ii])
                     pj.append(members[jj])
-            start += g
         if not pi:
-            return empty
-        pi = np.concatenate(pi)
-        pj = np.concatenate(pj)
-        packed = np.unique(pi.astype(np.int64) * m + pj)
+            return e
+        m = len(uniq_docs)
+        packed = np.unique(np.concatenate(pi) * m + np.concatenate(pj))
         pi, pj = packed // m, packed % m
-        # length filter
         sa, sb = sizes[pi], sizes[pj]
         ok = num * (sa + sb) <= (num + den) * np.minimum(sa, sb)
-        pi, pj, sa, sb = pi[ok], pj[ok], sa[ok], sb[ok]
-        if not len(pi):
+        da = uniq_docs[pi[ok]]
+        db = uniq_docs[pj[ok]]
+        n = len(da)
+        loffs = pa.array(np.zeros(n + 1, np.int64), pa.int32())
+        return pa.table({"k": pa.array(da),
+                         "other": pa.array(db),
+                         "s": pa.array(np.zeros(n, np.int64)),
+                         "grams": pa.ListArray.from_arrays(
+                             loffs, pa.array([], pa.int64())),
+                         "is_set": pa.array(np.zeros(n, bool)),
+                         "part": pa.array(da % N_PARTS)})
+
+    def tag_sets(t: pa.Table) -> pa.Table:
+        """Sets side of the tagged union, keyed by doc_id — identical
+        non-null columns on both sides (the semi_anti_join lesson)."""
+        k = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({
+            "k": k,
+            "other": pa.array(np.zeros(t.num_rows, np.int64)),
+            "s": pc.cast(t.column("s"), pa.int64()),
+            "grams": t.column("grams"),
+            "is_set": pa.array(np.ones(t.num_rows, bool)),
+            "part": pa.array(k.to_numpy(zero_copy_only=False)
+                             % N_PARTS)})
+
+    def _split_group(t: pa.Table):
+        is_set = t.column("is_set").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(is_set)), t.filter(pa.array(~is_set))
+
+    def _gram_lookup(set_tbl: pa.Table):
+        """(sorted keys, flat grams, offsets, sorted→orig row map, sizes)
+        for partition-local docs.  ``keys``/``sizes`` are key-sorted;
+        ``goffs``/``gflat`` stay in ORIGINAL row order — callers must go
+        through ``order[ai]`` to slice a doc's grams."""
+        keys = set_tbl.column("k").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        sizes = set_tbl.column("s").to_numpy(
+            zero_copy_only=False)[order]
+        grams = set_tbl.column("grams").combine_chunks()
+        goffs = grams.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        goffs = goffs - goffs[0]
+        gflat = pc.list_flatten(set_tbl.column("grams")).to_numpy()
+        return keys, gflat, goffs, order, sizes
+
+    # ---- exchange 2: pair lands in doc_a's partition, attach grams_a --
+    pair_empty = pa.table({
+        "k": pa.array([], pa.int64()),
+        "other": pa.array([], pa.int64()),
+        "s": pa.array([], pa.int64()),
+        "grams": pa.array([], pa.list_(pa.int64())),
+        "is_set": pa.array([], pa.bool_()),
+        "part": pa.array([], pa.int64())})
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        set_t, pair_t = _split_group(t)
+        if pair_t.num_rows == 0 or set_t.num_rows == 0:
+            return pair_empty
+        da = pair_t.column("k").to_numpy(zero_copy_only=False)
+        db = pair_t.column("other").to_numpy(zero_copy_only=False)
+        # GLOBAL pair dedup: every copy of (a, b) — one per shared
+        # prefix-gram bucket — lands here, keyed by doc_a
+        packed = np.unique(np.stack([da, db], axis=1), axis=0)
+        da, db = packed[:, 0], packed[:, 1]
+        keys, gflat, goffs, order, sizes = _gram_lookup(set_t)
+        ai = np.searchsorted(keys, da)
+        sa = sizes[ai]
+        # grams_a tiled once per surviving pair (the O(C·s) payload);
+        # goffs is in ORIGINAL row order → go through order[ai]
+        oi = order[ai]
+        lens = goffs[oi + 1] - goffs[oi]
+        starts = goffs[oi]
+        idx = (np.repeat(starts, lens)
+               + np.arange(int(lens.sum()))
+               - np.repeat(np.cumsum(lens) - lens, lens)) \
+            if len(lens) else np.empty(0, np.int64)
+        values = gflat[idx]
+        loffs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=loffs[1:])
+        return pa.table({
+            "k": pa.array(db),
+            "other": pa.array(da),
+            "s": pa.array(sa.astype(np.int64)),
+            "grams": pa.ListArray.from_arrays(
+                pa.array(loffs, pa.int32()), pa.array(values)),
+            "is_set": pa.array(np.zeros(len(da), bool)),
+            "part": pa.array(db % N_PARTS)})
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "un": pa.array([], pa.int64()),
+                      "jacc_micro": pa.array([], pa.int64())})
+
+    # ---- exchange 3: pair lands in doc_b's partition, verify ----------
+    def verify(t: pa.Table) -> pa.Table:
+        """Partition-local bitset popcount-AND between the carried
+        grams_a and the co-partitioned grams_b — no per-pair Python."""
+        set_t, pair_t = _split_group(t)
+        if pair_t.num_rows == 0 or set_t.num_rows == 0:
             return empty
-        # exact intersection via popcounted AND
-        inter = _popcount_rows(full_bs[pi] & full_bs[pj])
+        db = pair_t.column("k").to_numpy(zero_copy_only=False)
+        da = pair_t.column("other").to_numpy(zero_copy_only=False)
+        sa = pair_t.column("s").to_numpy(zero_copy_only=False)
+        ga = pair_t.column("grams").combine_chunks()
+        aoffs = ga.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        aoffs = aoffs - aoffs[0]
+        aflat = pc.list_flatten(pair_t.column("grams")).to_numpy()
+        keys, gflat, goffs, order, sizes = _gram_lookup(set_t)
+        bi = np.searchsorted(keys, db)
+        sb = sizes[bi]
+        # partition-local dense vocab over both sides
+        vocab = np.unique(np.concatenate([aflat, gflat]))
+        W = max(1, (len(vocab) + 63) // 64)
+        n_pairs = len(da)
+        a_bs = np.zeros((n_pairs, W), np.uint64)
+        loc = np.searchsorted(vocab, aflat)
+        row_of = np.repeat(np.arange(n_pairs), aoffs[1:] - aoffs[:-1])
+        np.bitwise_or.at(a_bs, (row_of, loc >> 6),
+                         np.uint64(1) << (loc & 63).astype(np.uint64))
+        m = len(keys)
+        # b_bs rows are in ORIGINAL set-row order (goffs is unsorted) —
+        # index through order[bi] to pick doc_b's bitset
+        b_bs = np.zeros((m, W), np.uint64)
+        loc_b = np.searchsorted(vocab, gflat)
+        row_b = np.repeat(np.arange(m), goffs[1:] - goffs[:-1])
+        np.bitwise_or.at(b_bs, (row_b, loc_b >> 6),
+                         np.uint64(1) << (loc_b & 63).astype(np.uint64))
+        inter = _popcount_rows(a_bs & b_bs[order[bi]])
         ok = (den + num) * inter >= num * (sa + sb)
-        pi, pj, sa, sb, inter = pi[ok], pj[ok], sa[ok], sb[ok], inter[ok]
-        if not len(pi):
-            return empty
-        # smallest common PREFIX gram r0 → canonical owner partition
-        pand = pref_bs[pi] & pref_bs[pj]
-        nz = pand != 0
-        first_w = np.argmax(nz, axis=1)
-        any_common = nz.any(axis=1)
-        words = pand[np.arange(len(pi)), first_w]
-        # lowest set bit index of each word
-        low = (words & (~words + np.uint64(1)))
-        bit = np.zeros(len(low), np.int64)
-        lowv = low.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            big = lowv >= (np.uint64(1) << np.uint64(shift))
-            bit[big] += shift
-            lowv[big] >>= np.uint64(shift)
-        r0_local = first_w.astype(np.int64) * 64 + bit
-        r0 = vocab[np.minimum(r0_local, len(vocab) - 1)]
-        pid = int(df["part"].iloc[0])
-        keep = any_common & (r0 % N_PARTS == pid)
-        pi, pj, sa, sb, inter = (pi[keep], pj[keep], sa[keep], sb[keep],
-                                 inter[keep])
-        if not len(pi):
+        da, db, sa, sb, inter = da[ok], db[ok], sa[ok], sb[ok], inter[ok]
+        if not len(da):
             return empty
         un = sa + sb - inter
-        da, db = uniq_docs[pi], uniq_docs[pj]
         lo, hi = np.minimum(da, db), np.maximum(da, db)
-        return pd.DataFrame({
-            "doc_a": lo.astype(np.int64),
-            "doc_b": hi.astype(np.int64),
-            "inter": inter,
-            "un": un,
-            "jacc_micro": (2 * inter * 1_000_000 + un) // (2 * un)})
+        return pa.table({
+            "doc_a": pa.array(lo.astype(np.int64)),
+            "doc_b": pa.array(hi.astype(np.int64)),
+            "inter": pa.array(inter.astype(np.int64)),
+            "un": pa.array(un.astype(np.int64)),
+            "jacc_micro": pa.array(
+                (2 * inter * 1_000_000 + un) // (2 * un))})
 
-    return (sets_ds.map_batches(emit_prefix, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(verify, batch_format="pandas"))
+    cand = (sets_ds.map_batches(emit_prefix, batch_format="pyarrow")
+            .groupby("part").map_groups(candidates,
+                                        batch_format="pyarrow"))
+    sets_tagged = sets_ds.map_batches(tag_sets, batch_format="pyarrow")
+    with_a = (sets_tagged.union(cand)
+              .groupby("part").map_groups(attach_a,
+                                          batch_format="pyarrow"))
+    return (sets_tagged.union(with_a)
+            .groupby("part").map_groups(verify, batch_format="pyarrow"))
 
 
 def ssjoin_jaccard_sql() -> str:

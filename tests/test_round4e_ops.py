@@ -85,6 +85,33 @@ def test_ssjoin_fallback_path_identical(ray_session, tmp_path):
     assert len(a) > 0  # the fixture actually produces pairs
 
 
+def test_ssjoin_prefix_payload_linear_in_doc_length():
+    """The prefix exchange ships O((1-τ)·s) BYTES per doc, linear in the
+    gram-set size — the round-4 shape tiled the full rank array once per
+    prefix token (O((1-τ)·s²)); a 4× longer doc must grow the payload
+    ~4×, not ~16× (VERDICT r4 item 2).  Drives the stage function
+    directly — no Ray needed."""
+    from nativeextractor_ray.pipelines.ssjoin import (
+        TAU_DEN, TAU_NUM, emit_prefix_rows)
+
+    def payload_bytes(s: int) -> int:
+        rng = np.random.default_rng(7)
+        grams = np.unique(rng.integers(0, 1 << 62, 2 * s))[:s]
+        assert len(grams) == s
+        offs = pa.array(np.array([0, s], np.int64), pa.int32())
+        batch = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "grams": pa.ListArray.from_arrays(offs, pa.array(grams)),
+            "s": pa.array([s], pa.int64())})
+        out = emit_prefix_rows(batch, None, TAU_NUM, TAU_DEN)
+        # every emitted column is a flat int64 — no list column remains
+        assert all(not pa.types.is_nested(f.type) for f in out.schema)
+        return out.nbytes
+
+    b1, b4 = payload_bytes(1000), payload_bytes(4000)
+    assert b4 < 6 * b1, (b1, b4)  # linear (≈4×), not quadratic (≈16×)
+
+
 # -------------------------------------------------- peak concurrency
 
 
