@@ -410,19 +410,34 @@ def column_profile(sf_dir: str):
         lambda c: None if c not in typed_max else str(typed_max[c]))
 
     def distinct_partial(t: pa.Table) -> pa.Table:
+        """Per-batch DISTINCT (column, 16-byte value digest) partials —
+        the values themselves never shuffle (blake2b-128: collision odds
+        ~n²/2¹²⁸, nil even at 100-TB cardinalities).  A high-cardinality
+        string column costs the exchange 16 bytes/value, not the text."""
+        import hashlib
+
         outs = []
         for name, kind in PROFILE_COLS:
             col = _col_values(t, name, kind)
             u = pc.unique(pc.cast(col.drop_null(), pa.string()))
+            digs = b"".join(
+                hashlib.blake2b(s.encode(), digest_size=16).digest()
+                for s in u.to_pylist())
+            raw = (np.frombuffer(digs, np.uint64).reshape(-1, 2)
+                   if len(u) else np.zeros((0, 2), np.uint64))
+            # int64 view: uint64 columns break Ray aggregate block
+            # rebuilds (OverflowError on the arrow->pandas round-trip)
             outs.append(pa.table({
                 "column": pa.array([name] * len(u), pa.string()),
-                "v": u}))
+                "v_hi": pa.array(raw[:, 0].view(np.int64)),
+                "v_lo": pa.array(raw[:, 1].view(np.int64))}))
         out = pa.concat_tables(outs, promote_options="default")
         return out.append_column(
-            "part", stable_part(out, ["column", "v"], _PROFILE_PARTS))
+            "part",
+            stable_part(out, ["column", "v_hi", "v_lo"], _PROFILE_PARTS))
 
     def recount(df: "pd.DataFrame") -> "pd.DataFrame":
-        ded = df.drop_duplicates(["column", "v"])
+        ded = df.drop_duplicates(["column", "v_hi", "v_lo"])
         vc = ded.groupby("column", sort=False).size()
         return pd.DataFrame({"column": vc.index.to_numpy(object),
                              "n_distinct": vc.to_numpy(np.int64)})
@@ -498,14 +513,29 @@ def table_checksums(sf_dir: str):
         ds = read_table(sf_dir, tbl, cols)
 
         def partial(t: pa.Table, cols=cols) -> pa.Table:
+            # md5 itself is pinned by the oracle contract (DuckDB's
+            # md5_number_lower must reproduce it bit-for-bit), so the
+            # kernel stays per-row — but it hashes memoryview slices of
+            # the Arrow UTF-8 buffer directly, never materializing
+            # Python strings (~3× less interpreter overhead than
+            # to_pylist + encode per row)
             rendered = pc.binary_join_element_wise(
                 *[pc.cast(t.column(c), pa.string()) for c in cols], "|")
             if isinstance(rendered, pa.ChunkedArray):
                 rendered = rendered.combine_chunks()
             acc = 0
-            for s in rendered.to_pylist():
-                acc += int.from_bytes(
-                    hashlib.md5(s.encode()).digest()[8:16], "little")
+            data_buf = rendered.buffers()[2]
+            if len(rendered) and data_buf is not None:
+                # StringArray offsets live in buffers()[1] (int32),
+                # shifted by the array's own offset for sliced views
+                o = rendered.offset
+                offs = np.frombuffer(rendered.buffers()[1],
+                                     np.int32)[o:o + len(rendered) + 1]
+                buf = memoryview(data_buf)
+                md5 = hashlib.md5
+                for a, b in zip(offs[:-1], offs[1:]):
+                    acc += int.from_bytes(md5(buf[a:b]).digest()[8:16],
+                                          "little")
             return pa.table({"n": pa.array([t.num_rows], pa.int64()),
                              "h": pa.array([acc % _CKS_MOD], pa.int64())})
 

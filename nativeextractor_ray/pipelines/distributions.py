@@ -182,11 +182,16 @@ def rfm_segments(sf_dir: str, tiers: int = RFM_TIERS):
                        Sum("m_cents", alias_name="m_cents"))
             ).materialize()
 
-    qs = tuple(i / tiers for i in range(1, tiers))
+    # tier-edge ranks computed EXACTLY in integers — ceil(i·n/tiers) as
+    # (i·n + tiers - 1) // tiers on BOTH engines; a float q = i/tiers fed
+    # to ceil(q·n) can land one rank off at unlucky n (double rounding
+    # across an integer boundary) and silently break hash parity
+    n = cust.count()
+    ranks = [(i * n + tiers - 1) // tiers for i in range(1, tiers)]
     edges = {}
     for col in ("r_day", "f", "m_cents"):
-        got = _exact_quantiles(cust, col, qs)
-        edges[col] = [got[("", q)] for q in sorted(q for _, q in got)]
+        got = _exact_quantiles(cust, col, (), ranks=ranks)
+        edges[col] = [got[("", k)] for k in sorted(k for _, k in got)]
 
     def score(v: np.ndarray, es) -> np.ndarray:
         s = np.full(len(v), len(es) + 1, np.int64)
@@ -214,8 +219,8 @@ def rfm_segments(sf_dir: str, tiers: int = RFM_TIERS):
 def rfm_segments_sql(tiers: int = RFM_TIERS) -> str:
     def dim(col: str) -> str:
         edge_sel = ", ".join(
-            f"(SELECT {col} FROM rk_{col} WHERE rk_{col}.r = CAST("
-            f"ceil({i}.0 * (SELECT n FROM cnt) / {tiers}) AS BIGINT))"
+            f"(SELECT {col} FROM rk_{col} WHERE rk_{col}.r = "
+            f"({i} * (SELECT n FROM cnt) + {tiers} - 1) // {tiers})"
             f" AS e{i}" for i in range(1, tiers))
         return (f"rk_{col} AS (SELECT {col}, row_number() OVER "
                 f"(ORDER BY {col}) AS r FROM cust),\n"

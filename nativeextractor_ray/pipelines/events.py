@@ -1254,6 +1254,12 @@ def peak_concurrency(sf_dir: str):
         if peak is None or cand > peak:
             peak, peak_ts = cand, lmax_ts
         acc += total
+    if peak is None:
+        # empty events: the oracle's max-over-empty row is (NULL, NULL) —
+        # match it instead of feeding None to a non-nullable int64 array
+        return pd.DataFrame({
+            "peak_sessions": pd.array([None], dtype="Int64"),
+            "first_peak_us": pd.array([None], dtype="Int64")})
     return pd.DataFrame({"peak_sessions": pd.array([peak], dtype="int64"),
                          "first_peak_us": pd.array([peak_ts], dtype="int64")})
 
@@ -1388,6 +1394,14 @@ def value_histogram(sf_dir: str, n_bins: int = HIST_BINS):
                              "hi_c": pd.Series([], dtype="int64"),
                              "n": pd.Series([], dtype="int64")})
     span = hi - lo + 1
+    # (c - lo) * n_bins runs in int64; an extreme cents span would wrap
+    # SILENTLY in numpy (DuckDB's checked BIGINT would raise instead, so
+    # engine and oracle would fail differently).  Documented bound — loud
+    # raise, never a silent misbin (the events_minute_rate convention).
+    if (span - 1) * n_bins >= (1 << 63):
+        raise ValueError(
+            f"value_histogram: cents span {span} * {n_bins} bins would "
+            "overflow int64 bin math; rescale the value column first")
 
     def bins(t: pa.Table) -> pa.Table:
         c = t.column("c").to_numpy()
@@ -1588,11 +1602,11 @@ def weekly_active_users(sf_dir: str, window: int = WAU_WINDOW):
               .map_batches(day_partial, batch_format="pyarrow")
               .take_all()):
         days.add(int(r["day"]))
+    days_sorted = np.array(sorted(days), np.int64)
 
     def clip(t: pa.Table) -> pa.Table:
         wd = t.column("window_day").to_numpy()
-        keep = np.fromiter((int(d) in days for d in wd), bool,
-                           count=len(wd))
+        keep = np.isin(wd, days_sorted)
         return t.filter(pa.array(keep))
 
     return counted.map_batches(clip, batch_format="pyarrow")
@@ -1795,6 +1809,13 @@ def session_bounce_rate(sf_dir: str):
     b = sum(r["n_bounce"] for r in parts)
     import pandas as pd
 
+    if n == 0:
+        # empty events: the oracle's agg row is (0, 0, NULL) — DuckDB's
+        # 0 // 0 is NULL — so match it instead of raising ZeroDivision
+        return pd.DataFrame({
+            "n_sessions": pd.array([0], dtype="int64"),
+            "n_bounce": pd.array([0], dtype="int64"),
+            "bounce_micro": pd.array([None], dtype="Int64")})
     return pd.DataFrame({
         "n_sessions": pd.array([n], dtype="int64"),
         "n_bounce": pd.array([b], dtype="int64"),

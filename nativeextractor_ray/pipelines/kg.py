@@ -186,21 +186,25 @@ def entity_turns_dataset(sf_dir: str):
         # overrides _extract (not __call__) to inherit the SLICE_ROWS
         # bound; slices are disjoint turn sets, so concat is exact
         def _extract(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
-            conv = batch.column("conv_id").to_pylist()
-            turn = batch.column("turn_idx").to_pylist()
+            import numpy as np
+
             text = batch.column("text").to_pylist()
-            c_out, t_out, e_out = [], [], []
             all_ents = self.batch_entities(text)
-            for r in range(len(text)):
-                for e in all_ents[r]:
-                    c_out.append(conv[r])
-                    t_out.append(turn[r])
-                    e_out.append(e)
+            # vectorized row explosion: repeat row indices by per-row
+            # entity counts and take() the key columns — no per-row loop
+            counts = np.fromiter((len(e) for e in all_ents), np.int64,
+                                 count=len(all_ents))
+            idx = pa.array(np.repeat(np.arange(len(text)), counts))
+            flat = [e for ents in all_ents for e in ents]
             return pa.table(
                 {
-                    "conv_id": pa.array(c_out, pa.string()),
-                    "turn_idx": pa.array(t_out, pa.int32()),
-                    "ent": pa.array(e_out, pa.string()),
+                    "conv_id": pc.cast(
+                        pc.take(batch.column("conv_id"), idx),
+                        pa.string()),
+                    "turn_idx": pc.cast(
+                        pc.take(batch.column("turn_idx"), idx),
+                        pa.int32()),
+                    "ent": pa.array(flat, pa.string()),
                 }
             )
 

@@ -43,11 +43,30 @@ N_PARTS = 64
 
 def _h64_text(arr: pa.Array) -> np.ndarray:
     """md5 lower-64 (little-endian) of each string, mod 2⁶¹−7 →
-    int64; == DuckDB ``md5_number_lower(text) % mod``."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
-         % _MOD for s in arr.to_pylist()),
-        dtype=np.int64, count=len(arr))
+    int64; == DuckDB ``md5_number_lower(text) % mod``.  md5 is pinned by
+    that oracle contract, so the kernel is per-row — but it hashes
+    memoryview slices of the Arrow UTF-8 buffer directly instead of
+    materializing Python strings (the table_checksums kernel)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.empty(n, np.int64)
+    md5 = hashlib.md5
+    if n == 0:
+        return out
+    if arr.buffers()[2] is None:  # no data buffer: every row is ""
+        h_empty = int.from_bytes(md5(b"").digest()[8:16],
+                                 "little") % _MOD
+        return np.full(n, h_empty, np.int64)
+    # StringArray offsets live in buffers()[1] (int32), shifted by the
+    # array's own offset for sliced views
+    o = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[o:o + n + 1]
+    buf = memoryview(arr.buffers()[2])
+    for i, (a, b) in enumerate(zip(offs[:-1], offs[1:])):
+        out[i] = int.from_bytes(md5(buf[a:b]).digest()[8:16],
+                                "little") % _MOD
+    return out
 
 
 def _base(sf_dir: str):

@@ -238,6 +238,40 @@ def test_column_profile_planted(ray_session, tmp_path):
     assert (got["n_null"] == 0).all()
 
 
+def test_column_profile_high_cardinality(ray_session, tmp_path):
+    """Planted high-cardinality column: the exact-distinct exchange ships
+    16-byte value digests, never the strings, and the count stays exact
+    across dedup partitions (every custkey unique → n_distinct == n_rows;
+    prices collide down to 500 cents values)."""
+    n = 4000
+    rows = [(i, 1_000_000 + i * 7, "O", (i % 500) + 0.25,
+             "2024-01-01", "1-URGENT") for i in range(n)]
+    sf = _write_orders(tmp_path, rows)
+    from nativeextractor_ray.pipelines.audit import column_profile
+
+    got = _df(column_profile(sf)).set_index("column")
+    assert int(got.loc["o_custkey", "n_distinct"]) == n
+    assert int(got.loc["o_totalprice", "n_distinct"]) == 500
+    assert int(got.loc["o_orderstatus", "n_distinct"]) == 1
+    assert (got["n_rows"] == n).all()
+
+
+def test_bounce_and_peak_empty_events(ray_session, tmp_path):
+    """Degenerate input must MATCH the SQL oracle, not crash: DuckDB's
+    0 // 0 is NULL, so session_bounce_rate returns (0, 0, NULL) and
+    peak_concurrency's max-over-empty returns (NULL, NULL)."""
+    sf = _write_events(tmp_path, [])
+    from nativeextractor_ray.pipelines.events import (
+        peak_concurrency, session_bounce_rate)
+
+    b = _df(session_bounce_rate(sf))
+    assert int(b["n_sessions"][0]) == 0 and int(b["n_bounce"][0]) == 0
+    assert pd.isna(b["bounce_micro"][0])
+    p = _df(peak_concurrency(sf))
+    assert pd.isna(p["peak_sessions"][0])
+    assert pd.isna(p["first_peak_us"][0])
+
+
 # ----------------------------------------------------------- grouped mode
 
 
