@@ -490,7 +490,16 @@ _SCALING_JOBS = {
     "dedup_minhash": ("nativeextractor_ray.pipelines.dedup", "dedup_minhash_pairs"),
     # round-4: the irreducible per-order co-partition exchange family
     "sole_late_supplier": ("nativeextractor_ray.pipelines.relational", "sole_late_supplier"),
+    # round-5 (VERDICT r4 item 8): a window shape (interval-coverage WAU
+    # over events) and a graph shape (degree-ordered triangles over the
+    # transcript KG — extraction + edge-dedup exchange grow with corpus;
+    # the wedge side is vocabulary-bounded by design)
+    "weekly_active_users": ("nativeextractor_ray.pipelines.events", "weekly_active_users"),
+    "triangle_counts": ("nativeextractor_ray.pipelines.graph", "triangle_counts"),
 }
+
+#: rate denominator table per scaling job (default: documents)
+_SCALING_ROW_TABLE = {"weekly_active_users": "events"}
 
 
 def main_scaling() -> None:
@@ -660,7 +669,13 @@ def main_headline_only() -> None:
 
         mod, fn = _SCALING_JOBS[job]
         f = getattr(importlib.import_module(mod), fn)
-        n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+        import pyarrow.dataset as _pads
+
+        _tbl = _SCALING_ROW_TABLE.get(job, "documents")
+        _path = (f"{SF_DIR}/{_tbl}.parquet"
+                 if os.path.exists(f"{SF_DIR}/{_tbl}.parquet")
+                 else f"{SF_DIR}/{_tbl}")
+        n_docs = _pads.dataset(_path, format="parquet").count_rows()
         # warm-up on the tiny sf: fills worker import caches without paying
         # a full-size extra pass (the measured run owns its own actors)
         warm_dir = os.environ.get("GRAFT_SCALING_WARM_DIR",

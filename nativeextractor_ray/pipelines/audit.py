@@ -381,11 +381,11 @@ def column_profile(sf_dir: str):
                          "max_v": None if mx is None else str(mx)})
         return pa.Table.from_pylist(rows)
 
-    scal = [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-            for b in ray.get(
-                ds.map_batches(scalar_partial, batch_format="pyarrow")
-                .to_arrow_refs())]
-    scal = [x for x in scal if x.num_rows]
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    scal = list(arrow_blocks(
+        ds.map_batches(scalar_partial, batch_format="pyarrow"),
+        stream=False))
     sdf = pa.concat_tables(scal, promote_options="default").to_pandas()
     folded = (sdf.groupby("column", sort=False)
               .agg(n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
@@ -446,10 +446,11 @@ def column_profile(sf_dir: str):
           .groupby("part").map_groups(recount, batch_format="pandas")
           .groupby("column").aggregate(Sum("n_distinct",
                                            alias_name="n_distinct")))
-    ndf = pa.concat_tables(
-        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(nd.to_arrow_refs())],
-        promote_options="default").to_pandas()
+    from nativeextractor_ray.functions.blocks import concat_blocks
+
+    ndf = concat_blocks(nd, empty=pa.table(
+        {"column": pa.array([], pa.string()),
+         "n_distinct": pa.array([], pa.int64())})).to_pandas()
     out = folded.merge(ndf, on="column", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     out["n_rows"] = out["n_rows"].astype("int64")
@@ -506,6 +507,7 @@ def table_checksums(sf_dir: str):
     import pandas as pd
     import ray
 
+    from nativeextractor_ray.functions.blocks import arrow_blocks
     from nativeextractor_ray.sources.tables import read_table
 
     rows = []
@@ -539,12 +541,9 @@ def table_checksums(sf_dir: str):
             return pa.table({"n": pa.array([t.num_rows], pa.int64()),
                              "h": pa.array([acc % _CKS_MOD], pa.int64())})
 
-        parts = [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame)
-                 else b
-                 for b in ray.get(
-                     ds.map_batches(partial, batch_format="pyarrow")
-                     .to_arrow_refs())]
-        parts = [x for x in parts if x.num_rows]
+        parts = list(arrow_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            stream=False))
         n = sum(int(pc.sum(x.column("n")).as_py()) for x in parts)
         h = sum(int(v) for x in parts
                 for v in x.column("h").to_pylist()) % _CKS_MOD
@@ -602,10 +601,12 @@ def lang_source_chisq(sf_dir: str):
     cells = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["lang", "source"])
              .aggregate(Sum("o", alias_name="o")))
-    t = pa.concat_tables(
-        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(cells.to_arrow_refs())],
-        promote_options="default")
+    from nativeextractor_ray.functions.blocks import concat_blocks
+
+    t = concat_blocks(cells, empty=pa.table(
+        {"lang": pa.array([], pa.string()),
+         "source": pa.array([], pa.string()),
+         "o": pa.array([], pa.int64())}))
     df = t.to_pandas()
     rt = df.groupby("lang")["o"].transform("sum").astype("int64")
     ct = df.groupby("source")["o"].transform("sum").astype("int64")
@@ -683,10 +684,12 @@ def length_drift_ks(sf_dir: str):
     counts = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["source", "v"])
               .aggregate(Sum("n", alias_name="n")))
-    t = pa.concat_tables(
-        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(counts.to_arrow_refs())],
-        promote_options="default")
+    from nativeextractor_ray.functions.blocks import concat_blocks
+
+    t = concat_blocks(counts, empty=pa.table(
+        {"source": pa.array([], pa.string()),
+         "v": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}))
     df = t.to_pandas()
     vals = np.sort(df["v"].unique())
     srcs = sorted(df["source"].unique())
@@ -789,12 +792,12 @@ def price_reconciliation(sf_dir: str):
     # sort-aggregate (the Q21 lesson: the sort-based Aggregate costs
     # hundreds of core-seconds on key counts a vectorized fold does in
     # milliseconds); partial volume is bounded by orders × blocks.
-    t = pa.concat_tables(
-        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(
-             li.map_batches(charge_partial, batch_format="pyarrow")
-             .to_arrow_refs())],
-        promote_options="default")
+    from nativeextractor_ray.functions.blocks import concat_blocks
+
+    t = concat_blocks(
+        li.map_batches(charge_partial, batch_format="pyarrow"),
+        empty=pa.table({"o_orderkey": pa.array([], pa.int64()),
+                        "charge_c": pa.array([], pa.int64())}))
     k_all = t.column("o_orderkey").to_numpy()
     c_all = t.column("charge_c").to_numpy()
     keys, inv = np.unique(k_all, return_inverse=True)

@@ -1354,10 +1354,10 @@ def weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
             "weight": pa.array(w[order].astype(np.int64)),
             "priority": pa.array(pri[order])})
 
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
     local = ds.map_batches(partial, batch_format="pyarrow")
-    parts = [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-             for b in ray.get(local.to_arrow_refs())]
-    parts = [x for x in parts if x.num_rows]
+    parts = list(arrow_blocks(local, stream=False))
     if not parts:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "weight": pa.array([], pa.int64()),

@@ -95,15 +95,25 @@ def order_count_distribution(
             "c_count": pc.cast(g.column("c_count"), pa.int64()),
             "custdist": pc.cast(g.column("c_count_count"), pa.int64())})
 
-    hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
-                    .groupby("c_count")
-                    .aggregate(Sum("custdist", alias_name="custdist")))
-
-    # finish: the histogram is ≤ max-orders-per-customer rows — tiny
+    # finish: per-block histogram partials are ≤ max-orders-per-customer
+    # rows each — fold them on the driver with np.unique instead of a
+    # second groupby AllToAll (pure fixed cost for a ≤ ~50-row result;
+    # the Q21 driver-fold lesson)
+    ks, ns = [], []
+    for t in arrow_blocks(
+            per_cust.map_batches(hist_partial, batch_format="pyarrow"),
+            stream=False):
+        ks.append(t.column("c_count").to_numpy())
+        ns.append(t.column("custdist").to_numpy())
     counts, dists = [], []
-    for t in arrow_blocks(hist, stream=False):
-        counts.extend(t.column("c_count").to_pylist())
-        dists.extend(t.column("custdist").to_pylist())
+    if ks:
+        kk = np.concatenate(ks)
+        nn = np.concatenate(ns)
+        uniq, inv = np.unique(kk, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, nn)
+        counts = [int(x) for x in uniq]
+        dists = [int(x) for x in acc]
     zero = n_customers - sum(dists)
     if zero > 0:
         counts.append(0)

@@ -1156,10 +1156,12 @@ def role_vocab_divergence(sf_dir: str):
     counts = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["role", "term"])
               .aggregate(Sum("n", alias_name="n")))
-    t = pa.concat_tables(
-        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(counts.to_arrow_refs())],
-        promote_options="default")
+    from nativeextractor_ray.functions.blocks import concat_blocks
+
+    t = concat_blocks(counts, empty=pa.table(
+        {"role": pa.array([], pa.string()),
+         "term": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}))
     df = t.to_pandas()
     u = df[df["role"] == "user"].set_index("term")["n"]
     a = df[df["role"] == "assistant"].set_index("term")["n"]

@@ -13,6 +13,48 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _topk_fold(ds, keys: list[str], descending: list[bool], k: int,
+               out_cols: list[str] | None = None) -> pa.Table:
+    """Global top-k WITHOUT a sort AllToAll: per-block top-k partials
+    (each block keeps its k best under the full comparator, so the union
+    provably contains the global top-k) stream to the driver — ≤ blocks·k
+    bounded rows — and one local lexsort finishes.  Replaces
+    ``ds.sort(keys).limit(k)``, whose whole-dataset sort exchange costs
+    the documented ~2.5 s AllToAll floor to pick a handful of rows.
+
+    ``keys`` must be int64-comparable columns (dates go through their
+    µs int64 view); ties behave exactly like the sort+limit they replace.
+    """
+    def sort_key_arrays(t: pa.Table):
+        arrs = []
+        for c, d in zip(keys, descending):
+            a = t.column(c).to_numpy(zero_copy_only=False)
+            if a.dtype.kind == "M":
+                a = a.astype("datetime64[us]").view(np.int64)
+            a = a.astype(np.int64, copy=False)
+            arrs.append(-a if d else a)
+        # np.lexsort: LAST key is primary → reverse
+        return tuple(reversed(arrs))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = np.lexsort(sort_key_arrays(t))[:k]
+        return t.take(pa.array(idx))
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    parts = list(arrow_blocks(
+        ds.map_batches(block_topk, batch_format="pyarrow",
+                       batch_size=None), stream=False))
+    if not parts:
+        return pa.table({})
+    merged = pa.concat_tables(parts, promote_options="default")
+    idx = np.lexsort(sort_key_arrays(merged))[:k]
+    out = merged.take(pa.array(idx))
+    return out.select(out_cols) if out_cols else out
+
+
 def orders_by_nation(sf_dir: str):
     """Per-nation order rollup via a two-hop broadcast join:
     customer(cust→nation) and nation(nation→name) are broadcast once
@@ -646,9 +688,10 @@ def shipping_priority_topk(sf_dir: str, segment: str = Q3_SEGMENT,
     rev = rev.map_batches(ensure_rev_schema, batch_format="pyarrow")
 
     joined = _attach_order_dates(rev, orders_f, sf_dir)
-    top = (joined.sort(["revenue_c", "o_orderkey"], descending=[True, False])
-                 .limit(k))
-    return top
+    # top-k via per-block partials + driver fold — the sort+limit(k)
+    # AllToAll was pure fixed cost for k=10 rows
+    return _topk_fold(joined, ["revenue_c", "o_orderkey"],
+                      [True, False], k)
 
 
 #: broadcast the filtered (orderkey, orderdate) side when its encoded size
@@ -967,6 +1010,7 @@ def rollup_report(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
+    from nativeextractor_ray.functions.blocks import arrow_blocks
     from nativeextractor_ray.sources.tables import read_table
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -1009,9 +1053,7 @@ def rollup_report(sf_dir: str):
 
     # ≤ |nations|×|priorities| rows — a bounded driver finish, like the
     # HLL register merge (sketches.py)
-    import ray as _ray
-    parts = [_ray.get(r) for r in fine.to_arrow_refs()]
-    parts = [p for p in parts if p.num_rows]
+    parts = list(arrow_blocks(fine, stream=False))
     if not parts:
         return pa.table({"n_name": pa.array([], pa.string()),
                          "o_orderpriority": pa.array([], pa.string()),
@@ -1228,8 +1270,10 @@ def large_order_customers(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
         joined = ht.union(ot).groupby("part").map_groups(
             resolve, batch_format="pandas")
 
-    return (joined.sort(["total_price_c", "o_orderkey"],
-                        descending=[True, False]).limit(k))
+    # top-k via per-block partials + driver fold — the sort+limit(k)
+    # AllToAll was pure fixed cost for k=100 rows
+    return _topk_fold(joined, ["total_price_c", "o_orderkey"],
+                      [True, False], k)
 
 
 def large_order_customers_sql(threshold: int = Q18_QTY_THRESHOLD,

@@ -522,10 +522,12 @@ def source_similarity_minhash(sf_dir: str, k: int = MHS_K):
 
     sig = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["source", "i"]).aggregate(Min("h", alias_name="h")))
-    t = pa.concat_tables(
-        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(sig.to_arrow_refs())],
-        promote_options="default")
+    from nativeextractor_ray.functions.blocks import concat_blocks
+
+    t = concat_blocks(sig, empty=pa.table(
+        {"source": pa.array([], pa.string()),
+         "i": pa.array([], pa.int64()),
+         "h": pa.array([], pa.int64())}))
     df = t.to_pandas().sort_values(["source", "i"])
     srcs = sorted(df["source"].unique())
     sigs = {s: df[df["source"] == s].sort_values("i")["h"].to_numpy()

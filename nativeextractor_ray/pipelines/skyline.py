@@ -88,9 +88,9 @@ def skyline_orders(sf_dir: str):
             "union of per-block skylines exceeds the driver merge bound — "
             "anti-correlated degenerate input; shard the merge")
     # tiny: O(blocks · log(block_rows)) rows
-    parts = [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-             for b in ray.get(local.to_arrow_refs())]
-    parts = [x for x in parts if x.num_rows]
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    parts = list(arrow_blocks(local, stream=False))
     t = (pa.concat_tables(parts, promote_options="default") if parts
          else pa.table({"o_orderkey": pa.array([], pa.int64()),
                         "price_cents": pa.array([], pa.int64()),

@@ -166,10 +166,11 @@ def _df_rank(sets_ds):
               .groupby("gram").aggregate(Sum("df", alias_name="df")))
     if df_tbl.size_bytes() is not None and df_tbl.size_bytes() > DF_BROADCAST_BOUND:
         return None
-    t = pa.concat_tables(
-        [pa.Table.from_pandas(b) if isinstance(b, pd.DataFrame) else b
-         for b in ray.get(df_tbl.to_arrow_refs())],
-        promote_options="default")
+    from nativeextractor_ray.functions.blocks import concat_blocks
+
+    t = concat_blocks(df_tbl, empty=pa.table(
+        {"gram": pa.array([], pa.int64()),
+         "df": pa.array([], pa.int64())}))
     gram = t.column("gram").to_numpy()
     df = t.column("df").to_numpy()
     order = np.argsort(gram, kind="stable")
@@ -226,6 +227,167 @@ def emit_prefix_rows(t: pa.Table, rank_map, num: int, den: int) -> pa.Table:
                      "part": pa.array(tok % N_PARTS)})
 
 
+#: broadcast the whole gram-set table when its encoded size fits — the
+#: verify then runs IN the prefix buckets (one AllToAll total) instead of
+#: the two join-back exchanges (each pays the ~2.5 s AllToAll floor).
+#: Above the bound the join-back path runs; a pytest forces bound=0 and
+#: asserts both paths bit-identical.
+SETS_BROADCAST_BOUND = 256 << 20
+
+
+def _sets_side(sets_ds, rank_map):
+    """Driver-collected gram-set lookup for the broadcast verify path:
+    ``(sorted doc ids, per-doc start offsets, per-doc sizes, flat grams)``
+    with each doc's array mapped to the SAME id space and ascending order
+    ``emit_prefix_rows`` uses (rank order under df order, hash order on
+    the fallback) — so a doc's prefix is its first p elements."""
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    ids, szs, vals = [], [], []
+    for t in arrow_blocks(sets_ds, stream=False):
+        if t.num_rows == 0:
+            continue
+        grams = t.column("grams").combine_chunks()
+        offs = grams.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offs = offs - offs[0]
+        flat = pc.list_flatten(t.column("grams")).to_numpy()
+        if rank_map is not None:
+            gsort, rnk = rank_map
+            flat = rnk[np.searchsorted(gsort, flat)]
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = offs[1:] - offs[:-1]
+        seg = np.repeat(np.arange(len(doc)), s)
+        order = np.lexsort((flat, seg))
+        ids.append(doc)
+        szs.append(s)
+        vals.append(flat[order])
+    if not ids:
+        z = np.array([], np.int64)
+        return z, z, z, z
+    doc_all = np.concatenate(ids)
+    size_all = np.concatenate(szs)
+    flat_all = np.concatenate(vals)
+    starts = np.zeros(len(doc_all), np.int64)
+    np.cumsum(size_all[:-1], out=starts[1:])
+    order = np.argsort(doc_all, kind="stable")
+    return doc_all[order], starts[order], size_all[order], flat_all
+
+
+_RESULT_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "inter": pa.array([], pa.int64()),
+                          "un": pa.array([], pa.int64()),
+                          "jacc_micro": pa.array([], pa.int64())})
+
+
+def _broadcast_verifier(side_ref, num: int, den: int):
+    """In-bucket candidate + verify kernel for the broadcast path.
+
+    Candidate pairs come from shared prefix tokens in this bucket (as on
+    the join-back path); gram arrays come from the broadcast side, so
+    the verify needs NO further exchange.  A pair may surface in every
+    bucket that holds one of its shared prefix tokens — it is emitted
+    ONLY in the bucket OWNING its smallest common prefix gram
+    (``r0 % N_PARTS == part``), which dedups globally without a shuffle.
+    """
+    import ray
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _RESULT_EMPTY
+        keys, starts, sz, flat_all = ray.get(side_ref)
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq_docs, doc_code = np.unique(doc, return_inverse=True)
+        m = len(uniq_docs)
+        # candidate pairs from shared tokens (local codes)
+        order = np.argsort(tok, kind="stable")
+        tok_s, dc_s = tok[order], doc_code[order]
+        bounds = np.flatnonzero(np.r_[True, tok_s[1:] != tok_s[:-1],
+                                      True])
+        pi, pj = [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a >= 2:
+                members = np.unique(dc_s[a:b])
+                if len(members) >= 2:
+                    ii, jj = np.triu_indices(len(members), k=1)
+                    pi.append(members[ii])
+                    pj.append(members[jj])
+        if not pi:
+            return _RESULT_EMPTY
+        packed = np.unique(np.concatenate(pi) * m + np.concatenate(pj))
+        pi, pj = packed // m, packed % m
+        gi = np.searchsorted(keys, uniq_docs)
+        sizes = sz[gi]
+        sa, sb = sizes[pi], sizes[pj]
+        ok = num * (sa + sb) <= (num + den) * np.minimum(sa, sb)
+        pi, pj = pi[ok], pj[ok]
+        if not len(pi):
+            return _RESULT_EMPTY
+        # bitsets over the bucket-local vocab from the broadcast arrays
+        lens = sizes
+        st = starts[gi]
+        tot = int(lens.sum())
+        out_start = np.cumsum(lens) - lens
+        take = (np.repeat(st, lens) + np.arange(tot)
+                - np.repeat(out_start, lens))
+        all_grams = flat_all[take]
+        vocab = np.unique(all_grams)
+        W = max(1, (len(vocab) + 63) // 64)
+        full_bs = np.zeros((m, W), np.uint64)
+        pref_bs = np.zeros((m, W), np.uint64)
+        prefs = sizes - ((sizes * num + den - 1) // den) + 1
+        row_of = np.repeat(np.arange(m), lens)
+        pos = np.arange(tot) - np.repeat(out_start, lens)
+        loc = np.searchsorted(vocab, all_grams)
+        w_idx, b_idx = loc >> 6, loc & 63
+        np.bitwise_or.at(full_bs, (row_of, w_idx),
+                         np.uint64(1) << b_idx.astype(np.uint64))
+        pm = pos < prefs[row_of]
+        np.bitwise_or.at(pref_bs, (row_of[pm], w_idx[pm]),
+                         np.uint64(1) << b_idx[pm].astype(np.uint64))
+        sa, sb = sizes[pi], sizes[pj]
+        inter = _popcount_rows(full_bs[pi] & full_bs[pj])
+        ok = (den + num) * inter >= num * (sa + sb)
+        pi, pj, sa, sb, inter = pi[ok], pj[ok], sa[ok], sb[ok], inter[ok]
+        if not len(pi):
+            return _RESULT_EMPTY
+        # smallest common PREFIX gram r0 → canonical owner bucket
+        pand = pref_bs[pi] & pref_bs[pj]
+        nz = pand != 0
+        first_w = np.argmax(nz, axis=1)
+        any_common = nz.any(axis=1)
+        words = pand[np.arange(len(pi)), first_w]
+        low = (words & (~words + np.uint64(1)))
+        bit = np.zeros(len(low), np.int64)
+        lowv = low.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = lowv >= (np.uint64(1) << np.uint64(shift))
+            bit[big] += shift
+            lowv[big] >>= np.uint64(shift)
+        r0_local = first_w.astype(np.int64) * 64 + bit
+        r0 = vocab[np.minimum(r0_local, len(vocab) - 1)]
+        pid = int(t.column("part")[0].as_py())
+        keep = any_common & (r0 % N_PARTS == pid)
+        pi, pj, sa, sb, inter = (pi[keep], pj[keep], sa[keep], sb[keep],
+                                 inter[keep])
+        if not len(pi):
+            return _RESULT_EMPTY
+        un = sa + sb - inter
+        da, db = uniq_docs[pi], uniq_docs[pj]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        return pa.table({
+            "doc_a": pa.array(lo.astype(np.int64)),
+            "doc_b": pa.array(hi.astype(np.int64)),
+            "inter": pa.array(inter.astype(np.int64)),
+            "un": pa.array(un.astype(np.int64)),
+            "jacc_micro": pa.array(
+                (2 * inter * 1_000_000 + un) // (2 * un))})
+
+    return verify_bucket
+
+
 def ssjoin_jaccard(sf_dir: str, use_df_order: bool = True):
     """All document pairs with distinct-bigram-set Jaccard ≥ τ:
     ``(doc_a, doc_b, inter, un, jacc_micro)``, ``doc_a < doc_b``."""
@@ -242,6 +404,13 @@ def ssjoin_jaccard(sf_dir: str, use_df_order: bool = True):
 
     def emit_prefix(t: pa.Table) -> pa.Table:
         return emit_prefix_rows(t, ray.get(rank_ref), num, den)
+
+    if (sets_ds.size_bytes() or 0) <= SETS_BROADCAST_BOUND:
+        side_ref = ray.put(_sets_side(sets_ds, rank_map))
+        return (sets_ds.map_batches(emit_prefix, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(_broadcast_verifier(side_ref, num, den),
+                            batch_format="pyarrow"))
 
     # ---- exchange 1: prefix tokens → candidate id pairs ---------------
     def candidates(t: pa.Table) -> pa.Table:

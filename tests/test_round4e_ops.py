@@ -85,6 +85,25 @@ def test_ssjoin_fallback_path_identical(ray_session, tmp_path):
     assert len(a) > 0  # the fixture actually produces pairs
 
 
+def test_ssjoin_joinback_path_identical(ray_session, tmp_path,
+                                        monkeypatch):
+    """Forcing the sets-broadcast bound to 0 drives the two-exchange
+    join-back path; its pair set must be bit-identical to the broadcast
+    in-bucket verify (the repo's size-gate convention)."""
+    from nativeextractor_ray.pipelines import ssjoin
+
+    docs = [(i, f"w{i % 3} common a b w{i % 5} c d e") for i in range(12)]
+    docs += [(100, "x y z t u v"), (101, "x y z t u q")]
+    sf = _write_docs(tmp_path, docs)
+    a = _df(ssjoin.ssjoin_jaccard(sf)).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    monkeypatch.setattr(ssjoin, "SETS_BROADCAST_BOUND", 0)
+    b = _df(ssjoin.ssjoin_jaccard(sf)).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_ssjoin_prefix_payload_linear_in_doc_length():
     """The prefix exchange ships O((1-τ)·s) BYTES per doc, linear in the
     gram-set size — the round-4 shape tiled the full rank array once per
