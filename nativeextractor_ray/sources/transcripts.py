@@ -234,7 +234,14 @@ def transcripts_dataset(
                 n_docs = sum(
                     _pq.ParquetFile(_os.path.join(_p, f)).metadata.num_rows
                     for f in _os.listdir(_p) if f.endswith(".parquet"))
-            blocks = max(8, min(cpus, (n_docs * replicate) // 50_000))
+            # three terms: ≥8 always; reach the core count when the
+            # workload supports ≥50k turns/block; and NEVER let a block
+            # exceed ~200k turns (w // 4) no matter how few CPUs — the
+            # min(cpus, w) cap alone packed 625k docs/block at 4 CPUs on
+            # a 5M-doc corpus, halving the @4 leg's rate (memory cliff)
+            # and fabricating a 1.9 "superlinear" scaling artifact
+            w = (n_docs * replicate) // 50_000
+            blocks = max(8, min(cpus, w), w // 4)
         except Exception:
             blocks = 8
     ds = read_table(sf_dir, "documents", ["doc_id", "text"], blocks=blocks)
