@@ -28,6 +28,27 @@ def pool_concurrency() -> int:
     return max(2, min(16, _cpus() // 2))
 
 
+def table_nrows(sf_dir: str, table: str) -> int | None:
+    """Row count from parquet METADATA only (file or directory table) —
+    free at any scale; ``None`` when unknowable, which callers MUST
+    treat as over-bound so the scale path is never accidentally
+    driver-folded."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        d = os.path.join(sf_dir, table)
+        if os.path.isdir(d):
+            return sum(
+                pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                for f in os.listdir(d) if f.endswith(".parquet"))
+        return pq.ParquetFile(
+            os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    except Exception:
+        return None
+
+
 def adaptive_parts(sf_dir: str, table: str = "documents",
                    replicate: int = 1, per_part: int = 8 << 20,
                    lo: int = 16, hi: int = 4096) -> int:

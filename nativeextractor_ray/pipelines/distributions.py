@@ -144,6 +144,10 @@ GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
 
 RFM_TIERS = 3
 
+#: driver-fold the per-customer rollup when customers × 24 B fits —
+#: ~2.8M customers per 64 MB; tests force 0 to drive the distributed path
+RFM_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def rfm_segments(sf_dir: str, tiers: int = RFM_TIERS):
     """Customer RFM segmentation — recency (last order epoch-day),
@@ -184,6 +188,63 @@ def rfm_segments(sf_dir: str, tiers: int = RFM_TIERS):
         for c in ("r_day", "f", "m_cents"):
             g[c] = g[c].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    # Gate on the CUSTOMER row count (metadata only): when the
+    # per-customer 24-byte triple fits the driver bound, the custkey
+    # rollup folds on the driver (np.unique + maximum.at/add.at — the
+    # Q21 lesson) and the three quantile-edge selections become local
+    # np.sort indexing instead of 3×(R+1) refinement scans: ZERO
+    # AllToAll.  Above the bound the distributed groupby + histogram-
+    # refinement kernel runs; a pytest forces bound=0 and asserts both
+    # paths bit-identical.
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    n_cust = table_nrows(sf_dir, "customer")
+    if n_cust is not None and n_cust * 24 <= RFM_DRIVER_FOLD_BOUND:
+        ks, rs_, fs_, ms_ = [], [], [], []
+        for t in arrow_blocks(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                stream=False):
+            ks.append(t.column("c_custkey").to_numpy())
+            rs_.append(t.column("r_day").to_numpy())
+            fs_.append(t.column("f").to_numpy())
+            ms_.append(t.column("m_cents").to_numpy())
+        if not ks:
+            return pa.table({c: pa.array([], pa.int64()) for c in (
+                "c_custkey", "r_day", "f", "m_cents", "r_score",
+                "f_score", "m_score", "segment")})
+        kk, inv = np.unique(np.concatenate(ks), return_inverse=True)
+        r_day = np.full(len(kk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(r_day, inv, np.concatenate(rs_))
+        f_cnt = np.zeros(len(kk), np.int64)
+        np.add.at(f_cnt, inv, np.concatenate(fs_))
+        m_cents = np.zeros(len(kk), np.int64)
+        np.add.at(m_cents, inv, np.concatenate(ms_))
+        n = len(kk)
+        ranks = sorted({(i * n + tiers - 1) // tiers
+                        for i in range(1, tiers)})
+        edges = {}
+        for col, arr in (("r_day", r_day), ("f", f_cnt),
+                         ("m_cents", m_cents)):
+            sv = np.sort(arr)
+            edges[col] = [int(sv[k - 1]) for k in ranks]
+
+        def score_local(v, es):
+            s = np.full(len(v), len(es) + 1, np.int64)
+            for i in range(len(es) - 1, -1, -1):
+                s[v <= es[i]] = i + 1
+            return s
+
+        rs = score_local(r_day, edges["r_day"])
+        fs = score_local(f_cnt, edges["f"])
+        ms = score_local(m_cents, edges["m_cents"])
+        return pa.table({
+            "c_custkey": pa.array(kk), "r_day": pa.array(r_day),
+            "f": pa.array(f_cnt), "m_cents": pa.array(m_cents),
+            "r_score": pa.array(rs), "f_score": pa.array(fs),
+            "m_score": pa.array(ms),
+            "segment": pa.array(rs * 100 + fs * 10 + ms)})
 
     cust = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("c_custkey")

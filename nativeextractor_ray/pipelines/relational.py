@@ -670,9 +670,61 @@ def shipping_priority_topk(sf_dir: str, segment: str = Q3_SEGMENT,
         return pa.table({"l_orderkey": g.column("l_orderkey"),
                          "revenue_c": g.column("rev_sum")})
 
-    rev = (items.map_batches(rev_partial, batch_format="pyarrow")
-                .groupby("l_orderkey")
-                .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    rev_parts = items.map_batches(rev_partial, batch_format="pyarrow")
+
+    # Gate on the ORDERS row count (metadata only): when every per-order
+    # 16-byte (key, cents) pair fits the driver bound, the per-order
+    # revenue rollup folds on the driver with np.unique + np.add.at (the
+    # Q21 lesson — partial volume is bounded by orders × blocks) and the
+    # date attach + top-k finish run as local array ops: ZERO AllToAll in
+    # the whole query.  Above the bound the distributed groupby + attach
+    # + per-block top-k pipeline runs; a pytest forces bound=0 and
+    # asserts both paths bit-identical.
+    n_orders = table_nrows(sf_dir, "orders") if sf_dir else None
+    if n_orders is not None and n_orders * 16 <= Q3_DRIVER_FOLD_BOUND:
+        ks, vs = [], []
+        for t in arrow_blocks(rev_parts, stream=False):
+            ks.append(t.column("l_orderkey").to_numpy())
+            vs.append(t.column("revenue_c").to_numpy())
+        if not ks:
+            kk = np.array([], np.int64)
+            cc = np.array([], np.int64)
+        else:
+            k_all = np.concatenate(ks)
+            kk, inv = np.unique(k_all, return_inverse=True)
+            cc = np.zeros(len(kk), np.int64)
+            np.add.at(cc, inv, np.concatenate(vs))
+        # filtered orders (o_orderkey, o_orderdate) — same collection the
+        # broadcast attach performs; inner-join + top-k locally
+        oks, ods = [], []
+        for t in arrow_blocks(
+                orders_f.select_columns(["o_orderkey", "o_orderdate"]),
+                stream=False):
+            oks.append(t.column("o_orderkey").to_numpy())
+            ods.append(t.column("o_orderdate").to_numpy()
+                       .astype("datetime64[us]").view(np.int64))
+        ok_ = np.concatenate(oks) if oks else np.array([], np.int64)
+        od_ = np.concatenate(ods) if ods else np.array([], np.int64)
+        oorder = np.argsort(ok_)
+        ok_, od_ = ok_[oorder], od_[oorder]
+        pos = np.searchsorted(ok_, kk)
+        hit = ((pos < len(ok_))
+               & (ok_[np.minimum(pos, max(0, len(ok_) - 1))] == kk)
+               if len(ok_) else np.zeros(len(kk), bool))
+        jk, jc = kk[hit], cc[hit]
+        jd = od_[pos[hit]] if len(ok_) else np.array([], np.int64)
+        top = np.lexsort((jk, -jc))[:k]
+        return pa.table({
+            "o_orderkey": pa.array(jk[top]),
+            "revenue_c": pa.array(jc[top]),
+            "o_orderdate": pa.array(jd[top].view("datetime64[us]")),
+        })
+
+    rev = rev_parts.groupby("l_orderkey").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"))
 
     # the aggregate can emit EMPTY blocks with no schema at all (observed
     # on small inputs) — pin the schema so every downstream consumer sees
@@ -698,6 +750,10 @@ def shipping_priority_topk(sf_dir: str, segment: str = Q3_SEGMENT,
 #: is under this bound; above it, both sides co-partition by orderkey hash
 #: (tests force 0 to drive the merge path)
 Q3_ATTACH_BOUND = 64 << 20
+
+#: driver-fold the per-order revenue rollup when orders × 16 B fits —
+#: ~4M orders per 64 MB; tests force 0 to drive the distributed path
+Q3_DRIVER_FOLD_BOUND = 64 << 20
 
 
 def _attach_order_dates(rev, orders_f, sf_dir: str | None):
@@ -1103,6 +1159,10 @@ Q18_TOP_K = 100
 #: force 0 to drive the merge path)
 Q18_ATTACH_BOUND = 64 << 20
 
+#: driver-fold the per-order quantity rollup when orders × 16 B fits —
+#: ~4M orders per 64 MB; tests force 0 to drive the distributed path
+Q18_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def large_order_customers(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
                           k: int = Q18_TOP_K):
@@ -1158,21 +1218,64 @@ def large_order_customers(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
         t = t.select(["l_orderkey", "sum_qty"]).cast(qty_schema)
         return t.filter(pc.greater(t.column("sum_qty"), threshold))
 
-    # materialize: the HAVING output is the small side and feeds THREE
-    # consumers (semi-join keys, the size gate, the attach) — without it
-    # the lineitem aggregate would re-execute per consumer
-    hot = (items.map_batches(qty_partial, batch_format="pyarrow")
-           .groupby("l_orderkey")
-           .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-           .map_batches(hot_only, batch_format="pyarrow")
-           .materialize())
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    # Gate on the ORDERS row count (metadata only): when every per-order
+    # 16-byte (key, qty) pair fits the driver bound, the HAVING rollup
+    # folds on the driver (np.unique + np.add.at — the Q21 lesson) and
+    # the hot set broadcasts straight into the orders probe: the whole
+    # query runs with ZERO AllToAll.  Above the bound the distributed
+    # groupby + semi-join + attach pipeline runs; a pytest forces
+    # bound=0 and asserts both paths bit-identical.
+    n_orders = table_nrows(sf_dir, "orders") if sf_dir else None
+    hot_arrays = None
+    if n_orders is not None and n_orders * 16 <= Q18_DRIVER_FOLD_BOUND:
+        from nativeextractor_ray.functions.blocks import arrow_blocks
+
+        ks, qs = [], []
+        for t in arrow_blocks(
+                items.map_batches(qty_partial, batch_format="pyarrow"),
+                stream=False):
+            ks.append(t.column("l_orderkey").to_numpy())
+            qs.append(t.column("sum_qty").to_numpy())
+        if ks:
+            kk, inv = np.unique(np.concatenate(ks), return_inverse=True)
+            qq = np.zeros(len(kk), np.int64)
+            np.add.at(qq, inv, np.concatenate(qs))
+            keep = qq > threshold
+            hot_arrays = (kk[keep], qq[keep])  # sorted by key
+        else:
+            hot_arrays = (np.array([], np.int64), np.array([], np.int64))
+
+    if hot_arrays is None:
+        # materialize: the HAVING output is the small side and feeds
+        # THREE consumers (semi-join keys, the size gate, the attach) —
+        # without it the lineitem aggregate would re-execute per consumer
+        hot = (items.map_batches(qty_partial, batch_format="pyarrow")
+               .groupby("l_orderkey")
+               .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+               .map_batches(hot_only, batch_format="pyarrow")
+               .materialize())
 
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_custkey", "o_orderdate",
                          "o_totalprice"])
-    orders_f = semi_anti_join(
-        orders, hot.select_columns(["l_orderkey"]),
-        "o_orderkey", anti=False, sf_dir=sf_dir)
+    if hot_arrays is not None:
+        hk_ref = ray.put(hot_arrays[0])
+
+        def hot_filter(t: pa.Table) -> pa.Table:
+            hk = ray.get(hk_ref)
+            okn = t.column("o_orderkey").to_numpy()
+            if not len(hk):
+                return t.slice(0, 0)
+            pos = np.clip(np.searchsorted(hk, okn), 0, len(hk) - 1)
+            return t.filter(pa.array(hk[pos] == okn))
+
+        orders_f = orders.map_batches(hot_filter, batch_format="pyarrow")
+    else:
+        orders_f = semi_anti_join(
+            orders, hot.select_columns(["l_orderkey"]),
+            "o_orderkey", anti=False, sf_dir=sf_dir)
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"])
@@ -1196,15 +1299,18 @@ def large_order_customers(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
             "sum_qty": pa.array(qv),
         })
 
-    if (hot.size_bytes() or 0) <= Q18_ATTACH_BOUND:
-        hk, hq = [], []
-        for t in arrow_blocks(hot, stream=False):
-            hk.append(t.column("l_orderkey").to_numpy())
-            hq.append(t.column("sum_qty").to_numpy())
-        kk = np.concatenate(hk) if hk else np.array([], np.int64)
-        qq = np.concatenate(hq) if hq else np.array([], np.int64)
-        horder = np.argsort(kk)
-        hot_side = ray.put((kk[horder], qq[horder]))
+    if hot_arrays is not None or (hot.size_bytes() or 0) <= Q18_ATTACH_BOUND:
+        if hot_arrays is not None:
+            hot_side = ray.put(hot_arrays)  # already key-sorted
+        else:
+            hk, hq = [], []
+            for t in arrow_blocks(hot, stream=False):
+                hk.append(t.column("l_orderkey").to_numpy())
+                hq.append(t.column("sum_qty").to_numpy())
+            kk = np.concatenate(hk) if hk else np.array([], np.int64)
+            qq = np.concatenate(hq) if hq else np.array([], np.int64)
+            horder = np.argsort(kk)
+            hot_side = ray.put((kk[horder], qq[horder]))
 
         def probe(t: pa.Table) -> pa.Table:
             keys, qtys = ray.get(hot_side)
@@ -1440,27 +1546,46 @@ def order_fill_report(sf_dir: str):
             return agg_schema.empty_table()
         return t.select([f.name for f in agg_schema]).cast(agg_schema)
 
-    agg = (items.map_batches(partial, batch_format="pyarrow")
-           .groupby("l_orderkey")
-           .aggregate(Sum("n_items", alias_name="n_items"),
-                      Sum("sum_qty", alias_name="sum_qty"))
-           .map_batches(pin, batch_format="pyarrow"))
+    # Gate on the ORDERS row count (metadata only): when the per-order
+    # (key, n, qty) triple fits the driver bound, the rollup folds on
+    # the driver straight from the RAW per-batch partials — the orderkey
+    # groupby AllToAll disappears (the Q21 lesson); above it the groupby
+    # runs and feeds the same size-gated attach.
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    n_orders = table_nrows(sf_dir, "orders") if sf_dir else None
+    driver_fold = (n_orders is not None
+                   and n_orders * 24 <= FILL_ATTACH_BOUND)
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
 
-    if (agg.size_bytes() or 0) <= FILL_ATTACH_BOUND:
+    if driver_fold:
+        agg = None
+    else:
+        agg = (items.map_batches(partial, batch_format="pyarrow")
+               .groupby("l_orderkey")
+               .aggregate(Sum("n_items", alias_name="n_items"),
+                          Sum("sum_qty", alias_name="sum_qty"))
+               .map_batches(pin, batch_format="pyarrow"))
+
+    if driver_fold or (agg.size_bytes() or 0) <= FILL_ATTACH_BOUND:
         ks, ns, qs = [], [], []
-        for t in arrow_blocks(agg, stream=False):
+        src = (items.map_batches(partial, batch_format="pyarrow")
+               if driver_fold else agg)
+        for t in arrow_blocks(src, stream=False):
             ks.append(t.column("l_orderkey").to_numpy())
             ns.append(t.column("n_items").to_numpy())
             qs.append(t.column("sum_qty").to_numpy())
-        kk = np.concatenate(ks) if ks else np.array([], np.int64)
-        order = np.argsort(kk)
-        side = ray.put((kk[order],
-                        (np.concatenate(ns) if ns
-                         else np.array([], np.int64))[order],
-                        (np.concatenate(qs) if qs
-                         else np.array([], np.int64))[order]))
+        if ks:
+            k_all = np.concatenate(ks)
+            kk, inv = np.unique(k_all, return_inverse=True)
+            nn = np.zeros(len(kk), np.int64)
+            qq = np.zeros(len(kk), np.int64)
+            np.add.at(nn, inv, np.concatenate(ns))
+            np.add.at(qq, inv, np.concatenate(qs))
+        else:
+            kk = nn = qq = np.array([], np.int64)
+        side = ray.put((kk, nn, qq))  # np.unique output is key-sorted
 
         def probe(t: pa.Table) -> pa.Table:
             keys, nv, qv = ray.get(side)

@@ -20,18 +20,35 @@ def _df(res) -> pd.DataFrame:
 
 
 def test_q18_merge_path_matches_broadcast(ray_session, monkeypatch):
-    """Force the tagged-union merge attach (bound 0) on sf0.001 and
-    require bit-identical output to the broadcast path."""
+    """Force the fully-distributed shape (driver-fold bound 0 AND
+    tagged-union merge attach AND co-partitioned semi join) on sf0.001
+    and require bit-identical output to the zero-AllToAll driver-fold
+    path."""
     from nativeextractor_ray.pipelines import relational
 
     sf = "/root/testdata/sf0.001"
     cols = ["c_name", "c_custkey", "o_orderkey"]
     base = _df(relational.large_order_customers(sf)).reset_index(drop=True)
+    monkeypatch.setattr(relational, "Q18_DRIVER_FOLD_BOUND", 0)
     monkeypatch.setattr(relational, "Q18_ATTACH_BOUND", 0)
     monkeypatch.setattr(relational, "SEMI_BROADCAST_BOUND", 0)
     forced = _df(relational.large_order_customers(sf)).reset_index(drop=True)
     pd.testing.assert_frame_equal(base, forced)
     assert len(base) > 0 and list(base.columns)[:3] == cols
+
+
+def test_q3_distributed_path_matches_driver_fold(ray_session, monkeypatch):
+    """shipping_priority_topk: bound 0 forces the distributed groupby +
+    attach + per-block top-k pipeline; output must be bit-identical to
+    the zero-AllToAll driver fold."""
+    from nativeextractor_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    base = _df(relational.shipping_priority_topk(sf)).reset_index(drop=True)
+    monkeypatch.setattr(relational, "Q3_DRIVER_FOLD_BOUND", 0)
+    forced = _df(relational.shipping_priority_topk(sf)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
 
 
 def test_q17_correlated_predicate_planted(ray_session, tmp_path):

@@ -303,6 +303,23 @@ def test_rfm_segments_planted(ray_session, tmp_path):
     assert int(got.loc[3, "segment"]) == 333
 
 
+def test_rfm_distributed_path_matches_driver_fold(ray_session,
+                                                  monkeypatch):
+    """Bound 0 forces the distributed groupby + quantile-refinement
+    kernel; output must be bit-identical to the zero-AllToAll driver
+    fold (np rollup + local rank selection)."""
+    from nativeextractor_ray.pipelines import distributions
+
+    sf = "/root/testdata/sf0.001"
+    base = _df(distributions.rfm_segments(sf)).sort_values(
+        "c_custkey").reset_index(drop=True)
+    monkeypatch.setattr(distributions, "RFM_DRIVER_FOLD_BOUND", 0)
+    forced = _df(distributions.rfm_segments(sf)).sort_values(
+        "c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+
+
 def test_ship_latency_planted(ray_session, tmp_path):
     """Latency = ship epoch-day − order epoch-day per line, quantiles
     per priority (p50 of [1, 2, 3] = 2)."""
