@@ -1667,6 +1667,10 @@ ON a.l_orderkey = o.o_orderkey"""
 
 _Q4_PARTS = 64
 
+#: driver-fold the per-order max-shipdate when orders × 16 B fits —
+#: tests force 0 to drive the co-partitioned merge path
+Q4_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def late_shipment_priority(sf_dir: str):
     """TPC-H Q4 shape — order-priority checking with a correlated EXISTS:
@@ -1684,15 +1688,75 @@ def late_shipment_priority(sf_dir: str):
 
     Output: ``(o_orderpriority, n_orders)``."""
     import pandas as pd
+    import ray
 
-    from ray.data.aggregate import Sum
-
+    from nativeextractor_ray.functions.blocks import arrow_blocks
     from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import table_nrows
     from nativeextractor_ray.sources.tables import read_table
 
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     od = read_table(sf_dir, "orders",
                     ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    # Gate on the ORDERS row count (metadata only): the per-order
+    # max-shipdate fold is 16 B/order — under the bound it folds on the
+    # driver (np.maximum.at) and broadcasts into a streaming orders
+    # probe whose ≤5-row priority partials fold locally: ZERO AllToAll.
+    n_orders = table_nrows(sf_dir, "orders") if sf_dir else None
+    if n_orders is not None and n_orders * 16 <= Q4_DRIVER_FOLD_BOUND:
+        def li_max(t: pa.Table) -> pa.Table:
+            g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+            return pa.table({
+                "k": pc.cast(g.column("l_orderkey"), pa.int64()),
+                "date_us": pa.array(
+                    g.column("l_shipdate_max").to_numpy()
+                    .astype("datetime64[us]").view(np.int64))})
+
+        ks, vs = [], []
+        for t in arrow_blocks(li.map_batches(li_max,
+                                             batch_format="pyarrow"),
+                              stream=False):
+            ks.append(t.column("k").to_numpy())
+            vs.append(t.column("date_us").to_numpy())
+        if ks:
+            kk, inv = np.unique(np.concatenate(ks), return_inverse=True)
+            mx = np.full(len(kk), np.iinfo(np.int64).min, np.int64)
+            np.maximum.at(mx, inv, np.concatenate(vs))
+        else:
+            kk = mx = np.array([], np.int64)
+        side = ray.put((kk, mx))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, ship = ray.get(side)
+            okn = t.column("o_orderkey").to_numpy()
+            odate = (t.column("o_orderdate").to_numpy()
+                     .astype("datetime64[us]").view(np.int64))
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, okn), 0,
+                              len(keys) - 1)
+                late = (keys[pos] == okn) & (ship[pos] > odate)
+            else:
+                late = np.zeros(len(okn), bool)
+            sub = t.filter(pa.array(late))
+            g = sub.group_by("o_orderpriority").aggregate(
+                [("o_orderpriority", "count")])
+            return pa.table({
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n": pc.cast(g.column("o_orderpriority_count"),
+                             pa.int64())})
+
+        acc: dict[str, int] = {}
+        for t in arrow_blocks(od.map_batches(probe,
+                                             batch_format="pyarrow"),
+                              stream=False):
+            for p, n in zip(t.column("o_orderpriority").to_pylist(),
+                            t.column("n").to_pylist()):
+                acc[p] = acc.get(p, 0) + int(n)
+        prios = sorted(acc)
+        return pa.table({
+            "o_orderpriority": pa.array(prios, pa.string()),
+            "n_orders": pa.array([acc[p] for p in prios], pa.int64())})
 
     def li_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
@@ -1731,10 +1795,19 @@ def late_shipment_priority(sf_dir: str):
 
     both = (li.map_batches(li_partial, batch_format="pyarrow")
             .union(od.map_batches(od_tag, batch_format="pyarrow")))
-    return (both.groupby("part")
-            .map_groups(resolve, batch_format="pandas")
-            .groupby("o_orderpriority")
-            .aggregate(Sum("n_orders", alias_name="n_orders")))
+    # the per-partition partials are ≤ 5 rows each — fold them on the
+    # driver instead of a second AllToAll (the Q21 lesson)
+    acc2: dict[str, int] = {}
+    for t in arrow_blocks(both.groupby("part")
+                          .map_groups(resolve, batch_format="pandas"),
+                          stream=False):
+        for p, n in zip(t.column("o_orderpriority").to_pylist(),
+                        t.column("n_orders").to_pylist()):
+            acc2[p] = acc2.get(p, 0) + int(n)
+    prios2 = sorted(acc2)
+    return pa.table({
+        "o_orderpriority": pa.array(prios2, pa.string()),
+        "n_orders": pa.array([acc2[p] for p in prios2], pa.int64())})
 
 
 def late_shipment_priority_sql() -> str:

@@ -40,6 +40,10 @@ _MOD = 2305843009213693951  # 2^61 - 7
 
 N_PARTS = 64
 
+#: collect-and-classify the whole tagged union when docs × 64 B fits —
+#: ~1M docs per 64 MB; tests force 0 to drive the co-partitioned path
+DIFF_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def _h64_text(arr: pa.Array) -> np.ndarray:
     """md5 lower-64 (little-endian) of each string, mod 2⁶¹−7 →
@@ -185,8 +189,6 @@ def snapshot_diff(sf_dir: str):
     """Change-class counts between the old snapshot and the compacted
     new one, by content hash: ``(change, n)`` over {added, deleted,
     changed, unchanged}."""
-    from ray.data.aggregate import Sum
-
     # ONE co-partition: the tagged union already carries everything the
     # per-doc class decision needs (v1 row = the old snapshot, max-
     # version row = the compacted new one), so compaction and diff fuse
@@ -214,17 +216,42 @@ def snapshot_diff(sf_dir: str):
             "n": np.array([added, deleted, changed, unchanged],
                           np.int64)})
 
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    # Gate on the DOCUMENTS row count (metadata only): the tagged union
+    # is ≤ 2 rows × 25 B per doc — under the bound it collects once and
+    # classifies in ONE local pandas pass (zero exchanges); above it the
+    # doc-hash co-partition runs and only its ≤4-row-per-partition
+    # partials fold on the driver (one exchange; the second groupby was
+    # pure fixed cost for a 4-row result either way)
+    n_docs = table_nrows(sf_dir, "documents")
+    if n_docs is not None and n_docs * 64 <= DIFF_DRIVER_FOLD_BOUND:
+        parts = list(arrow_blocks(ds, stream=False))
+        if parts:
+            df_all = pa.concat_tables(
+                parts, promote_options="default").to_pandas()
+            out = classify(df_all)
+        else:
+            out = pd.DataFrame({"change": pd.Series([], dtype=object),
+                                "n": pd.Series([], dtype=np.int64)})
+        out = out[out["n"] > 0].reset_index(drop=True)
+        return pa.table({
+            "change": pa.array(out["change"].to_numpy(object),
+                               pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
     both = ds.map_batches(add_part, batch_format="pyarrow")
-
-    def drop_empty(t: pa.Table) -> pa.Table:
-        # classes absent from the corpus don't appear (SQL semantics);
-        # partition partials legitimately carry zeros until the sum
-        return t.filter(pc.greater(t.column("n"), 0))
-
-    return (both.groupby("part")
-            .map_groups(classify, batch_format="pandas")
-            .groupby("change").aggregate(Sum("n", alias_name="n"))
-            .map_batches(drop_empty, batch_format="pyarrow"))
+    acc: dict[str, int] = {}
+    for t in arrow_blocks(both.groupby("part")
+                          .map_groups(classify, batch_format="pandas"),
+                          stream=False):
+        for c, n in zip(t.column("change").to_pylist(),
+                        t.column("n").to_pylist()):
+            acc[c] = acc.get(c, 0) + int(n)
+    keys = [c for c in sorted(acc) if acc[c] > 0]
+    return pa.table({"change": pa.array(keys, pa.string()),
+                     "n": pa.array([acc[c] for c in keys], pa.int64())})
 
 
 def snapshot_diff_sql() -> str:

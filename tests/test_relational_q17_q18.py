@@ -51,6 +51,22 @@ def test_q3_distributed_path_matches_driver_fold(ray_session, monkeypatch):
     assert len(base) > 0
 
 
+def test_q4_merge_path_matches_driver_fold(ray_session, monkeypatch):
+    """late_shipment_priority: bound 0 forces the co-partitioned merge
+    EXISTS; output must be bit-identical to the zero-AllToAll driver
+    fold (np.maximum.at per-order max-ship + broadcast probe)."""
+    from nativeextractor_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    base = _df(relational.late_shipment_priority(sf)).sort_values(
+        "o_orderpriority").reset_index(drop=True)
+    monkeypatch.setattr(relational, "Q4_DRIVER_FOLD_BOUND", 0)
+    forced = _df(relational.late_shipment_priority(sf)).sort_values(
+        "o_orderpriority").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+
+
 def test_q17_correlated_predicate_planted(ray_session, tmp_path):
     """Hand-built part/lineitem: only rows strictly below 0.2x their
     part's average quantity survive, and the boundary row (exactly 20%)

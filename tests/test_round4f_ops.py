@@ -162,3 +162,19 @@ def test_conversion_latency_planted(ray_session, tmp_path):
     got = _df(conversion_latency_quantiles(sf)).set_index("q")
     assert got.loc[0.5, "latency_us"] == 60_000_000.0
     assert got.loc[0.9, "latency_us"] == 180_000_000.0
+
+
+def test_snapshot_diff_distributed_path_matches_driver(ray_session,
+                                                       monkeypatch):
+    """Bound 0 forces the doc-hash co-partitioned classify; output must
+    be identical to the single-collect driver classify."""
+    from nativeextractor_ray.pipelines import versioned
+
+    sf = "/root/testdata/sf0.001"
+    base = _df(versioned.snapshot_diff(sf)).sort_values(
+        "change").reset_index(drop=True)
+    monkeypatch.setattr(versioned, "DIFF_DRIVER_FOLD_BOUND", 0)
+    forced = _df(versioned.snapshot_diff(sf)).sort_values(
+        "change").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
