@@ -874,6 +874,10 @@ Q5_REGION = "ASIA"
 Q5_DATE_LO = "1995-01-01"
 Q5_DATE_HI = "1999-01-01"
 
+#: driver-fold the pruned (orderkey, cust_nation) side when orders × 16 B
+#: fits; tests force 0 to drive the co-partitioned exchange
+Q5_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
                           date_lo: str = Q5_DATE_LO,
@@ -965,6 +969,61 @@ def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
                               .astype(np.int64)),
         })
 
+    # Gate on the ORDERS row count (metadata only): the doubly-pruned
+    # (orderkey, cust_nation) projection is 16 B/order upper-bound —
+    # under the driver bound it collects once, broadcasts sorted, and
+    # lineitem streams through a probe whose ≤25-row nation rollups fold
+    # on the driver: ZERO AllToAll for the 6-table join.  Above it the
+    # co-partitioned exchange below runs; a pytest forces bound=0 and
+    # asserts both paths bit-identical.
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    n_orders = table_nrows(sf_dir, "orders") if sf_dir else None
+    if n_orders is not None and n_orders * 16 <= Q5_DRIVER_FOLD_BOUND:
+        oks, cns = [], []
+        for t in arrow_blocks(
+                orders.map_batches(prune_orders, batch_format="pyarrow"),
+                stream=False):
+            oks.append(t.column("o_orderkey").to_numpy())
+            cns.append(t.column("cust_nation").to_numpy())
+        ok_ = np.concatenate(oks) if oks else np.array([], np.int64)
+        cn_ = np.concatenate(cns) if cns else np.array([], np.int64)
+        oorder = np.argsort(ok_)
+        oside = ray.put((ok_[oorder], cn_[oorder]))
+
+        def probe_items(t: pa.Table) -> pa.Table:
+            keys, cn = ray.get(oside)
+            lk = t.column("l_orderkey").to_numpy()
+            sn = t.column("supp_nation").to_numpy()
+            rv = t.column("rev_c").to_numpy()
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, lk), 0,
+                              len(keys) - 1)
+                keep = (keys[pos] == lk) & (cn[pos] == sn)
+            else:
+                keep = np.zeros(len(lk), bool)
+            nk = sn[keep]
+            rv = rv[keep]
+            uniq, inv = np.unique(nk, return_inverse=True)
+            acc_ = np.zeros(len(uniq), np.int64)
+            np.add.at(acc_, inv, rv)
+            return pa.table({"nk": pa.array(uniq),
+                             "rev_c": pa.array(acc_)})
+
+        acc: dict[int, int] = {}
+        for t in arrow_blocks(
+                items.map_batches(prune_items, batch_format="pyarrow")
+                .map_batches(probe_items, batch_format="pyarrow"),
+                stream=False):
+            for k, v in zip(t.column("nk").to_pylist(),
+                            t.column("rev_c").to_pylist()):
+                acc[k] = acc.get(k, 0) + int(v)
+        nks = sorted(acc)
+        return pa.table({
+            "n_name": pa.array([names[k] for k in nks], pa.string()),
+            "revenue_c": pa.array([acc[k] for k in nks], pa.int64())})
+
     # the single hash exchange: co-partitioned tagged union on orderkey
     # (the two_hop_counts lesson — same exchange as Dataset.join without
     # its aggregator overhead), with the local-supplier predicate AND the
@@ -1018,11 +1077,21 @@ def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
             "revenue_c": t.column("rev_c"),
         })
 
-    return (both.groupby("part").map_groups(join_part,
+    # per-partition partials are ≤ |nations| rows each — fold them on
+    # the driver instead of a second AllToAll (the Q21 lesson)
+    acc2: dict[str, int] = {}
+    for t in arrow_blocks(
+            both.groupby("part").map_groups(join_part,
                                             batch_format="pandas")
-            .map_batches(to_names, batch_format="pyarrow")
-            .groupby("n_name")
-            .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+            .map_batches(to_names, batch_format="pyarrow"),
+            stream=False):
+        for nm_, v in zip(t.column("n_name").to_pylist(),
+                          t.column("revenue_c").to_pylist()):
+            acc2[nm_] = acc2.get(nm_, 0) + int(v)
+    nms = sorted(acc2)
+    return pa.table({
+        "n_name": pa.array(nms, pa.string()),
+        "revenue_c": pa.array([acc2[n] for n in nms], pa.int64())})
 
 
 def local_supplier_volume_sql(region: str = Q5_REGION,
@@ -2263,6 +2332,10 @@ WHERE p.p_brand = '{brand}' AND p.p_size BETWEEN {slo} AND {shi}
 Q7_NATION_A = "NATION_3"
 Q7_NATION_B = "NATION_8"
 
+#: driver-fold the pruned (orderkey, cust_nation) side when orders × 16 B
+#: fits; tests force 0 to drive the co-partitioned exchange
+Q7_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def nation_trade_volume(sf_dir: str, nation_a: str = Q7_NATION_A,
                         nation_b: str = Q7_NATION_B):
@@ -2369,27 +2442,87 @@ def nation_trade_volume(sf_dir: str, nation_a: str = Q7_NATION_A,
             "l_year": g["year"].to_numpy(np.int64),
             "rev_c": g["rev_c"].to_numpy(np.int64)})
 
+    def _finish(acc: dict) -> pa.Table:
+        ks = sorted(acc)
+        return pa.table({
+            "supp_nation": pa.array([names[k[0]] for k in ks],
+                                    pa.string()),
+            "cust_nation": pa.array([names[k[1]] for k in ks],
+                                    pa.string()),
+            "l_year": pa.array([k[2] for k in ks], pa.int64()),
+            "revenue_c": pa.array([acc[k] for k in ks], pa.int64())})
+
+    # Gate on the ORDERS row count (metadata only): the pruned
+    # (orderkey, cust_nation) side is ≤16 B/order — under the bound it
+    # collects once, broadcasts sorted, and lineitem streams through a
+    # probe whose ≤2·years rollup partials fold on the driver: ZERO
+    # AllToAll.  A pytest forces bound=0 onto the exchange path.
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    n_orders = table_nrows(sf_dir, "orders") if sf_dir else None
+    if n_orders is not None and n_orders * 16 <= Q7_DRIVER_FOLD_BOUND:
+        oks, cns = [], []
+        for t in arrow_blocks(
+                orders.map_batches(prune_orders, batch_format="pyarrow"),
+                stream=False):
+            oks.append(t.column("k").to_numpy())
+            cns.append(t.column("nation").to_numpy())
+        ok_ = np.concatenate(oks) if oks else np.array([], np.int64)
+        cn_ = np.concatenate(cns) if cns else np.array([], np.int64)
+        oorder = np.argsort(ok_)
+        oside = ray.put((ok_[oorder], cn_[oorder]))
+
+        def probe_items(t: pa.Table) -> pa.Table:
+            keys, cn = ray.get(oside)
+            lk = t.column("k").to_numpy()
+            sn = t.column("nation").to_numpy()
+            yr = t.column("year").to_numpy()
+            rv = t.column("rev_c").to_numpy()
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, lk), 0,
+                              len(keys) - 1)
+                keep = (keys[pos] == lk) & (cn[pos] != sn)
+                cnk = cn[pos]
+            else:
+                keep = np.zeros(len(lk), bool)
+                cnk = np.zeros(len(lk), np.int64)
+            packed = (sn[keep] * 2_000_000 + cnk[keep] * 40_000
+                      + yr[keep])
+            uniq, inv = np.unique(packed, return_inverse=True)
+            acc_ = np.zeros(len(uniq), np.int64)
+            np.add.at(acc_, inv, rv[keep])
+            return pa.table({"key": pa.array(uniq),
+                             "rev_c": pa.array(acc_)})
+
+        acc: dict = {}
+        for t in arrow_blocks(
+                items.map_batches(prune_items, batch_format="pyarrow")
+                .map_batches(probe_items, batch_format="pyarrow"),
+                stream=False):
+            for p, v in zip(t.column("key").to_pylist(),
+                            t.column("rev_c").to_pylist()):
+                k = (p // 2_000_000, (p // 40_000) % 50, p % 40_000)
+                acc[k] = acc.get(k, 0) + int(v)
+        return _finish(acc)
+
     both = (orders.map_batches(prune_orders, batch_format="pyarrow")
             .union(items.map_batches(prune_items, batch_format="pyarrow")))
 
-    name_ref = ray.put(names)
-
-    def to_names(t: pa.Table) -> pa.Table:
-        nm = ray.get(name_ref)
-        return pa.table({
-            "supp_nation": pa.array(
-                [nm[k] for k in t.column("sn").to_pylist()], pa.string()),
-            "cust_nation": pa.array(
-                [nm[k] for k in t.column("cn").to_pylist()], pa.string()),
-            "l_year": t.column("l_year"),
-            "revenue_c": t.column("rev_c"),
-        })
-
-    return (both.groupby("part").map_groups(join_part,
-                                            batch_format="pandas")
-            .map_batches(to_names, batch_format="pyarrow")
-            .groupby(["supp_nation", "cust_nation", "l_year"])
-            .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+    # per-partition partials are ≤ 2·years rows each — driver fold
+    # instead of a second AllToAll (the Q21 lesson)
+    acc2: dict = {}
+    for t in arrow_blocks(
+            both.groupby("part").map_groups(join_part,
+                                            batch_format="pandas"),
+            stream=False):
+        for s, c, y, v in zip(t.column("sn").to_pylist(),
+                              t.column("cn").to_pylist(),
+                              t.column("l_year").to_pylist(),
+                              t.column("rev_c").to_pylist()):
+            k = (int(s), int(c), int(y))
+            acc2[k] = acc2.get(k, 0) + int(v)
+    return _finish(acc2)
 
 
 def nation_trade_volume_sql(nation_a: str = Q7_NATION_A,

@@ -67,6 +67,39 @@ def test_q4_merge_path_matches_driver_fold(ray_session, monkeypatch):
     assert len(base) > 0
 
 
+def test_q5_exchange_path_matches_driver_fold(ray_session, monkeypatch):
+    """local_supplier_volume: bound 0 forces the co-partitioned tagged
+    union; output must be bit-identical to the zero-AllToAll broadcast
+    probe + driver fold."""
+    from nativeextractor_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    base = _df(relational.local_supplier_volume(sf)).sort_values(
+        "n_name").reset_index(drop=True)
+    monkeypatch.setattr(relational, "Q5_DRIVER_FOLD_BOUND", 0)
+    forced = _df(relational.local_supplier_volume(sf)).sort_values(
+        "n_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+
+
+def test_q7_exchange_path_matches_driver_fold(ray_session, monkeypatch):
+    """nation_trade_volume: bound 0 forces the co-partitioned tagged
+    union; output must be bit-identical to the broadcast probe +
+    driver fold."""
+    from nativeextractor_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["supp_nation", "cust_nation", "l_year"]
+    base = _df(relational.nation_trade_volume(sf)).sort_values(
+        cols).reset_index(drop=True)
+    monkeypatch.setattr(relational, "Q7_DRIVER_FOLD_BOUND", 0)
+    forced = _df(relational.nation_trade_volume(sf)).sort_values(
+        cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+
+
 def test_q17_correlated_predicate_planted(ray_session, tmp_path):
     """Hand-built part/lineitem: only rows strictly below 0.2x their
     part's average quantity survive, and the boundary row (exactly 20%)
