@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     q: dict[str, Callable[[str], Any]] = {
+        # round-5 additions:
+        "hash_sample": curation.hash_sample,  # reproducible uniform sample
+        "corpus_summary": textstats.corpus_summary,  # dataset-card rollup
         # round-4 (this session) additions — newest first:
         "conv_entity_density": kg.conv_entity_density,  # KG-worthiness
         "role_vocab_divergence":
@@ -277,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # appeared in any r1–r4 window (in-repo DuckDB parity green, but no
     # driver hash row), so hoist them to the front — capstones first.
     _never_driver_checked = [
+        "hash_sample",       # round-5 new ops — no driver row yet
+        "corpus_summary",
         "curation_e2e",
         "training_batches",
         "pack_sequences",
@@ -346,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
     from nativeextractor_ray.pipelines import skyline, ssjoin, versioned
 
     sqls = {
+        "hash_sample": curation.hash_sample_sql(),
+        "corpus_summary": textstats.CORPUS_SUMMARY_SQL,
         "conv_entity_density": kg.conv_entity_density_sql(),
         "role_vocab_divergence": kg.role_vocab_divergence_sql(),
         "embedding_pca_project": vectorstats.embedding_pca_project_sql(),

@@ -393,6 +393,8 @@ def run_suite() -> dict:
         "peak_concurrency": ("nativeextractor_ray.pipelines.events", "peak_concurrency"),
         "skyline_orders": ("nativeextractor_ray.pipelines.skyline", "skyline_orders"),
         "weighted_sample": ("nativeextractor_ray.pipelines.curation", "weighted_sample"),
+        "hash_sample": ("nativeextractor_ray.pipelines.curation", "hash_sample"),
+        "corpus_summary": ("nativeextractor_ray.pipelines.textstats", "corpus_summary"),
         "column_profile": ("nativeextractor_ray.pipelines.audit", "column_profile"),
         "modal_value_by_type": ("nativeextractor_ray.pipelines.events", "modal_value_by_type"),
         "event_path_trigrams": ("nativeextractor_ray.pipelines.windows", "event_path_trigrams"),

@@ -1512,6 +1512,65 @@ def exact_stratified_split(sf_dir: str):
             .groupby("part").map_groups(ranks, batch_format="pandas"))
 
 
+HASH_SAMPLE_K = 200
+
+
+def hash_sample(sf_dir: str, k: int = HASH_SAMPLE_K):
+    """Deterministic UNIFORM corpus sample — rank every doc by the md5
+    lower-64 of its id and keep the ``k`` smallest: the reproducible,
+    append-stable "give me 10k random docs" primitive every dataset
+    audit starts with (no RNG state, no seed file — the hash IS the
+    permutation, so two teams sampling the same corpus get the same
+    docs).
+
+    Scale shape: k-smallest is associative — every block folds to ≤ k
+    rows map-side (the unsigned hash rides as an order-preserving int64
+    via a −2⁶³ shift, the repo's uint64 transport rule), the union
+    (blocks × k) resolves once on the driver.  No shuffle.
+
+    Output: ``(doc_id, source)`` — the k winners."""
+    import hashlib
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[8:16],
+                "little") - (1 << 63)
+             for i in ids),
+            dtype=np.int64, count=len(ids))
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "source": pc.take(t.column("source"), pa.array(order)),
+            "h": pa.array(h[order])})
+
+    parts = list(arrow_blocks(
+        ds.map_batches(partial, batch_format="pyarrow"), stream=False))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "source": pa.array([], pa.string())})
+    merged = pa.concat_tables(parts, promote_options="default")
+    ids = merged.column("doc_id").to_numpy()
+    h = merged.column("h").to_numpy()
+    order = np.lexsort((ids, h))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "source": pc.take(merged.column("source"), pa.array(order))})
+
+
+def hash_sample_sql(k: int = HASH_SAMPLE_K) -> str:
+    return f"""SELECT doc_id, source
+FROM documents
+ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {k}"""
+
+
 def exact_stratified_split_sql() -> str:
     return f"""WITH r AS (
   SELECT doc_id, lang,

@@ -974,3 +974,72 @@ SELECT doc_id,
          AS feature,
        CAST(count(*) AS BIGINT) AS n
 FROM toks GROUP BY 1, 2"""
+
+
+def corpus_summary(sf_dir: str):
+    """The one-row "dataset card" rollup every corpus release ships:
+    doc count, whitespace-token and char totals, distinct language and
+    source counts, and the mean document length in exact integer
+    micro-chars (half-up ratio — the repo float-parity rule; no float
+    division crosses the engine boundary).
+
+    Scale shape: ONE streaming pass folds each batch to a single partial
+    row (counts + distinct lang/source SETS — both vocabulary-bounded);
+    the driver merges partials.  No shuffle, nothing corpus-sized ever
+    leaves a worker.
+
+    Output: ``(n_docs, n_tokens, n_chars, n_langs, n_sources,
+    mean_chars_micro)``."""
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents",
+                    ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = int(pc.sum(_count(t.column("text"), TOKEN_RE)).as_py() or 0)
+        chars = int(pc.sum(t.column("n_chars")).as_py() or 0)
+        langs = pc.unique(t.column("lang")).to_pylist()
+        srcs = pc.unique(t.column("source")).to_pylist()
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_tokens": pa.array([toks], pa.int64()),
+            "n_chars": pa.array([chars], pa.int64()),
+            "langs": pa.array([",".join(sorted(langs))], pa.string()),
+            "sources": pa.array([",".join(sorted(srcs))], pa.string()),
+        })
+
+    n_docs = n_tokens = n_chars = 0
+    langs: set = set()
+    srcs: set = set()
+    for t in arrow_blocks(ds.map_batches(partial, batch_format="pyarrow"),
+                          stream=False):
+        n_docs += int(pc.sum(t.column("n_docs")).as_py() or 0)
+        n_tokens += int(pc.sum(t.column("n_tokens")).as_py() or 0)
+        n_chars += int(pc.sum(t.column("n_chars")).as_py() or 0)
+        for v in t.column("langs").to_pylist():
+            langs.update(x for x in v.split(",") if x)
+        for v in t.column("sources").to_pylist():
+            srcs.update(x for x in v.split(",") if x)
+    mean_micro = ((2 * n_chars * 1_000_000 + n_docs) // (2 * n_docs)
+                  if n_docs else 0)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "n_chars": pa.array([n_chars], pa.int64()),
+        "n_langs": pa.array([len(langs)], pa.int64()),
+        "n_sources": pa.array([len(srcs)], pa.int64()),
+        "mean_chars_micro": pa.array([mean_micro], pa.int64()),
+    })
+
+
+CORPUS_SUMMARY_SQL = f"""SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+    AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST((2 * sum(n_chars) * 1000000 + count(*)) // (2 * count(*))
+       AS BIGINT) AS mean_chars_micro
+FROM documents"""

@@ -329,3 +329,35 @@ def test_event_path_trigrams_planted(ray_session, tmp_path):
         ["t1", "t2", "t3"]).reset_index(drop=True)
     rows = [tuple(r) for r in got.itertuples(index=False)]
     assert rows == [("a", "b", "c", 1), ("b", "c", "a", 1)]
+
+
+# ------------------------------------------------- round-5 new ops
+
+
+def test_hash_sample_planted(ray_session, tmp_path):
+    """The k winners are exactly the k smallest md5-lower64(doc_id)
+    ranks — reproducible with no RNG state."""
+    import hashlib
+
+    docs = [(i, f"w{i} text body") for i in range(30)]
+    sf = _write_docs(tmp_path, docs)
+    from nativeextractor_ray.pipelines.curation import hash_sample
+
+    got = _df(hash_sample(sf, k=5))
+    ranks = sorted(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                        "little"), i) for i, _ in docs)
+    want = [i for _, i in ranks[:5]]
+    assert list(got["doc_id"]) == want
+
+
+def test_corpus_summary_planted(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, [(1, "a b c"), (2, "d e")])
+    from nativeextractor_ray.pipelines.textstats import corpus_summary
+
+    got = _df(corpus_summary(sf)).iloc[0]
+    assert int(got["n_docs"]) == 2
+    assert int(got["n_tokens"]) == 5
+    assert int(got["n_chars"]) == 5 + 3  # len("a b c") + len("d e")
+    assert int(got["n_langs"]) == 1 and int(got["n_sources"]) == 1
+    assert int(got["mean_chars_micro"]) == 4_000_000
