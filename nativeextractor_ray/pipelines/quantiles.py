@@ -827,6 +827,10 @@ JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""
 SHIP_QS = (0.5, 0.9)
 _SHIP_PARTS = 64
 
+#: broadcast the (orderkey, day, priority-code) side when orders × 24 B
+#: fits; tests force 0 to drive the co-partitioned merge path
+SHIP_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def ship_latency_quantiles_by_priority(sf_dir: str, qs=SHIP_QS):
     """Exact p50/p90 of shipping latency (days from order date to line
@@ -889,18 +893,106 @@ def ship_latency_quantiles_by_priority(sf_dir: str, qs=SHIP_QS):
                                  pa.string()),
             "lat_days": pa.array(lat.astype(np.float64))})
 
-    # materialized once: the refinement kernel scans R+1 times and must
-    # not re-execute the join per scan
-    lat = (orders.map_batches(tag_orders, batch_format="pyarrow")
-           .union(li.map_batches(tag_lines, batch_format="pyarrow"))
-           .groupby("part").map_groups(merge, batch_format="pandas")
-           ).materialize()
-    got = _exact_quantiles(lat, "lat_days", qs, group_col="priority")
-    rows = sorted(got.items())
-    return ray.data.from_arrow(pa.table({
-        "priority": pa.array([g for (g, _), _ in rows], pa.string()),
-        "q": pa.array([q for (_, q), _ in rows], pa.float64()),
-        "lat_days": pa.array([int(v) for _, v in rows], pa.int64())}))
+    # Latency is an INTEGER day count with a bounded span (ship − order
+    # is days-to-weeks at any corpus size), so the exact per-priority
+    # order statistics come from a COUNT-OF-COUNTS fold: per-batch
+    # (priority, lat_days, n) partials are bounded by priorities × the
+    # latency span — structurally tiny — and one driver rank-walk over
+    # the merged histogram selects the value at rank ceil(q·n) exactly.
+    # This replaces the R+1 refinement scans entirely (each paid a full
+    # pass over the joined derivation).  The join side is gated like the
+    # Q5 family: orders broadcast under the metadata bound (lineitem
+    # streams, ZERO AllToAll), co-partitioned tagged-union merge above
+    # it; a pytest forces the merge path and asserts bit-identity.
+    import ray
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["priority", "lat_days"])
+             .aggregate([("lat_days", "count")]))
+        return pa.table({
+            "priority": g.column("priority"),
+            "lat_days": pc.cast(g.column("lat_days"), pa.int64()),
+            "n": pc.cast(g.column("lat_days_count"), pa.int64())})
+
+    n_orders = table_nrows(sf_dir, "orders") if sf_dir else None
+    if n_orders is not None and n_orders * 24 <= SHIP_DRIVER_FOLD_BOUND:
+        oks, odays, oprios = [], [], []
+        for t in arrow_blocks(
+                orders.map_batches(tag_orders, batch_format="pyarrow"),
+                stream=False):
+            oks.append(t.column("k").to_numpy())
+            odays.append(t.column("day").to_numpy())
+            oprios.append(t.column("priority"))
+        kk = np.concatenate(oks) if oks else np.array([], np.int64)
+        dd = np.concatenate(odays) if odays else np.array([], np.int64)
+        pr = (pa.concat_arrays([a.combine_chunks()
+                                if isinstance(a, pa.ChunkedArray) else a
+                                for a in oprios])
+              if oprios else pa.array([], pa.string()))
+        prio_dict = pc.dictionary_encode(pr)
+        codes = prio_dict.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        prio_names = prio_dict.dictionary.to_pylist()
+        order = np.argsort(kk)
+        side = ray.put((kk[order], dd[order], codes[order], prio_names))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, day, code, names_ = ray.get(side)
+            lk = t.column("k").to_numpy()
+            lday = t.column("day").to_numpy()
+            pos = (np.searchsorted(keys, lk) if len(keys)
+                   else np.zeros(len(lk), np.int64))
+            # FK integrity holds on this star (see merge)
+            pos = np.clip(pos, 0, max(0, len(keys) - 1))
+            lat_ = lday - day[pos]
+            sub = pa.table({
+                "priority": pa.array(
+                    [names_[c] for c in code[pos]], pa.string()),
+                "lat_days": pa.array(lat_)})
+            return hist_partial(sub)
+
+        hist_ds = li.map_batches(tag_lines, batch_format="pyarrow") \
+                    .map_batches(probe, batch_format="pyarrow")
+    else:
+        lat = (orders.map_batches(tag_orders, batch_format="pyarrow")
+               .union(li.map_batches(tag_lines, batch_format="pyarrow"))
+               .groupby("part").map_groups(merge, batch_format="pandas"))
+
+        def to_hist(t: pa.Table) -> pa.Table:
+            return hist_partial(pa.table({
+                "priority": t.column("priority"),
+                "lat_days": pc.cast(t.column("lat_days"), pa.int64())}))
+
+        hist_ds = lat.map_batches(to_hist, batch_format="pyarrow")
+
+    acc: dict = {}
+    for t in arrow_blocks(hist_ds, stream=False):
+        for p, l, n in zip(t.column("priority").to_pylist(),
+                           t.column("lat_days").to_pylist(),
+                           t.column("n").to_pylist()):
+            acc[(p, int(l))] = acc.get((p, int(l)), 0) + int(n)
+    by_prio: dict = {}
+    for (p, l), n in acc.items():
+        by_prio.setdefault(p, []).append((l, n))
+    out_p, out_q, out_v = [], [], []
+    for p in sorted(by_prio):
+        pairs = sorted(by_prio[p])
+        lats = np.array([l for l, _ in pairs], np.int64)
+        cum = np.cumsum([n for _, n in pairs])
+        total = int(cum[-1])
+        for q in sorted(qs):
+            rank = int(np.ceil(q * total))
+            v = lats[int(np.searchsorted(cum, rank))]
+            out_p.append(p)
+            out_q.append(q)
+            out_v.append(int(v))
+    return pa.table({
+        "priority": pa.array(out_p, pa.string()),
+        "q": pa.array(out_q, pa.float64()),
+        "lat_days": pa.array(out_v, pa.int64())})
 
 
 def ship_latency_quantiles_by_priority_sql(qs=SHIP_QS) -> str:

@@ -442,3 +442,20 @@ def test_role_vocab_divergence_bounds(ray_session):
     assert 0 <= int(got["tv_micro"]) <= 1_000_000
     assert int(got["n_user_tokens"]) > 0
     assert int(got["n_assistant_tokens"]) > 0
+
+
+def test_ship_latency_merge_path_matches_broadcast(ray_session,
+                                                   monkeypatch):
+    """Bound 0 forces the co-partitioned tagged-union merge; output must
+    be bit-identical to the broadcast-probe histogram fold."""
+    from nativeextractor_ray.pipelines import quantiles
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["priority", "q"]
+    base = _df(quantiles.ship_latency_quantiles_by_priority(sf)) \
+        .sort_values(cols).reset_index(drop=True)
+    monkeypatch.setattr(quantiles, "SHIP_DRIVER_FOLD_BOUND", 0)
+    forced = _df(quantiles.ship_latency_quantiles_by_priority(sf)) \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
