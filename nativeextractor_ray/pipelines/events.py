@@ -1583,33 +1583,58 @@ def weekly_active_users(sf_dir: str, window: int = WAU_WINDOW):
         g["n_users"] = g["n_users"].astype("int64")
         return g
 
-    counted = (ds.map_batches(cover, batch_format="pyarrow")
-               .groupby("upart")
-               .map_groups(dedup_count, batch_format="pandas")
-               .groupby(["event_type", "window_day"])
-               .aggregate(Sum("n_users", alias_name="n_users")))
+    # finish: the per-partition (type, window_day) partials are
+    # calendar-bounded (≤ types × days rows each), so they fold on the
+    # driver instead of a second AllToAll (the Q21 lesson); the
+    # observed-days scan is an independent leg and overlaps the main
+    # co-partition from a second driver thread (the hll_users_by_type
+    # convention — its ~0.5 s otherwise runs back-to-back)
+    from concurrent.futures import ThreadPoolExecutor
 
-    # restrict to window-end days that actually have data (SQL inner
-    # join against observed days) — a tiny calendar-bounded broadcast
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
     def day_partial(t: pa.Table) -> pa.Table:
         ts = (t.column("ts").to_numpy(zero_copy_only=False)
               .astype("datetime64[us]").astype(np.int64))
         u = np.unique(ts // 86_400_000_000)
         return pa.table({"day": pa.array(u)})
 
-    days = set()
-    for r in (_events(sf_dir, ["ts"])
-              .map_batches(day_partial, batch_format="pyarrow")
-              .take_all()):
-        days.add(int(r["day"]))
-    days_sorted = np.array(sorted(days), np.int64)
+    def collect_days() -> np.ndarray:
+        days = set()
+        for r in (_events(sf_dir, ["ts"])
+                  .map_batches(day_partial, batch_format="pyarrow")
+                  .take_all()):
+            days.add(int(r["day"]))
+        return np.array(sorted(days), np.int64)
 
-    def clip(t: pa.Table) -> pa.Table:
-        wd = t.column("window_day").to_numpy()
-        keep = np.isin(wd, days_sorted)
-        return t.filter(pa.array(keep))
+    def collect_counts() -> dict:
+        acc: dict = {}
+        src = (ds.map_batches(cover, batch_format="pyarrow")
+               .groupby("upart")
+               .map_groups(dedup_count, batch_format="pandas"))
+        for t in arrow_blocks(src, stream=False):
+            for et, wd, n in zip(t.column("event_type").to_pylist(),
+                                 t.column("window_day").to_pylist(),
+                                 t.column("n_users").to_pylist()):
+                k = (et, int(wd))
+                acc[k] = acc.get(k, 0) + int(n)
+        return acc
 
-    return counted.map_batches(clip, batch_format="pyarrow")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_days = pool.submit(collect_days)
+        f_counts = pool.submit(collect_counts)
+        days_sorted = f_days.result()
+        acc = f_counts.result()
+
+    def observed(d: int) -> bool:
+        i = int(np.searchsorted(days_sorted, d))
+        return i < len(days_sorted) and int(days_sorted[i]) == d
+
+    keys = sorted(k for k in acc if observed(k[1]))
+    return pa.table({
+        "event_type": pa.array([k[0] for k in keys], pa.string()),
+        "window_day": pa.array([k[1] for k in keys], pa.int64()),
+        "n_users": pa.array([acc[k] for k in keys], pa.int64())})
 
 
 def weekly_active_users_sql(window: int = WAU_WINDOW) -> str:
