@@ -574,6 +574,10 @@ FROM s2 JOIN med m USING (event_type) GROUP BY 1, 2"""
 
 
 SESSION_QS = (0.5, 0.9)
+
+#: collect per-session durations when events × 8 B fits (sessions ≤
+#: events); tests force 0 to drive the refinement-kernel path
+SESS_DRIVER_FOLD_BOUND = 64 << 20
 #: the test events are sparse (~1 event/user/11 h), so the default gap
 #: here is 12 h — wide enough that sessions span multiple events and the
 #: quantiles discriminate; events_sessionized keeps the classic 30 min
@@ -637,8 +641,30 @@ def session_duration_quantiles(sf_dir: str, qs=SESSION_QS,
     sessions = (ds.map_batches(add_part, batch_format="pyarrow")
                 .groupby("part").map_groups(durations,
                                             batch_format="pandas"))
+    # Under the events metadata bound the per-session durations (≤ one
+    # row per session ≤ events) collect ONCE and the exact quantiles are
+    # a local sort; above it the Dataset MATERIALIZES before the
+    # refinement kernel (the quantile-composition rule: each of the R+1
+    # scans would otherwise re-execute the sessionization exchange).
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    n_events = table_nrows(sf_dir, "events") if sf_dir else None
+    qs_sorted = sorted(qs)
+    if n_events is not None and n_events * 8 <= SESS_DRIVER_FOLD_BOUND:
+        vs = [t.column("dur_us").to_numpy()
+              for t in arrow_blocks(sessions, stream=False)]
+        vals = np.sort(np.concatenate(vs)) if vs else \
+            np.array([], np.float64)
+        n = len(vals)
+        out = [float(vals[int(np.ceil(q * n)) - 1]) if n else None
+               for q in qs_sorted]
+        return pa.table({
+            "q": pa.array(qs_sorted, pa.float64()),
+            "dur_us": pa.array(out, pa.float64())})
+
+    sessions = sessions.materialize()
     got = _exact_quantiles(sessions, "dur_us", qs)
-    qs_sorted = sorted(q for _, q in got)
     return ray.data.from_arrow(pa.table({
         "q": pa.array(qs_sorted, pa.float64()),
         "dur_us": pa.array([got[("", q)] for q in qs_sorted],
@@ -744,6 +770,11 @@ JOIN r ON r.r = CAST(ceil(q * n) AS BIGINT)"""
 
 CONVERSION_QS = (0.5, 0.9)
 
+#: driver-fold the per-user conditional-min pairs when events × 16 B
+#: fits (events bound the distinct-user count from above); tests force 0
+#: to drive the distributed groupby + refinement kernel
+CONV_DRIVER_FOLD_BOUND = 64 << 20
+
 
 def conversion_latency_quantiles(sf_dir: str, qs=CONVERSION_QS):
     """Exact quantiles of per-user conversion latency — first ``click``
@@ -781,6 +812,44 @@ def conversion_latency_quantiles(sf_dir: str, qs=CONVERSION_QS):
         return pa.table({"user_id": pa.array(uniq.astype(np.int64)),
                          "c_ts": pa.array(c), "p_ts": pa.array(p)})
 
+    # Gate on the per-user pair table (16 B/user, metadata-estimated by
+    # the events row count as the upper bound is unknowable): under the
+    # bound the conditional-min partials fold on the driver
+    # (np.minimum.at) and the exact quantiles are one local sort —
+    # ZERO AllToAll.  Above it the distributed groupby runs and the
+    # derived latency Dataset MATERIALIZES before the refinement kernel
+    # (without the boundary each of the R+1 scans re-executed the whole
+    # user groupby — the quantile-composition rule).
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.pipelines.common import table_nrows
+
+    n_events = table_nrows(sf_dir, "events") if sf_dir else None
+    if n_events is not None and n_events * 16 <= CONV_DRIVER_FOLD_BOUND:
+        us, cs, ps = [], [], []
+        for t in arrow_blocks(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                stream=False):
+            us.append(t.column("user_id").to_numpy())
+            cs.append(t.column("c_ts").to_numpy())
+            ps.append(t.column("p_ts").to_numpy())
+        if us:
+            uu, inv = np.unique(np.concatenate(us), return_inverse=True)
+            c = np.full(len(uu), SENT, np.int64)
+            p = np.full(len(uu), SENT, np.int64)
+            np.minimum.at(c, inv, np.concatenate(cs))
+            np.minimum.at(p, inv, np.concatenate(ps))
+            ok = (c != SENT) & (p != SENT)
+            lat_v = np.sort((p[ok] - c[ok]).astype(np.float64))
+        else:
+            lat_v = np.array([], np.float64)
+        n = len(lat_v)
+        qs_sorted = sorted(qs)
+        vals = [float(lat_v[int(np.ceil(q * n)) - 1]) if n else None
+                for q in qs_sorted]
+        return pa.table({
+            "q": pa.array(qs_sorted, pa.float64()),
+            "latency_us": pa.array(vals, pa.float64())})
+
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("user_id")
            .aggregate(Min("c_ts", alias_name="c_ts"),
@@ -793,7 +862,9 @@ def conversion_latency_quantiles(sf_dir: str, qs=CONVERSION_QS):
         return pa.table({"lat_us": pa.array(
             (p[ok] - c[ok]).astype(np.float64), pa.float64())})
 
-    lat = agg.map_batches(resolve, batch_format="pyarrow")
+    # materialize: the refinement kernel scans R+1 times and must not
+    # re-execute the user groupby per scan
+    lat = agg.map_batches(resolve, batch_format="pyarrow").materialize()
     got = _exact_quantiles(lat, "lat_us", qs)
     qs_sorted = sorted(q for _, q in got)
     return ray.data.from_arrow(pa.table({

@@ -165,3 +165,18 @@ def test_curriculum_assign_planted(ray_session, tmp_path):
     # at rank ceil(6/2)=3 -> value 2; stage 1 iff n_tokens <= 2
     assert list(got["n_tokens"]) == [1, 2, 3, 4, 0, 6]
     assert list(got["stage"]) == [1, 1, 2, 2, 1, 2]
+
+
+def test_session_duration_kernel_matches_driver(ray_session, monkeypatch):
+    """Bound 0 forces the materialize + refinement-kernel path; output
+    must equal the single-collect local quantile selection."""
+    from nativeextractor_ray.pipelines import quantiles
+
+    sf = "/root/testdata/sf0.001"
+    base = _df(quantiles.session_duration_quantiles(sf)).sort_values(
+        "q").reset_index(drop=True)
+    monkeypatch.setattr(quantiles, "SESS_DRIVER_FOLD_BOUND", 0)
+    forced = _df(quantiles.session_duration_quantiles(sf)).sort_values(
+        "q").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0

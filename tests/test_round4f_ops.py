@@ -178,3 +178,19 @@ def test_snapshot_diff_distributed_path_matches_driver(ray_session,
         "change").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, forced)
     assert len(base) > 0
+
+
+def test_conversion_latency_distributed_matches_driver(ray_session,
+                                                       monkeypatch):
+    """Bound 0 forces the distributed user groupby + refinement kernel;
+    output must equal the driver conditional-min fold."""
+    from nativeextractor_ray.pipelines import quantiles
+
+    sf = "/root/testdata/sf0.001"
+    base = _df(quantiles.conversion_latency_quantiles(sf)).sort_values(
+        "q").reset_index(drop=True)
+    monkeypatch.setattr(quantiles, "CONV_DRIVER_FOLD_BOUND", 0)
+    forced = _df(quantiles.conversion_latency_quantiles(sf)).sort_values(
+        "q").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
