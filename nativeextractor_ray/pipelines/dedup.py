@@ -1843,9 +1843,20 @@ def dup_cluster_sizes(sf_dir: str, threshold: float = 0.5,
             "cluster_size": g.column("cluster_size"),
             "n_clusters": pc.cast(g.column("count_all"), pa.int64())})
 
-    return (sizes.map_batches(coc, batch_format="pyarrow")
-            .groupby("cluster_size")
-            .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+    # the count-of-counts partials are ≤ max-cluster-size rows per block
+    # — fold them on the driver instead of a second AllToAll
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    acc: dict[int, int] = {}
+    for t in arrow_blocks(sizes.map_batches(coc, batch_format="pyarrow"),
+                          stream=False):
+        for s, n in zip(t.column("cluster_size").to_pylist(),
+                        t.column("n_clusters").to_pylist()):
+            acc[int(s)] = acc.get(int(s), 0) + int(n)
+    ks = sorted(acc)
+    return pa.table({
+        "cluster_size": pa.array(ks, pa.int64()),
+        "n_clusters": pa.array([acc[k] for k in ks], pa.int64())})
 
 
 def dup_cluster_sizes_sql(threshold: float = 0.5,

@@ -741,7 +741,9 @@ def sampled_value_quantiles(sf_dir: str, qs=SAMPLE_QS,
             "value": pa.array(t.column("value").to_numpy()[keep],
                               pa.float64())})
 
-    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    # materialize: the refinement scans must not re-read + re-hash the
+    # events table per pass (the quantile-composition rule)
+    sampled = ds.map_batches(sample, batch_format="pyarrow").materialize()
     got = _exact_quantiles(sampled, "value", qs)
     qs_sorted = sorted(q for _, q in got)
     return ray.data.from_arrow(pa.table({

@@ -809,11 +809,28 @@ def event_path_trigrams(sf_dir: str):
         out["n"] = out["n"].astype("int64")
         return out
 
-    return (ds.map_batches(add_part, batch_format="pyarrow")
+    # the per-partition partials are ≤ types³ rows each — fold them on
+    # the driver instead of a second AllToAll (the Q21 lesson)
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    acc: dict = {}
+    for t in arrow_blocks(
+            ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("upart")
-            .map_groups(tri_partial, batch_format="pandas")
-            .groupby(["t1", "t2", "t3"])
-            .aggregate(Sum("n", alias_name="n")))
+            .map_groups(tri_partial, batch_format="pandas"),
+            stream=False):
+        for a, b, c, n in zip(t.column("t1").to_pylist(),
+                              t.column("t2").to_pylist(),
+                              t.column("t3").to_pylist(),
+                              t.column("n").to_pylist()):
+            k = (a, b, c)
+            acc[k] = acc.get(k, 0) + int(n)
+    ks = sorted(acc)
+    return pa.table({
+        "t1": pa.array([k[0] for k in ks], pa.string()),
+        "t2": pa.array([k[1] for k in ks], pa.string()),
+        "t3": pa.array([k[2] for k in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64())})
 
 
 def event_path_trigrams_sql() -> str:
