@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions:
         "hash_sample": curation.hash_sample,  # reproducible uniform sample
         "corpus_summary": textstats.corpus_summary,  # dataset-card rollup
+        "perplexity_buckets":
+            lmscore.perplexity_buckets,  # CCNet head/middle/tail
         # round-4 (this session) additions — newest first:
         "conv_entity_density": kg.conv_entity_density,  # KG-worthiness
         "role_vocab_divergence":
@@ -282,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _never_driver_checked = [
         "hash_sample",       # round-5 new ops — no driver row yet
         "corpus_summary",
+        "perplexity_buckets",
         "curation_e2e",
         "training_batches",
         "pack_sequences",
@@ -353,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
     sqls = {
         "hash_sample": curation.hash_sample_sql(),
         "corpus_summary": textstats.CORPUS_SUMMARY_SQL,
+        "perplexity_buckets": lmscore.perplexity_buckets_sql(),
         "conv_entity_density": kg.conv_entity_density_sql(),
         "role_vocab_divergence": kg.role_vocab_divergence_sql(),
         "embedding_pca_project": vectorstats.embedding_pca_project_sql(),

@@ -323,3 +323,201 @@ SELECT d.doc_id,
        coalesce(sc.nb, 0) AS n_bigrams,
        round(coalesce(sc.s / sc.nb, 0.0), 6) AS lm_logprob
 FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+
+PPL_TIERS = 3
+
+#: driver-fold the (doc_id, score, lang) join when documents × 24 B
+#: fits; tests force 0 to drive the co-partitioned attach + grouped
+#: refinement kernel
+PPL_DRIVER_FOLD_BOUND = 64 << 20
+
+
+def perplexity_buckets(sf_dir: str, tiers: int = PPL_TIERS):
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC'20): every
+    document lands in one of ``tiers`` per-LANGUAGE buckets by exact
+    corpus quantile edges of its LM score — bucket 1 = lowest mean
+    bigram log-probability (the "tail" a curation pipeline drops or
+    down-weights), bucket ``tiers`` = the "head".  Edges are per
+    language so a low-resource language is never judged by the dominant
+    language's model fit.
+
+    Scale shape: the LM scoring pass is :func:`lm_score` (its own
+    gates apply).  Under the documents metadata bound, the
+    (doc_id, score) and (doc_id, lang) sides collect once and the
+    edge selection + assignment are local array ops — no exchange
+    beyond lm_score's own.  Above it, the two sides co-partition by
+    doc_id (the tagged-union attach) and the per-lang edges come from
+    the grouped histogram-refinement kernel; assignment streams with
+    broadcast edges.  Tier-edge ranks are exact integers on BOTH
+    engines: ``(i·n + tiers - 1) // tiers`` (the rfm_segments rule).
+
+    Output: ``(doc_id, lang, lm_logprob, bucket)``."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import table_nrows
+    from nativeextractor_ray.pipelines.quantiles import _exact_quantiles
+    from nativeextractor_ray.sources.tables import read_table
+
+    scores = lm_score(sf_dir)
+    n_docs = table_nrows(sf_dir, "documents")
+
+    def edges_of(vals: np.ndarray) -> list:
+        n = len(vals)
+        ranks = sorted({(i * n + tiers - 1) // tiers
+                        for i in range(1, tiers)})
+        sv = np.sort(vals)
+        return [float(sv[k - 1]) for k in ranks]
+
+    def assign(v: np.ndarray, es: list) -> np.ndarray:
+        s = np.full(len(v), len(es) + 1, np.int64)
+        for i in range(len(es) - 1, -1, -1):
+            s[v <= es[i]] = i + 1
+        return s
+
+    if n_docs is not None and n_docs * 24 <= PPL_DRIVER_FOLD_BOUND:
+        ks, vs = [], []
+        for t in arrow_blocks(scores, stream=False):
+            ks.append(t.column("doc_id").to_numpy())
+            vs.append(t.column("lm_logprob").to_numpy())
+        kk = np.concatenate(ks) if ks else np.array([], np.int64)
+        vv = np.concatenate(vs) if vs else np.array([], np.float64)
+        order = np.argsort(kk)
+        kk, vv = kk[order], vv[order]
+        dl = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+        ids = dl.column("doc_id").to_numpy()
+        pos = (np.searchsorted(kk, ids) if len(kk)
+               else np.zeros(len(ids), np.int64))
+        pos = np.clip(pos, 0, max(0, len(kk) - 1))
+        sc = vv[pos] if len(kk) else np.zeros(len(ids), np.float64)
+        langs = dl.column("lang")
+        ld = pc.dictionary_encode(
+            langs.combine_chunks() if isinstance(langs, pa.ChunkedArray)
+            else langs)
+        codes = ld.indices.to_numpy(zero_copy_only=False)
+        names = ld.dictionary.to_pylist()
+        bucket = np.empty(len(ids), np.int64)
+        for c in range(len(names)):
+            m = codes == c
+            bucket[m] = assign(sc[m], edges_of(sc[m]))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": pa.array(langs),
+            "lm_logprob": pa.array(sc),
+            "bucket": pa.array(bucket)})
+
+    # scale path: co-partitioned tagged-union attach of lang onto the
+    # scores, grouped refinement edges, broadcast-edge assignment
+    docs_lang = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def tag_score(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lm_logprob": pc.cast(t.column("lm_logprob"), pa.float64()),
+            "lang": pa.array([""] * t.num_rows, pa.string()),
+            "is_score": pa.array(np.ones(t.num_rows, bool))})
+        return out.append_column(
+            "part", stable_part(out, ["doc_id"], 64))
+
+    def tag_lang(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lm_logprob": pa.array(np.zeros(t.num_rows, np.float64)),
+            "lang": t.column("lang"),
+            "is_score": pa.array(np.zeros(t.num_rows, bool))})
+        return out.append_column(
+            "part", stable_part(out, ["doc_id"], 64))
+
+    def attach(df):
+        import pandas as pd
+
+        s = df[df["is_score"]][["doc_id", "lm_logprob"]]
+        l = df[~df["is_score"]][["doc_id", "lang"]]
+        m = l.merge(s, on="doc_id", how="inner")
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "lang": m["lang"].to_numpy(object),
+            "lm_logprob": m["lm_logprob"].to_numpy(np.float64)})
+
+    joined = (scores.map_batches(tag_score, batch_format="pyarrow")
+              .union(docs_lang.map_batches(tag_lang,
+                                           batch_format="pyarrow"))
+              .groupby("part")
+              .map_groups(attach, batch_format="pandas")).materialize()
+
+    # per-lang n for the INTEGER rank edges (the rfm rule — never a
+    # float q·n), then one ranks= kernel per language (languages are
+    # vocabulary-bounded; each call's R+1 scans run over the
+    # materialized join)
+    def lang_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["lang"]).group_by("lang").aggregate(
+            [([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    n_by_lang: dict = {}
+    for t in arrow_blocks(
+            joined.map_batches(lang_counts, batch_format="pyarrow"),
+            stream=False):
+        for lg, n in zip(t.column("lang").to_pylist(),
+                         t.column("n").to_pylist()):
+            n_by_lang[lg] = n_by_lang.get(lg, 0) + int(n)
+    edges_by_lang: dict = {}
+    for lg, n in n_by_lang.items():
+        ranks = sorted({(i * n + tiers - 1) // tiers
+                        for i in range(1, tiers)})
+
+        def only_lang(t: pa.Table, lg=lg) -> pa.Table:
+            return t.filter(pc.equal(t.column("lang"), lg))
+
+        got = _exact_quantiles(
+            joined.map_batches(only_lang, batch_format="pyarrow"),
+            "lm_logprob", (), ranks=ranks)
+        edges_by_lang[lg] = [got[("", k)]
+                             for k in sorted(k for _, k in got)]
+    eref = ray.put(edges_by_lang)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        eb = ray.get(eref)
+        langs_ = t.column("lang").to_pylist()
+        v = t.column("lm_logprob").to_numpy()
+        b = np.empty(t.num_rows, np.int64)
+        for lg in set(langs_):
+            m = np.array([x == lg for x in langs_])
+            b[m] = assign(v[m], eb[lg])
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "lm_logprob": t.column("lm_logprob"),
+            "bucket": pa.array(b)})
+
+    return joined.map_batches(bucketize, batch_format="pyarrow")
+
+
+def perplexity_buckets_sql(tiers: int = PPL_TIERS,
+                           v: int = LM_VOCAB_V) -> str:
+    edge_cols = ", ".join(
+        f"MAX(CASE WHEN rk = ({i} * n + {tiers} - 1) // {tiers} "
+        f"THEN lm_logprob END) AS e{i}"
+        for i in range(1, tiers))
+    whens = " ".join(
+        f"WHEN r.lm_logprob <= e.e{i} THEN {i}"
+        for i in range(1, tiers))
+    return f"""WITH s AS ({lm_score_sql(v)}),
+j AS (
+  SELECT s.doc_id, d.lang, s.lm_logprob
+  FROM s JOIN documents d ON d.doc_id = s.doc_id),
+r AS (
+  SELECT doc_id, lang, lm_logprob,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY lm_logprob, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j),
+e AS (SELECT lang, {edge_cols} FROM r GROUP BY lang)
+SELECT r.doc_id, r.lang, r.lm_logprob,
+       CAST(CASE {whens} ELSE {tiers} END AS BIGINT) AS bucket
+FROM r JOIN e USING (lang)"""

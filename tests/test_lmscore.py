@@ -36,3 +36,25 @@ def test_zero_bigram_docs_present(sf_dir, ray_session):
     assert (out.loc[out["n_bigrams"] == 0, "lm_logprob"] == 0.0).all()
     # scores are log-probabilities: strictly negative when bigrams exist
     assert (out.loc[out["n_bigrams"] > 0, "lm_logprob"] < 0).all()
+
+
+def test_perplexity_buckets_scale_path_matches_driver(ray_session,
+                                                      monkeypatch):
+    """Bound 0 forces the co-partitioned lang attach + grouped
+    refinement-kernel edges; output must equal the driver fold."""
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+
+    def to_df(res) -> pd.DataFrame:
+        t = (res if isinstance(res, pa.Table)
+             else pa.concat_tables(list(arrow_blocks(res, stream=False)),
+                                   promote_options="default"))
+        return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+    base = to_df(lmscore.perplexity_buckets(sf))
+    monkeypatch.setattr(lmscore, "PPL_DRIVER_FOLD_BOUND", 0)
+    forced = to_df(lmscore.perplexity_buckets(sf))
+    pd.testing.assert_frame_equal(base, forced, check_dtype=False)
+    assert len(base) > 0
+    # every lang uses all tiers somewhere on a non-degenerate corpus
+    assert set(base["bucket"]) == {1, 2, 3}
