@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_summary": textstats.corpus_summary,  # dataset-card rollup
         "perplexity_buckets":
             lmscore.perplexity_buckets,  # CCNet head/middle/tail
+        "embedding_norm_outliers":
+            vectorstats.embedding_norm_outliers,  # encoder-fault audit
         # round-4 (this session) additions — newest first:
         "conv_entity_density": kg.conv_entity_density,  # KG-worthiness
         "role_vocab_divergence":
@@ -285,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample",       # round-5 new ops — no driver row yet
         "corpus_summary",
         "perplexity_buckets",
+        "embedding_norm_outliers",
         "curation_e2e",
         "training_batches",
         "pack_sequences",
@@ -357,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": curation.hash_sample_sql(),
         "corpus_summary": textstats.CORPUS_SUMMARY_SQL,
         "perplexity_buckets": lmscore.perplexity_buckets_sql(),
+        "embedding_norm_outliers":
+            vectorstats.embedding_norm_outliers_sql(),
         "conv_entity_density": kg.conv_entity_density_sql(),
         "role_vocab_divergence": kg.role_vocab_divergence_sql(),
         "embedding_pca_project": vectorstats.embedding_pca_project_sql(),

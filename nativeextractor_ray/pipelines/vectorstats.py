@@ -441,3 +441,65 @@ SELECT vec_id,
        CAST(sum(q * v1) AS BIGINT) AS p1_q,
        CAST(sum(q * v2) AS BIGINT) AS p2_q
 FROM q GROUP BY vec_id"""
+
+
+NORM_OUTLIER_K = 50
+
+
+def embedding_norm_outliers(sf_dir: str, k: int = NORM_OUTLIER_K):
+    """The ``k`` vectors with the LARGEST exact squared norm — the
+    mis-embedded-document audit (a runaway norm usually means a truncated
+    or corrupted input hit the encoder; clipping them before ANN keeps
+    the index calibrated).
+
+    Exactness: components quantize to 1e-6 fixed point exactly as
+    :func:`embedding_dim_stats` (same QBOUND invariant, so Σq² is exact
+    int64) and the ranking is pure integer — bit-identical on any
+    engine.
+
+    Scale shape: top-k is associative — every block folds to ≤ k rows
+    map-side, the union (blocks × k) resolves once on the driver.  No
+    shuffle (the hash_sample economics).
+
+    Output: ``(vec_id, norm2)`` — norm2 desc, vec_id asc."""
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.vectors import embedding_matrix
+    from nativeextractor_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding")).astype(np.float64)
+        q = np.floor(m * float(QSCALE) + 0.5).astype(np.int64)
+        if q.size and np.abs(q).max() >= QBOUND:
+            raise ValueError(
+                "embedding_norm_outliers: |value| exceeds the documented "
+                f"fixed-point bound ({QBOUND / QSCALE:.1f})")
+        n2 = (q * q).sum(axis=1)
+        ids = t.column("vec_id").to_numpy()
+        order = np.lexsort((ids, -n2))[:k]
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "norm2": pa.array(n2[order])})
+
+    parts = list(arrow_blocks(
+        ds.map_batches(partial, batch_format="pyarrow"), stream=False))
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "norm2": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts, promote_options="default")
+    ids = merged.column("vec_id").to_numpy()
+    n2 = merged.column("norm2").to_numpy()
+    order = np.lexsort((ids, -n2))[:k]
+    return pa.table({"vec_id": pa.array(ids[order]),
+                     "norm2": pa.array(n2[order])})
+
+
+def embedding_norm_outliers_sql(k: int = NORM_OUTLIER_K) -> str:
+    return f"""WITH q AS (
+  SELECT e.vec_id,
+         CAST(floor(CAST(list_extract(e.embedding, r.dim) AS DOUBLE)
+                    * {QSCALE}.0 + 0.5) AS BIGINT) AS q
+  FROM embeddings e, range(1, {EMB_DIM + 1}) r(dim)),
+n AS (SELECT vec_id, sum(q * q) AS norm2 FROM q GROUP BY vec_id)
+SELECT vec_id, CAST(norm2 AS BIGINT) AS norm2
+FROM n ORDER BY norm2 DESC, vec_id LIMIT {k}"""
