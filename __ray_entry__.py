@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lmscore.perplexity_buckets,  # CCNet head/middle/tail
         "embedding_norm_outliers":
             vectorstats.embedding_norm_outliers,  # encoder-fault audit
+        "source_dedup_matrix":
+            dedup.source_dedup_matrix,  # cross-crawl overlap audit
         # round-4 (this session) additions — newest first:
         "conv_entity_density": kg.conv_entity_density,  # KG-worthiness
         "role_vocab_divergence":
@@ -288,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_summary",
         "perplexity_buckets",
         "embedding_norm_outliers",
+        "source_dedup_matrix",
         "curation_e2e",
         "training_batches",
         "pack_sequences",
@@ -362,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": lmscore.perplexity_buckets_sql(),
         "embedding_norm_outliers":
             vectorstats.embedding_norm_outliers_sql(),
+        "source_dedup_matrix": dedup.source_dedup_matrix_sql(),
         "conv_entity_density": kg.conv_entity_density_sql(),
         "role_vocab_divergence": kg.role_vocab_divergence_sql(),
         "embedding_pca_project": vectorstats.embedding_pca_project_sql(),

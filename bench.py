@@ -397,6 +397,7 @@ def run_suite() -> dict:
         "corpus_summary": ("nativeextractor_ray.pipelines.textstats", "corpus_summary"),
         "perplexity_buckets": ("nativeextractor_ray.pipelines.lmscore", "perplexity_buckets"),
         "embedding_norm_outliers": ("nativeextractor_ray.pipelines.vectorstats", "embedding_norm_outliers"),
+        "source_dedup_matrix": ("nativeextractor_ray.pipelines.dedup", "source_dedup_matrix"),
         "column_profile": ("nativeextractor_ray.pipelines.audit", "column_profile"),
         "modal_value_by_type": ("nativeextractor_ray.pipelines.events", "modal_value_by_type"),
         "event_path_trigrams": ("nativeextractor_ray.pipelines.windows", "event_path_trigrams"),

@@ -1866,3 +1866,174 @@ sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
        FROM base GROUP BY cluster_id)
 SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sz WHERE n >= 2 GROUP BY n"""
+
+
+#: doc→source broadcast bound for the cross-source matrix; tests force 0
+#: to drive the co-partitioned double attach
+SRC_MATRIX_BOUND = 64 << 20
+
+
+def source_dedup_matrix(sf_dir: str, n: int = 3, threshold: float = 0.3):
+    """Cross-source near-dup matrix: for every unordered source pair,
+    how many exact-n-gram-Jaccard near-dup pairs straddle them — the
+    "how much of crawl X is already inside crawl Y" audit that decides
+    whether a new source is worth ingesting (diagonal cells =
+    within-source duplication).
+
+    Scale shape: pairs come from :func:`dedup_ngram_jaccard` (its gates
+    apply; pair volume is dup-population-bounded).  Under the documents
+    metadata bound the doc→source map broadcasts once (sorted ids +
+    dictionary codes) and a streaming probe folds the ≤ sources² counts
+    on the driver; above it the pairs attach each side's source through
+    two doc-keyed co-partitions (the ssjoin join-back shape).  The
+    source pair is canonicalized by NAME order on both engines.
+
+    Output: ``(source_a, source_b, n_pairs)``."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.hashing import stable_part
+    from nativeextractor_ray.pipelines.common import table_nrows
+    from nativeextractor_ray.sources.tables import read_table
+
+    pairs = dedup_ngram_jaccard(sf_dir, n, threshold)
+    n_docs = table_nrows(sf_dir, "documents")
+
+    def finish(acc: dict) -> pa.Table:
+        ks = sorted(acc)
+        return pa.table({
+            "source_a": pa.array([k[0] for k in ks], pa.string()),
+            "source_b": pa.array([k[1] for k in ks], pa.string()),
+            "n_pairs": pa.array([acc[k] for k in ks], pa.int64())})
+
+    if n_docs is not None and n_docs * 16 <= SRC_MATRIX_BOUND:
+        dl = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+        ids = dl.column("doc_id").to_numpy()
+        src = dl.column("source")
+        sd = pc.dictionary_encode(
+            src.combine_chunks() if isinstance(src, pa.ChunkedArray)
+            else src)
+        codes = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.array(sd.dictionary.to_pylist())
+        order = np.argsort(ids)
+        side = ray.put((ids[order], codes[order], names))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, code, names_ = ray.get(side)
+            a = t.column("doc_a").to_numpy()
+            b = t.column("doc_b").to_numpy()
+            pa_ = np.clip(np.searchsorted(keys, a), 0,
+                          max(0, len(keys) - 1))
+            pb_ = np.clip(np.searchsorted(keys, b), 0,
+                          max(0, len(keys) - 1))
+            # canonicalize by NAME order via integer ranks (numpy '<U'
+            # concat silently drops \x00 separators — never join names)
+            name_order = np.argsort(names_)
+            rank = np.empty(len(names_), np.int64)
+            rank[name_order] = np.arange(len(names_))
+            ra = rank[code[pa_]]
+            rb = rank[code[pb_]]
+            lo = np.minimum(ra, rb)
+            hi = np.maximum(ra, rb)
+            uniq, cnt = np.unique(lo * len(names_) + hi,
+                                  return_counts=True)
+            by_rank = names_[name_order]
+            return pa.table({
+                "source_a": pa.array(by_rank[uniq // len(names_)],
+                                     pa.string()),
+                "source_b": pa.array(by_rank[uniq % len(names_)],
+                                     pa.string()),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        acc: dict = {}
+        for t in arrow_blocks(
+                pairs.map_batches(probe, batch_format="pyarrow"),
+                stream=False):
+            for a_, b_, c_ in zip(t.column("source_a").to_pylist(),
+                                  t.column("source_b").to_pylist(),
+                                  t.column("n").to_pylist()):
+                acc[(a_, b_)] = acc.get((a_, b_), 0) + int(c_)
+        return finish(acc)
+
+    # scale path: attach source for doc_a, then doc_b, via two doc-keyed
+    # co-partitions (identical non-null columns on both union sides)
+    docs_src = read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": pc.cast(t.column("doc_id"), pa.int64()),
+            "other": pa.array(np.zeros(t.num_rows, np.int64)),
+            "src": t.column("source"),
+            "is_src": pa.array(np.ones(t.num_rows, bool))})
+        return out.append_column("part", stable_part(out, ["k"], 64))
+
+    def tag_pair_a(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": pc.cast(t.column("doc_a"), pa.int64()),
+            "other": pc.cast(t.column("doc_b"), pa.int64()),
+            "src": pa.array([""] * t.num_rows, pa.string()),
+            "is_src": pa.array(np.zeros(t.num_rows, bool))})
+        return out.append_column("part", stable_part(out, ["k"], 64))
+
+    def attach(df):
+        import pandas as pd
+
+        s = df[df["is_src"]][["k", "src"]]
+        p = df[~df["is_src"]][["k", "other"]]
+        m = p.merge(s, on="k", how="inner")
+        return pd.DataFrame({
+            "k": m["other"].to_numpy(np.int64),     # re-key on doc_b
+            "other": m["k"].to_numpy(np.int64),
+            "src": m["src"].to_numpy(object),       # src of doc_a rides
+            "is_src": np.zeros(len(m), bool)})
+
+    def add_part2(t: pa.Table) -> pa.Table:
+        return t.append_column("part", stable_part(t, ["k"], 64))
+
+    with_a = (docs_src.map_batches(tag_src, batch_format="pyarrow")
+              .union(pairs.map_batches(tag_pair_a,
+                                       batch_format="pyarrow"))
+              .groupby("part").map_groups(attach, batch_format="pandas"))
+
+    def resolve(df):
+        import pandas as pd
+
+        s = df[df["is_src"]][["k", "src"]].rename(columns={"src": "sb"})
+        p = df[~df["is_src"]][["k", "src"]].rename(columns={"src": "sa"})
+        m = p.merge(s, on="k", how="inner")
+        sa_ = m["sa"].to_numpy(object)
+        sb_ = m["sb"].to_numpy(object)
+        swap = sb_ < sa_
+        lo = np.where(swap, sb_, sa_)
+        hi = np.where(swap, sa_, sb_)
+        g = (pd.DataFrame({"source_a": lo, "source_b": hi})
+             .groupby(["source_a", "source_b"], sort=False).size()
+             .reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    acc2: dict = {}
+    for t in arrow_blocks(
+            docs_src.map_batches(tag_src, batch_format="pyarrow")
+            .union(with_a.map_batches(add_part2, batch_format="pyarrow"))
+            .groupby("part").map_groups(resolve, batch_format="pandas"),
+            stream=False):
+        for a_, b_, c_ in zip(t.column("source_a").to_pylist(),
+                              t.column("source_b").to_pylist(),
+                              t.column("n").to_pylist()):
+            acc2[(a_, b_)] = acc2.get((a_, b_), 0) + int(c_)
+    return finish(acc2)
+
+
+def source_dedup_matrix_sql(n: int = 3, threshold: float = 0.3) -> str:
+    return f"""WITH p AS ({ngram_jaccard_sql(n, threshold)}),
+m AS (
+  SELECT least(d1.source, d2.source) AS source_a,
+         greatest(d1.source, d2.source) AS source_b
+  FROM p
+  JOIN documents d1 ON d1.doc_id = p.doc_a
+  JOIN documents d2 ON d2.doc_id = p.doc_b)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM m GROUP BY 1, 2"""

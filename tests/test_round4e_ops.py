@@ -361,3 +361,20 @@ def test_corpus_summary_planted(ray_session, tmp_path):
     assert int(got["n_chars"]) == 5 + 3  # len("a b c") + len("d e")
     assert int(got["n_langs"]) == 1 and int(got["n_sources"]) == 1
     assert int(got["mean_chars_micro"]) == 4_000_000
+
+
+def test_source_dedup_matrix_fallback_matches_broadcast(ray_session,
+                                                        monkeypatch):
+    """Bound 0 forces the two doc-keyed co-partition attaches; output
+    must equal the broadcast probe + driver fold."""
+    from nativeextractor_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["source_a", "source_b"]
+    base = _df(dedup.source_dedup_matrix(sf)).sort_values(
+        cols).reset_index(drop=True)
+    monkeypatch.setattr(dedup, "SRC_MATRIX_BOUND", 0)
+    forced = _df(dedup.source_dedup_matrix(sf)).sort_values(
+        cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
