@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             vectorstats.embedding_norm_outliers,  # encoder-fault audit
         "source_dedup_matrix":
             dedup.source_dedup_matrix,  # cross-crawl overlap audit
+        "tool_latency": kg.tool_latency,  # agent tool stall stat
         # round-4 (this session) additions — newest first:
         "conv_entity_density": kg.conv_entity_density,  # KG-worthiness
         "role_vocab_divergence":
@@ -291,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets",
         "embedding_norm_outliers",
         "source_dedup_matrix",
+        "tool_latency",
         "curation_e2e",
         "training_batches",
         "pack_sequences",
@@ -366,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_outliers":
             vectorstats.embedding_norm_outliers_sql(),
         "source_dedup_matrix": dedup.source_dedup_matrix_sql(),
+        "tool_latency": kg.tool_latency_sql(),
         "conv_entity_density": kg.conv_entity_density_sql(),
         "role_vocab_divergence": kg.role_vocab_divergence_sql(),
         "embedding_pca_project": vectorstats.embedding_pca_project_sql(),

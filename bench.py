@@ -357,6 +357,7 @@ def run_suite() -> dict:
         "value_mad_by_type": ("nativeextractor_ray.pipelines.quantiles", "value_mad_by_type"),
         "first_response_latency": ("nativeextractor_ray.pipelines.kg", "first_response_latency"),
         "tool_call_stats": ("nativeextractor_ray.pipelines.kg", "tool_call_stats"),
+        "tool_latency": ("nativeextractor_ray.pipelines.kg", "tool_latency"),
         "entity_neighbor_jaccard": ("nativeextractor_ray.pipelines.graph", "entity_neighbor_jaccard"),
         "nation_trade_volume": ("nativeextractor_ray.pipelines.relational", "nation_trade_volume"),
         "audience_overlap": ("nativeextractor_ray.pipelines.events", "audience_overlap"),

@@ -678,6 +678,81 @@ SELECT tool,
 FROM t WHERE tool <> '' GROUP BY tool"""
 
 
+def tool_latency(sf_dir: str):
+    """Per-tool turn-to-next-turn latency over transcripts: for every
+    turn that names a tool AND has a following turn in the same
+    conversation, the µs gap to that next turn — the agent-pipeline
+    health stat ("which tool stalls the conversation").  Mean is the
+    exact half-up micro ratio; no float crosses the engine boundary.
+
+    Scale shape: one conv-hash co-partition (the transition_dwell
+    shape); per-partition vectorized LEAD diff + per-tool (n, Σµs)
+    partials; the ≤|tools| rows per partition fold on the driver.
+
+    Output: ``(tool, n, mean_us)``."""
+    import numpy as np
+    import pandas as pd
+
+    from nativeextractor_ray.functions.blocks import arrow_blocks
+    from nativeextractor_ray.functions.hashing import stable_part
+
+    ds = transcripts_dataset(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("gpart", stable_part(t, ["conv_id"], 256))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy(object)
+        tool = df["tool"].to_numpy(object)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(df) < 2:
+            return pd.DataFrame({"tool": [], "n": [], "s": []})
+        same = conv[1:] == conv[:-1]
+        used = (tool[:-1] != "") & same
+        out = pd.DataFrame({"tool": tool[:-1][used],
+                            "d": (ts[1:] - ts[:-1])[used]})
+        g = out.groupby("tool", sort=False)["d"].agg(
+            ["size", "sum"]).reset_index()
+        return pd.DataFrame({"tool": g["tool"],
+                             "n": g["size"].astype("int64"),
+                             "s": g["sum"].astype("int64")})
+
+    acc: dict = {}
+    for t in arrow_blocks(
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("gpart").map_groups(partial, batch_format="pandas"),
+            stream=False):
+        for tl, n, s in zip(t.column("tool").to_pylist(),
+                            t.column("n").to_pylist(),
+                            t.column("s").to_pylist()):
+            a = acc.setdefault(tl, [0, 0])
+            a[0] += int(n)
+            a[1] += int(s)
+    tools = sorted(acc)
+    return pa.table({
+        "tool": pa.array(tools, pa.string()),
+        "n": pa.array([acc[t][0] for t in tools], pa.int64()),
+        "mean_us": pa.array(
+            [(2 * acc[t][1] + acc[t][0]) // (2 * acc[t][0])
+             for t in tools], pa.int64())})
+
+
+def tool_latency_sql() -> str:
+    from nativeextractor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    return f"""WITH t AS ({TRANSCRIPTS_SQL}),
+s AS (
+  SELECT conv_id, tool, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS nxt
+  FROM t)
+SELECT tool, CAST(count(*) AS BIGINT) AS n,
+       CAST((2 * sum(nxt - ts_us) + count(*)) // (2 * count(*))
+            AS BIGINT) AS mean_us
+FROM s WHERE tool <> '' AND nxt IS NOT NULL GROUP BY tool"""
+
+
 # --------------------------------------------------------- trending terms
 
 
